@@ -1,0 +1,85 @@
+"""scimlsensitivity_jl_tpu — a TPU-native sensitivity-analysis framework.
+
+Built from scratch in JAX/XLA/Pallas with the capabilities of
+SciML/SciMLSensitivity.jl (reference mounted at /root/reference; see
+SURVEY.md for the structural analysis): gradients of ODE/SDE/steady-state
+solutions with respect to parameters and initial conditions, via a menu of
+continuous adjoints, forward sensitivity, discrete AD-through-the-solver,
+implicit-function-theorem adjoints, and chaotic-shadowing methods — each a
+`jax.custom_vjp` rule whose backward pass is another XLA-compiled solve.
+"""
+
+from .problems import (
+    NonlinearProblem,
+    ODEProblem,
+    RODEProblem,
+    SDEProblem,
+    SteadyStateProblem,
+    remake,
+)
+from .sensealg import (
+    AdjointLSS,
+    AutoVJP,
+    BacksolveAdjoint,
+    Cos2Windowing,
+    CosWindowing,
+    DirectAdjoint,
+    ForwardDiffSensitivity,
+    ForwardLSS,
+    ForwardSensitivity,
+    GaussAdjoint,
+    GaussKronrodAdjoint,
+    InterpolatingAdjoint,
+    JacVJP,
+    NILSAS,
+    NILSS,
+    PallasVJP,
+    QuadratureAdjoint,
+    SteadyStateAdjoint,
+    TimeDilation,
+    default_sensealg,
+    setvjp,
+)
+from .solution import ODESolution
+from .solve import solve
+from .solvers.explicit import BS3, Dopri5, Euler, Heun, Midpoint, Tsit5
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "ODEProblem",
+    "SDEProblem",
+    "RODEProblem",
+    "NonlinearProblem",
+    "SteadyStateProblem",
+    "remake",
+    "solve",
+    "ODESolution",
+    "Tsit5",
+    "Dopri5",
+    "BS3",
+    "Heun",
+    "Midpoint",
+    "Euler",
+    "InterpolatingAdjoint",
+    "BacksolveAdjoint",
+    "QuadratureAdjoint",
+    "GaussAdjoint",
+    "GaussKronrodAdjoint",
+    "DirectAdjoint",
+    "ForwardSensitivity",
+    "ForwardDiffSensitivity",
+    "SteadyStateAdjoint",
+    "ForwardLSS",
+    "AdjointLSS",
+    "NILSS",
+    "NILSAS",
+    "CosWindowing",
+    "Cos2Windowing",
+    "TimeDilation",
+    "AutoVJP",
+    "JacVJP",
+    "PallasVJP",
+    "default_sensealg",
+    "setvjp",
+]

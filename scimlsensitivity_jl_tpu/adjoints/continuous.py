@@ -1,0 +1,430 @@
+"""Continuous adjoint sensealgs as `jax.custom_vjp` rules on solve (layer L3).
+
+Each sensealg family from the reference becomes one custom_vjp whose backward
+pass is *another solve* — the architectural translation of SURVEY §7:
+
+  InterpolatingAdjoint  — reverse solve of [λ; q] with y(t) from the dense
+                          forward interpolant (src/interpolating_adjoint.jl);
+                          checkpointing re-solves each inter-save interval
+                          on demand (:43-126, :206-278).
+  BacksolveAdjoint      — reverse solve of [λ; q; u], the ODE itself
+                          integrated backwards; checkpoint snap of u at each
+                          save time (src/backsolve_adjoint.jl:523-572).
+  GaussAdjoint          — reverse solve of λ only; dG/dp accumulated during
+                          the solve by per-accepted-step Gauss quadrature
+                          (integrating-callback design,
+                          src/gauss_adjoint.jl:806-851).
+  QuadratureAdjoint     — reverse solve of λ only, kept dense; dG/dp by
+                          batched composite Gauss–Legendre panels per
+                          inter-save segment afterwards
+                          (src/quadrature_adjoint.jl:527-633 — the adaptive
+                          quadgk is replaced by fixed-shape panel quadrature,
+                          all nodes across all segments evaluated in one
+                          vmapped sweep: the TPU-friendly formulation).
+  ForwardDiffSensitivity— discrete forward mode: the backward rule re-solves
+                          with jax.jacfwd THROUGH the adaptive while_loop and
+                          contracts J with the cotangent
+                          (src/concrete_solve.jl:1259-1720).
+
+Sign conventions (continuous adjoint with discrete cost injections):
+  dλ/dt = -(∂f/∂u)ᵀλ,   λ(t_i⁻) += Δᵢ   (ReverseLossCallback jump)
+  dq/dt = -λᵀ∂f/∂p  integrated T→t0 from q(T)=0  ⇒  q(t0) = ∫ λᵀ∂f/∂p dt = dL/dp
+  dL/du0 = λ(t0).
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.interp import DenseOutput, dense_eval, hermite_eval
+from ..ops.vjp import make_vjp_kernels
+from ..sensealg import (
+    BacksolveAdjoint,
+    ForwardDiffSensitivity,
+    GaussAdjoint,
+    GaussKronrodAdjoint,
+    InterpolatingAdjoint,
+    QuadratureAdjoint,
+)
+from ..solvers.integrate import Stats, integrate
+from ..utils.pytree import ravel_pytree
+from .common import forward_saveat_solve, reverse_segment_scan
+
+__all__ = ["SolveOptions", "AuxOut", "make_ode_solve_fn"]
+
+
+class SolveOptions(NamedTuple):
+    rtol: float = 1e-7
+    atol: float = 1e-9
+    dt0: Any = None
+    max_steps: int = 4096
+    tstops: Any = None
+    dense: bool = False  # user-requested dense output
+    # adjoint-pass controls (reference exposes separate tolerances via
+    # adjoint_sensitivities kwargs; sensitivity_interface.jl:373)
+    adj_rtol: Any = None
+    adj_atol: Any = None
+    adj_max_steps: Any = None
+    quad_panels: int = 8  # composite-GL panels per segment (QuadratureAdjoint)
+    quad_order: int = 7
+
+
+class AuxOut(NamedTuple):
+    dense: Any
+    t_final: jnp.ndarray
+    u_final: jnp.ndarray
+    stats: Stats
+
+
+def _ravel_rows(tree_with_time_axis):
+    """pytree with leading time axis -> (nt, n) flat matrix."""
+    return jax.vmap(lambda s: ravel_pytree(s)[0])(tree_with_time_axis)
+
+
+def _gl_nodes(order: int, dtype):
+    """Gauss-Legendre nodes/weights on [0, 1] (host-side, static)."""
+    x, w = np.polynomial.legendre.leggauss(order)
+    x01 = 0.5 * (x + 1.0)
+    w01 = 0.5 * w
+    return jnp.asarray(x01, dtype), jnp.asarray(w01, dtype)
+
+
+def _extend_times(t0, t1, saveat, lam_jumps):
+    """Prepend t0 / append t1 with zero jumps so the reverse pass covers the
+    full tspan even when saveat doesn't (degenerate zero-length segments are
+    handled by the driver in a single no-op step)."""
+    dtype = saveat.dtype
+    n = lam_jumps.shape[1]
+    times = jnp.concatenate(
+        [jnp.asarray(t0, dtype)[None], saveat, jnp.asarray(t1, dtype)[None]]
+    )
+    zero = jnp.zeros((1, n), lam_jumps.dtype)
+    jumps = jnp.concatenate([zero, lam_jumps, zero], axis=0)
+    return times, jumps
+
+
+def make_ode_solve_fn(f, solver, sensealg, opts: SolveOptions, t0, t1, *,
+                      user_jac=None, user_vjp=None, user_paramjac=None,
+                      bwd_solver=None):
+    """Build `fn(u0_tree, p_tree, saveat) -> (ys_tree, AuxOut)` with the
+    custom_vjp rule chosen by `sensealg`.
+
+    f: (u, p, t) -> du over pytrees. solver: forward stepper. bwd_solver:
+    stepper for the adjoint pass (defaults to `solver`).
+    """
+    bwd_stepper = bwd_solver or solver
+    vjp_choice = getattr(sensealg, "autojacvec", None)
+
+    needs_dense = isinstance(
+        sensealg, (QuadratureAdjoint, GaussAdjoint, GaussKronrodAdjoint)
+    ) or (isinstance(sensealg, InterpolatingAdjoint) and not sensealg.checkpointing)
+    store_dense = bool(needs_dense or opts.dense)
+
+    adj_rtol = opts.adj_rtol if opts.adj_rtol is not None else opts.rtol
+    adj_atol = opts.adj_atol if opts.adj_atol is not None else opts.atol
+    adj_max_steps = opts.adj_max_steps if opts.adj_max_steps is not None else opts.max_steps
+
+    def _kern(u0, p):
+        kw = {}
+        if vjp_choice is not None:
+            kw["vjp_choice"] = vjp_choice
+        return make_vjp_kernels(
+            f, u0, p, user_jac=user_jac, user_vjp=user_vjp,
+            user_paramjac=user_paramjac, **kw
+        )
+
+    def _forward(u0, p, saveat):
+        u0vec, unravel_u = ravel_pytree(u0)
+        kern = _kern(u0, p)
+        fvec = lambda uv, t: kern.fvec(uv, p, t)
+        fwd, _ = forward_saveat_solve(
+            solver, fvec, u0vec, t0, t1, saveat,
+            rtol=opts.rtol, atol=opts.atol, dt0=opts.dt0,
+            max_steps=opts.max_steps, tstops=opts.tstops,
+            store_dense=store_dense,
+        )
+        return fwd, unravel_u, kern
+
+    # ------------------------------------------------------------------
+    # primal
+    # ------------------------------------------------------------------
+
+    def _primal(u0, p, saveat):
+        fwd, unravel_u, _ = _forward(u0, p, saveat)
+        ys = jax.vmap(unravel_u)(fwd.ys_save)
+        aux = AuxOut(
+            dense=fwd.dense if store_dense else None,
+            t_final=fwd.t_final,
+            u_final=fwd.u_final,
+            stats=fwd.stats,
+        )
+        return ys, aux
+
+    solve_fn = jax.custom_vjp(_primal)
+
+    def _fwd_rule(u0, p, saveat):
+        fwd, unravel_u, _ = _forward(u0, p, saveat)
+        ys = jax.vmap(unravel_u)(fwd.ys_save)
+        aux = AuxOut(
+            dense=fwd.dense if store_dense else None,
+            t_final=fwd.t_final,
+            u_final=fwd.u_final,
+            stats=fwd.stats,
+        )
+        return (ys, aux), (u0, p, saveat, fwd)
+
+    # ------------------------------------------------------------------
+    # backward rules, one per sensealg family
+    # ------------------------------------------------------------------
+
+    def _common_bwd_setup(res, cot):
+        u0, p, saveat, fwd = res
+        d_ys, _ = cot
+        u0vec, unravel_u = ravel_pytree(u0)
+        pflat, unravel_p = ravel_pytree(p)
+        lam_jumps = _ravel_rows(d_ys)
+        kern = _kern(u0, p)
+        n = u0vec.shape[0]
+        npf = pflat.shape[0]
+        times, jumps = _extend_times(t0, t1, jnp.asarray(saveat, u0vec.dtype), lam_jumps)
+        return u0, p, saveat, fwd, u0vec, unravel_u, unravel_p, kern, n, npf, times, jumps
+
+    def _returns(unravel_u, unravel_p, lam0, qflat, saveat):
+        du0 = unravel_u(lam0)
+        dp = unravel_p(qflat)
+        return du0, dp, jnp.zeros_like(saveat)
+
+    # -- InterpolatingAdjoint (dense) / checkpointing variant ------------
+
+    def _bwd_interpolating(res, cot):
+        (u0, p, saveat, fwd, u0vec, unravel_u, unravel_p, kern,
+         n, npf, times, jumps) = _common_bwd_setup(res, cot)
+
+        if not sensealg.checkpointing:
+            dense = fwd.dense
+
+            def aug_rhs(z, t):
+                lam = z[:n]
+                y = dense_eval(dense, t)
+                _, ubar, pbar = kern.f_and_vjp(y, p, t, lam)
+                return jnp.concatenate([-ubar, -ravel_pytree(pbar)[0]])
+
+            z0 = jnp.zeros(n + npf, u0vec.dtype)
+            z, _, _, _ = reverse_segment_scan(
+                bwd_stepper, aug_rhs, times, jumps, z0, n,
+                rtol=adj_rtol, atol=adj_atol,
+                max_steps_per_segment=adj_max_steps,
+            )
+            return _returns(unravel_u, unravel_p, z[:n], z[n:], saveat)
+
+        # Checkpointed: re-solve each inter-save interval forward from the
+        # stored save values, then run the local adjoint over the fresh local
+        # interpolant (reference cursor logic interpolating_adjoint.jl:206-278
+        # becomes a nested solve inside the reverse scan).
+        ckpt_vals = jnp.concatenate(
+            [u0vec[None], fwd.ys_save, fwd.u_final[None]], axis=0
+        )  # aligned with `times`
+        fvec = lambda uv, t: kern.fvec(uv, p, t)
+        seg_max_steps = max(opts.max_steps // 8, 64)
+
+        def body(carry, i):
+            z, worst = carry
+            z = z.at[:n].add(jumps[i])
+            t_hi = times[i]
+            t_lo = times[i - 1]
+            local = integrate(
+                solver, fvec, t_lo, t_hi, ckpt_vals[i - 1],
+                rtol=opts.rtol, atol=opts.atol, max_steps=seg_max_steps,
+                store_dense=True,
+            )
+
+            def aug_rhs(zz, t):
+                lam = zz[:n]
+                y = dense_eval(local.dense, t)
+                _, ubar, pbar = kern.f_and_vjp(y, p, t, lam)
+                return jnp.concatenate([-ubar, -ravel_pytree(pbar)[0]])
+
+            resr = integrate(
+                bwd_stepper, aug_rhs, t_hi, t_lo, z,
+                rtol=adj_rtol, atol=adj_atol, max_steps=adj_max_steps,
+                store_dense=False,
+            )
+            worst = jnp.maximum(worst, jnp.maximum(local.stats.retcode, resr.stats.retcode))
+            return (resr.u_final, worst), None
+
+        nt_ext = times.shape[0]
+        z0 = jnp.zeros(n + npf, u0vec.dtype)
+        (z, _), _ = jax.lax.scan(
+            body, (z0, jnp.asarray(0, jnp.int32)), jnp.arange(nt_ext - 1, 0, -1)
+        )
+        z = z.at[:n].add(jumps[0])
+        return _returns(unravel_u, unravel_p, z[:n], z[n:], saveat)
+
+    # -- BacksolveAdjoint ------------------------------------------------
+
+    def _bwd_backsolve(res, cot):
+        (u0, p, saveat, fwd, u0vec, unravel_u, unravel_p, kern,
+         n, npf, times, jumps) = _common_bwd_setup(res, cot)
+
+        def aug_rhs(z, t):
+            lam = z[:n]
+            y = z[n + npf:]
+            fval, ubar, pbar = kern.f_and_vjp(y, p, t, lam)
+            return jnp.concatenate([-ubar, -ravel_pytree(pbar)[0], fval])
+
+        z0 = jnp.concatenate([jnp.zeros(n + npf, u0vec.dtype), fwd.u_final])
+
+        if sensealg.checkpointing:
+            ckpt_vals = jnp.concatenate(
+                [u0vec[None], fwd.ys_save, fwd.u_final[None]], axis=0
+            )
+
+            def boundary_fn(z, i):
+                # Snap the trailing u block back to the stored forward value
+                # at this save time (backsolve_adjoint.jl:523-546).
+                return z.at[n + npf:].set(ckpt_vals[i])
+        else:
+            boundary_fn = None
+
+        z, _, _, _ = reverse_segment_scan(
+            bwd_stepper, aug_rhs, times, jumps, z0, n,
+            rtol=adj_rtol, atol=adj_atol,
+            max_steps_per_segment=adj_max_steps,
+            boundary_fn=boundary_fn,
+        )
+        return _returns(unravel_u, unravel_p, z[:n], z[n:n + npf], saveat)
+
+    # -- GaussAdjoint ----------------------------------------------------
+
+    def _bwd_gauss(res, cot):
+        (u0, p, saveat, fwd, u0vec, unravel_u, unravel_p, kern,
+         n, npf, times, jumps) = _common_bwd_setup(res, cot)
+        dense = fwd.dense
+        n_nodes = getattr(sensealg, "n_nodes", 7)
+        xg, wg = _gl_nodes(n_nodes, u0vec.dtype)
+
+        def aug_rhs(lam, t):
+            y = dense_eval(dense, t)
+            return -kern.vjp_u(y, p, t, lam)
+
+        def gauss_hook(rec, qflat):
+            ta, tb, lam_a, fa, lam_b, fb = rec  # step from ta to tb (tb "<" ta)
+            width = tb - ta
+
+            def node(xj):
+                tj = ta + width * xj
+                lam_j = hermite_eval(tj, ta, tb, lam_a, fa, lam_b, fb)
+                yj = dense_eval(dense, tj)
+                pbar = kern.vjp_p(yj, p, tj, lam_j)
+                return ravel_pytree(pbar)[0]
+
+            contribs = jax.vmap(node)(xg)  # (n_nodes, npf)
+            # q += ∫_{ta}^{tb} (-λᵀ∂f/∂p) dt ; width < 0 going backwards.
+            return qflat - width * jnp.einsum("j,jk->k", wg, contribs)
+
+        lam0 = jnp.zeros(n, u0vec.dtype)
+        q0 = jnp.zeros(npf, u0vec.dtype)
+        lam, qflat, _, _ = reverse_segment_scan(
+            bwd_stepper, aug_rhs, times, jumps, lam0, n,
+            rtol=adj_rtol, atol=adj_atol,
+            max_steps_per_segment=adj_max_steps,
+            seg_hook=gauss_hook, seg_hook_carry=q0,
+        )
+        return _returns(unravel_u, unravel_p, lam, qflat, saveat)
+
+    # -- QuadratureAdjoint ----------------------------------------------
+
+    def _bwd_quadrature(res, cot):
+        (u0, p, saveat, fwd, u0vec, unravel_u, unravel_p, kern,
+         n, npf, times, jumps) = _common_bwd_setup(res, cot)
+        dense = fwd.dense
+
+        def aug_rhs(lam, t):
+            y = dense_eval(dense, t)
+            return -kern.vjp_u(y, p, t, lam)
+
+        lam0 = jnp.zeros(n, u0vec.dtype)
+        lam, _, _, seg_dense = reverse_segment_scan(
+            bwd_stepper, aug_rhs, times, jumps, lam0, n,
+            rtol=adj_rtol, atol=adj_atol,
+            max_steps_per_segment=adj_max_steps,
+            collect_dense=True,
+        )
+
+        # dG/dp = Σ_segments ∫ λᵀ∂f/∂p dt, composite GL panels per segment,
+        # every node of every panel of every segment in one vmapped sweep.
+        order = opts.quad_order
+        panels = opts.quad_panels
+        xg, wg = _gl_nodes(order, u0vec.dtype)
+        nt_ext = times.shape[0]
+        n_seg = nt_ext - 1  # walk order: seg j covers [times[nt-2-j], times[nt-1-j]]
+
+        def seg_integral(j):
+            t_hi = times[nt_ext - 1 - j]
+            t_lo = times[nt_ext - 2 - j]
+            sd = jax.tree_util.tree_map(lambda a: a[j], seg_dense)
+            width = (t_hi - t_lo) / panels
+
+            def panel(k):
+                start = t_lo + k * width
+
+                def node(xj):
+                    tj = start + width * xj
+                    lam_j = dense_eval(sd, tj)
+                    yj = dense_eval(dense, tj)
+                    pbar = kern.vjp_p(yj, p, tj, lam_j)
+                    return ravel_pytree(pbar)[0]
+
+                vals = jax.vmap(node)(xg)
+                return width * jnp.einsum("j,jk->k", wg, vals)
+
+            return jnp.sum(jax.vmap(panel)(jnp.arange(panels, dtype=u0vec.dtype)), axis=0)
+
+        q = jnp.sum(jax.vmap(seg_integral)(jnp.arange(n_seg)), axis=0)
+        return _returns(unravel_u, unravel_p, lam, q, saveat)
+
+    # -- ForwardDiffSensitivity (discrete forward mode) ------------------
+
+    def _bwd_forwarddiff(res, cot):
+        u0, p, saveat, fwd = res
+        d_ys, _ = cot
+        u0vec, unravel_u = ravel_pytree(u0)
+        pflat, unravel_p = ravel_pytree(p)
+        lam = _ravel_rows(d_ys)  # (nt, n)
+        kern = _kern(u0, p)
+
+        def ys_of(u0v, pf):
+            p_ = unravel_p(pf)
+            fvec = lambda uv, t: kern.fvec(uv, p_, t)
+            fr, _ = forward_saveat_solve(
+                solver, fvec, u0v, t0, t1, jnp.asarray(saveat, u0v.dtype),
+                rtol=opts.rtol, atol=opts.atol, dt0=opts.dt0,
+                max_steps=opts.max_steps, tstops=opts.tstops,
+                store_dense=False,
+            )
+            return fr.ys_save  # (nt, n)
+
+        Ju0, Jp = jax.jacfwd(ys_of, argnums=(0, 1))(u0vec, pflat)
+        du0 = jnp.einsum("ti,tij->j", lam, Ju0)
+        dp = jnp.einsum("ti,tij->j", lam, Jp)
+        return unravel_u(du0), unravel_p(dp), jnp.zeros_like(saveat)
+
+    if isinstance(sensealg, InterpolatingAdjoint):
+        bwd_rule = _bwd_interpolating
+    elif isinstance(sensealg, BacksolveAdjoint):
+        bwd_rule = _bwd_backsolve
+    elif isinstance(sensealg, (GaussAdjoint, GaussKronrodAdjoint)):
+        bwd_rule = _bwd_gauss
+    elif isinstance(sensealg, QuadratureAdjoint):
+        bwd_rule = _bwd_quadrature
+    elif isinstance(sensealg, ForwardDiffSensitivity):
+        bwd_rule = _bwd_forwarddiff
+    else:
+        raise NotImplementedError(f"no ODE adjoint rule for {sensealg!r}")
+
+    solve_fn.defvjp(_fwd_rule, bwd_rule)
+    return solve_fn

@@ -1,0 +1,156 @@
+"""Problem types.
+
+TPU-native analogues of SciMLBase's problem structs as consumed by the
+reference (SciMLSensitivity.jl works on ODEProblem / SDEProblem / RODEProblem /
+NonlinearProblem / SteadyStateProblem). All right-hand sides are pure,
+out-of-place functions over pytrees — the JAX idiom — rather than the
+reference's in-place `f(du,u,p,t)` mutation style.
+
+    ODEProblem(f, u0, tspan, p)          f(u, p, t) -> du
+    SDEProblem(f, g, u0, tspan, p)       g(u, p, t) -> diffusion (diagonal:
+                                         same shape as u; general: matrix)
+    RODEProblem(f, u0, tspan, p)         f(u, p, t, W) -> du
+    NonlinearProblem(f, u0, p)           f(u, p) -> residual (solve f=0)
+    SteadyStateProblem(f, u0, p)         f(u, p, t) -> du (solve f(u,p,∞)=0)
+    DAEProblem / mass_matrix             ODEProblem(..., mass_matrix=M) solves
+                                         M u' = f(u, p, t)
+
+`remake` mirrors SciMLBase.remake (reference uses it pervasively, e.g.
+src/forward_sensitivity.jl:856-881) to rebuild a problem with fields replaced.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+__all__ = [
+    "AbstractProblem",
+    "ODEProblem",
+    "SDEProblem",
+    "RODEProblem",
+    "NonlinearProblem",
+    "SteadyStateProblem",
+    "remake",
+]
+
+
+def _register_problem(cls, data_fields, meta_fields):
+    jax.tree_util.register_dataclass(cls, data_fields, meta_fields)
+    return cls
+
+
+class AbstractProblem:
+    pass
+
+
+@dataclass(frozen=True)
+class ODEProblem(AbstractProblem):
+    """Initial value problem  u' = f(u, p, t)  (or M u' = f for mass-matrix DAEs).
+
+    Mirrors SciMLBase.ODEProblem as used throughout the reference
+    (e.g. src/concrete_solve.jl:523).
+
+    f : callable (u, p, t) -> du, pure, pytree-valued.
+    u0: pytree initial state.
+    tspan: (t0, t1) floats or scalars.
+    p : pytree parameters (may be None).
+    mass_matrix: optional (n, n) array over the *flattened* state — `None`
+        means identity (a plain ODE). Singular M = semi-explicit DAE
+        (reference: src/adjoint_common.jl:110-139).
+    jac: optional analytic Jacobian (u, p, t) -> (n, n) over flattened state,
+        the analogue of `f.jac` (reference: src/quadrature_adjoint.jl:170-192).
+    vjp / paramjac: optional user-supplied VJP overrides, the analogue of
+        `f.vjp` / `f.paramjac` fast paths (reference:
+        src/derivative_wrappers.jl:284-433). vjp(λ, u, p, t) -> λᵀ∂f/∂u;
+        paramjac(λ, u, p, t) -> λᵀ∂f/∂p (as a pytree like p).
+    """
+
+    f: Callable
+    u0: Any
+    tspan: tuple
+    p: Any = None
+    mass_matrix: Optional[jnp.ndarray] = None
+    jac: Optional[Callable] = None
+    vjp: Optional[Callable] = None
+    paramjac: Optional[Callable] = None
+
+    def with_f(self, f):
+        return dataclasses.replace(self, f=f)
+
+
+@dataclass(frozen=True)
+class SDEProblem(AbstractProblem):
+    """SDE  du = f(u,p,t) dt + g(u,p,t) dW.
+
+    noise: "diagonal" (g returns a pytree shaped like u, elementwise),
+    "scalar" (g returns like u, single shared Wiener process), or
+    "general" (flattened-state matrix g: (n, m) for m Wiener processes).
+    interpretation: "ito" or "stratonovich" — the *problem's* intended
+    calculus; solvers declare which one they converge to and adjoints insert
+    the Ito↔Stratonovich drift correction when needed
+    (reference: src/sde_tools.jl:2-27, src/backsolve_adjoint.jl:327-345).
+    """
+
+    f: Callable
+    g: Callable
+    u0: Any
+    tspan: tuple
+    p: Any = None
+    noise: str = "diagonal"
+    interpretation: str = "ito"
+    noise_dim: Optional[int] = None  # m for general noise
+
+
+@dataclass(frozen=True)
+class RODEProblem(AbstractProblem):
+    """Random ODE  u' = f(u, p, t, W(t)) with W a driving Wiener path
+    (reference: src/interpolating_adjoint.jl:615-746)."""
+
+    f: Callable
+    u0: Any
+    tspan: tuple
+    p: Any = None
+    noise_dim: Optional[int] = None
+
+
+@dataclass(frozen=True)
+class NonlinearProblem(AbstractProblem):
+    """Root-finding problem f(u, p) = 0 (reference: steadystate_adjoint.jl)."""
+
+    f: Callable
+    u0: Any
+    p: Any = None
+
+
+@dataclass(frozen=True)
+class SteadyStateProblem(AbstractProblem):
+    """Steady state of an ODE: solve f(u, p, t=∞) = 0."""
+
+    f: Callable
+    u0: Any
+    p: Any = None
+
+    def to_nonlinear(self) -> NonlinearProblem:
+        f = self.f
+        inf = jnp.inf
+        return NonlinearProblem(lambda u, p: f(u, p, inf), self.u0, self.p)
+
+
+for _cls, _data, _meta in [
+    (ODEProblem, ("u0", "tspan", "p", "mass_matrix"), ("f", "jac", "vjp", "paramjac")),
+    (SDEProblem, ("u0", "tspan", "p"), ("f", "g", "noise", "interpretation", "noise_dim")),
+    (RODEProblem, ("u0", "tspan", "p"), ("f", "noise_dim")),
+    (NonlinearProblem, ("u0", "p"), ("f",)),
+    (SteadyStateProblem, ("u0", "p"), ("f",)),
+]:
+    _register_problem(_cls, list(_data), list(_meta))
+
+
+def remake(prob, **kwargs):
+    """Rebuild a problem with some fields replaced (SciMLBase.remake analogue)."""
+    return dataclasses.replace(prob, **kwargs)

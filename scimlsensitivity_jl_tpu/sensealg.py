@@ -1,0 +1,298 @@
+"""Sensitivity-algorithm configuration types.
+
+TPU-native analogue of the reference's sensealg menu
+(reference: src/sensitivity_algorithms.jl — `BacksolveAdjoint` :254,
+`InterpolatingAdjoint` :378, `QuadratureAdjoint` :486, `GaussAdjoint` :591,
+`ForwardSensitivity` :54, `ForwardDiffSensitivity` :100,
+`SteadyStateAdjoint` :1299, shadowing algs :915-1297).
+
+The reference carries configuration in the Julia *type domain* so code
+specializes per configuration (SURVEY §5 "Config / flag system"); here each
+sensealg is a frozen dataclass — hashable, usable as a static argument to
+`jax.jit`, and dispatched on at trace time.
+
+VJP-backend choice collapses dramatically on TPU: the reference's zoo of
+Zygote/Enzyme/ReverseDiff/Tracker/Mooncake/Reactant backends
+(src/derivative_wrappers.jl:435-1163) is replaced by `jax.vjp` (exactly what
+EnzymeVJP computes: one sweep producing f(u,p,t), λᵀ∂f/∂u, λᵀ∂f/∂p —
+derivative_wrappers.jl:982-1145). The remaining genuine execution choices
+are kept:
+
+  * autojacvec=True   — one fused jax.vjp pullback (default; EnzymeVJP analogue)
+  * autojacvec=False  — materialize the full Jacobian then λᵀJ
+                        (the reference's `Bool` path, derivative_wrappers.jl:435-554;
+                        wins when the adjoint solver reuses J, e.g. stiff)
+  * PallasVJP         — Pallas-fused pullback kernel for large flat states
+  * user override     — prob.vjp / prob.paramjac fast paths
+                        (derivative_wrappers.jl:284-433)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Optional
+
+__all__ = [
+    "AbstractSensealg",
+    "AbstractAdjointSensealg",
+    "VJPChoice",
+    "AutoVJP",
+    "JacVJP",
+    "PallasVJP",
+    "ForwardSensitivity",
+    "ForwardDiffSensitivity",
+    "BacksolveAdjoint",
+    "InterpolatingAdjoint",
+    "QuadratureAdjoint",
+    "GaussAdjoint",
+    "GaussKronrodAdjoint",
+    "DirectAdjoint",
+    "SteadyStateAdjoint",
+    "ForwardLSS",
+    "AdjointLSS",
+    "NILSS",
+    "NILSAS",
+    "CosWindowing",
+    "Cos2Windowing",
+    "TimeDilation",
+    "default_sensealg",
+    "setvjp",
+]
+
+
+# ---------------------------------------------------------------------------
+# VJP backend choices
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class VJPChoice:
+    pass
+
+
+@dataclass(frozen=True)
+class AutoVJP(VJPChoice):
+    """One jax.vjp pullback per RHS eval (EnzymeVJP/ZygoteVJP analogue)."""
+
+
+@dataclass(frozen=True)
+class JacVJP(VJPChoice):
+    """Materialize ∂f/∂u and ∂f/∂p, then contract (reference Bool path)."""
+
+
+@dataclass(frozen=True)
+class PallasVJP(VJPChoice):
+    """Pallas-fused pullback matvecs for large flat states."""
+
+
+# ---------------------------------------------------------------------------
+# Sensealgs
+# ---------------------------------------------------------------------------
+
+
+class AbstractSensealg:
+    pass
+
+
+class AbstractAdjointSensealg(AbstractSensealg):
+    pass
+
+
+class AbstractShadowingSensealg(AbstractSensealg):
+    pass
+
+
+@dataclass(frozen=True)
+class ForwardSensitivity(AbstractSensealg):
+    """Continuous forward sensitivity: augmented [u; S] ODE with
+    Ṡⱼ = J·Sⱼ + ∂f/∂pⱼ (reference: src/forward_sensitivity.jl:152-209).
+    Each column is one `jax.jvp` of f in the (Sⱼ, eⱼ) direction, vmapped
+    over columns."""
+
+    autojacvec: VJPChoice = AutoVJP()
+
+
+@dataclass(frozen=True)
+class ForwardDiffSensitivity(AbstractSensealg):
+    """Discrete forward mode through the solver loop — the
+    discretize-then-optimize forward path (reference:
+    src/concrete_solve.jl:1259-1720). `jax.jacfwd` through the adaptive
+    while_loop (JVP of while_loop is exact in JAX); the reverse rule
+    contracts the resulting J with the incoming cotangent. chunk_size
+    bounds how many tangents propagate per sweep (reference default 12,
+    concrete_solve.jl:1307-1317)."""
+
+    chunk_size: int = 0  # 0 => all directions in one vmapped sweep
+
+
+@dataclass(frozen=True)
+class BacksolveAdjoint(AbstractAdjointSensealg):
+    """O(1)-memory adjoint: augmented reverse state [λ; q; u], the ODE
+    re-solved backwards; `checkpointing` snaps u back to forward saveat
+    values at each segment boundary for stability (reference:
+    src/backsolve_adjoint.jl, checkpoint snap :523-572)."""
+
+    autojacvec: VJPChoice = AutoVJP()
+    checkpointing: bool = True
+    noisemixing: bool = False
+
+
+@dataclass(frozen=True)
+class InterpolatingAdjoint(AbstractAdjointSensealg):
+    """Adjoint ODE over [λ; q] with the forward trajectory supplied by
+    dense interpolation — or by per-interval re-solves when checkpointing
+    (reference: src/interpolating_adjoint.jl)."""
+
+    autojacvec: VJPChoice = AutoVJP()
+    checkpointing: bool = False
+
+
+@dataclass(frozen=True)
+class QuadratureAdjoint(AbstractAdjointSensealg):
+    """Reverse solve of λ only (dense), then dG/dp by Gauss–Kronrod
+    quadrature of λᵀ∂f/∂p over each inter-save segment (reference:
+    src/quadrature_adjoint.jl; quadgk driver :536-633)."""
+
+    autojacvec: VJPChoice = AutoVJP()
+    abstol: float = 1e-6
+    reltol: float = 1e-3
+    max_depth: int = 6  # adaptive-GK bisection depth bound (fixed-shape)
+
+
+@dataclass(frozen=True)
+class GaussAdjoint(AbstractAdjointSensealg):
+    """Reverse solve of λ with dG/dp accumulated *during* the solve by
+    fixed-order Gauss quadrature on each accepted step (integrating-callback
+    design, reference: src/gauss_adjoint.jl:806-851). Default continuous
+    adjoint, as in the reference heuristic (concrete_solve.jl:271-316)."""
+
+    autojacvec: VJPChoice = AutoVJP()
+    checkpointing: bool = False
+    n_nodes: int = 7  # Gauss-Legendre nodes per accepted reverse step
+
+
+@dataclass(frozen=True)
+class GaussKronrodAdjoint(AbstractAdjointSensealg):
+    """GaussAdjoint with embedded Kronrod error accounting (reference:
+    src/sensitivity_algorithms.jl:689)."""
+
+    autojacvec: VJPChoice = AutoVJP()
+    checkpointing: bool = False
+
+
+@dataclass(frozen=True)
+class DirectAdjoint(AbstractSensealg):
+    """Discrete (discretize-then-optimize) reverse AD through a bounded,
+    reverse-differentiable solver loop — the TPU-native stand-in for the
+    whole TrackerAdjoint/ReverseDiffAdjoint/ZygoteAdjoint/EnzymeAdjoint
+    family (reference: src/concrete_solve.jl:1722-2415). Uses a
+    `lax.scan` with masked fixed trip count so XLA can build the reverse
+    pass; memory O(max_steps) and exact gradients of the discrete scheme."""
+
+    max_steps: int = 0  # 0 => inherit solve's max_steps
+
+
+@dataclass(frozen=True)
+class SteadyStateAdjoint(AbstractAdjointSensealg):
+    """Implicit-function-theorem adjoint for f(u,p)=0: solve
+    (∂f/∂u)ᵀλ = ∂g/∂u then dG/dp = -λᵀ∂f/∂p (reference:
+    src/steadystate_adjoint.jl). linsolve='direct' (dense) for small n,
+    'gmres' matrix-free above `dense_cutoff` (reference needs_jac
+    heuristic n<=50, :66-72)."""
+
+    autojacvec: VJPChoice = AutoVJP()
+    linsolve: Optional[str] = None  # None => size heuristic
+    dense_cutoff: int = 50
+
+
+# --- shadowing ---
+
+
+@dataclass(frozen=True)
+class AbstractWindowing:
+    pass
+
+
+@dataclass(frozen=True)
+class CosWindowing(AbstractWindowing):
+    """cos windowing of the LSS time average (reference :1005)."""
+
+
+@dataclass(frozen=True)
+class Cos2Windowing(AbstractWindowing):
+    """cos^2 windowing (reference :1016)."""
+
+
+@dataclass(frozen=True)
+class TimeDilation(AbstractWindowing):
+    """time-dilation regularization (reference :1033)."""
+
+    g0: float = 1.0
+    t0skip: float = 0.0
+    t1skip: float = 0.0
+
+
+@dataclass(frozen=True)
+class ForwardLSS(AbstractShadowingSensealg):
+    """Least-squares shadowing, forward formulation (reference: src/lss.jl)."""
+
+    alpha: AbstractWindowing = field(default_factory=CosWindowing)
+
+
+@dataclass(frozen=True)
+class AdjointLSS(AbstractShadowingSensealg):
+    alpha: AbstractWindowing = field(default_factory=lambda: TimeDilation(10.0))
+
+
+@dataclass(frozen=True)
+class NILSS(AbstractShadowingSensealg):
+    """Non-intrusive LSS (reference: src/nilss.jl)."""
+
+    nseg: int = 10
+    nstep: int = 100
+    nus: Optional[int] = None
+    rng_seed: int = 1234
+
+
+@dataclass(frozen=True)
+class NILSAS(AbstractShadowingSensealg):
+    """Adjoint-mode NILSS (reference: src/nilsas.jl)."""
+
+    nseg: int = 10
+    nstep: int = 100
+    M: int = 2
+    rng_seed: int = 1234
+
+
+# ---------------------------------------------------------------------------
+# Default heuristic
+# ---------------------------------------------------------------------------
+
+
+def default_sensealg(n: int, np_: int, has_params: bool, is_ode: bool = True,
+                     has_callbacks: bool = False) -> AbstractSensealg:
+    """Mirror of `automatic_sensealg_choice` (reference:
+    src/concrete_solve.jl:145-345), with the VJP-probing collapsed away —
+    `jax.vjp` always applies, so only the problem-shape rules remain:
+
+      n + p <= 100          -> ForwardDiffSensitivity (crossover rule :177-183)
+      no parameters         -> QuadratureAdjoint (:271-282)
+      plain ODE             -> GaussAdjoint (:283-316)
+      otherwise             -> InterpolatingAdjoint
+    """
+    if n + np_ <= 100 and not has_callbacks:
+        return ForwardDiffSensitivity()
+    if not has_params:
+        return QuadratureAdjoint()
+    if is_ode:
+        return GaussAdjoint()
+    return InterpolatingAdjoint()
+
+
+def setvjp(sensealg: AbstractSensealg, vjp: VJPChoice) -> AbstractSensealg:
+    """Replace the vjp backend of a sensealg (reference `setvjp`,
+    sensitivity_algorithms.jl:273 etc.)."""
+    if hasattr(sensealg, "autojacvec"):
+        return dataclasses.replace(sensealg, autojacvec=vjp)
+    return sensealg

@@ -1,0 +1,165 @@
+"""`solve` — the user-facing entry point (layer L5).
+
+The analogue of the reference's AD-interception layer
+(`SciMLBase._concrete_solve_adjoint`, src/concrete_solve.jl:391-523): in JAX
+there is no rrule interception — `solve` itself *is* differentiable because
+the sensealg-specific `jax.custom_vjp` rule is baked in at trace time. The
+default-sensealg heuristic mirrors `automatic_sensealg_choice`
+(src/concrete_solve.jl:145-345) minus the VJP probing, which `jax.vjp` makes
+unnecessary.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+
+from .adjoints.continuous import AuxOut, SolveOptions, make_ode_solve_fn
+from .problems import ODEProblem, SDEProblem
+from .sensealg import (
+    AbstractSensealg,
+    BacksolveAdjoint,
+    DirectAdjoint,
+    ForwardDiffSensitivity,
+    ForwardSensitivity,
+    GaussAdjoint,
+    GaussKronrodAdjoint,
+    InterpolatingAdjoint,
+    QuadratureAdjoint,
+    default_sensealg,
+)
+from .solution import ODESolution
+from .solvers.explicit import Tsit5
+from .utils.pytree import ravel_pytree, tree_size
+
+__all__ = ["solve"]
+
+_CONTINUOUS_RULES = (
+    InterpolatingAdjoint,
+    BacksolveAdjoint,
+    GaussAdjoint,
+    GaussKronrodAdjoint,
+    QuadratureAdjoint,
+    ForwardDiffSensitivity,
+)
+
+
+def solve(
+    prob,
+    solver=None,
+    *,
+    saveat=None,
+    rtol: float = 1e-7,
+    atol: float = 1e-9,
+    dt0=None,
+    dt=None,
+    max_steps: int = 4096,
+    tstops=None,
+    sensealg: Optional[AbstractSensealg] = None,
+    dense: bool = False,
+    adj_rtol=None,
+    adj_atol=None,
+    adj_max_steps=None,
+    bwd_solver=None,
+):
+    """Solve a problem; gradients through the result follow `sensealg`.
+
+    saveat: 1-D array of output times (default: the two endpoints). Output
+    shapes are fixed under jit, so "save every step" has no analogue; use
+    `dense=True` for continuous `sol(t)` evaluation.
+    """
+    if isinstance(prob, ODEProblem):
+        return _solve_ode(
+            prob, solver, saveat=saveat, rtol=rtol, atol=atol, dt0=dt0, dt=dt,
+            max_steps=max_steps, tstops=tstops, sensealg=sensealg, dense=dense,
+            adj_rtol=adj_rtol, adj_atol=adj_atol, adj_max_steps=adj_max_steps,
+            bwd_solver=bwd_solver,
+        )
+    if isinstance(prob, SDEProblem):
+        from .adjoints.sde import solve_sde
+
+        return solve_sde(
+            prob, solver, saveat=saveat, dt=dt, sensealg=sensealg,
+            max_steps=max_steps,
+        )
+    raise NotImplementedError(f"solve not implemented for {type(prob).__name__}")
+
+
+def _solve_ode(prob, solver, *, saveat, rtol, atol, dt0, dt, max_steps,
+               tstops, sensealg, dense, adj_rtol, adj_atol, adj_max_steps,
+               bwd_solver):
+    solver = solver or Tsit5()
+    t0, t1 = prob.tspan
+    u0vec, unravel_u = ravel_pytree(prob.u0)
+    dtype = u0vec.dtype
+    n = u0vec.shape[0]
+    np_ = tree_size(prob.p) if prob.p is not None else 0
+
+    if saveat is None:
+        saveat = jnp.asarray([t0, t1], dtype)
+    else:
+        saveat = jnp.asarray(saveat, dtype)
+        # saveat must be monotone in the integration direction (duplicates
+        # and reversals would silently mis-capture; the reference sorts and
+        # dedups at the interface, sensitivity_interface.jl / out_and_ts).
+        # Only checkable eagerly — traced saveat is trusted.
+        import numpy as _np
+
+        try:
+            sv = _np.asarray(saveat)
+            d = _np.diff(sv) * (1.0 if float(t1) >= float(t0) else -1.0)
+            if sv.size > 1 and not (d > 0).all():
+                raise ValueError(
+                    "saveat must be strictly monotone in the integration "
+                    f"direction; got {sv}"
+                )
+        except (TypeError, jax.errors.TracerArrayConversionError,
+                jax.errors.ConcretizationTypeError):
+            pass  # traced values: trust the caller
+
+    if sensealg is None:
+        sensealg = default_sensealg(n, np_, prob.p is not None)
+
+    if dt is not None and dt0 is None:
+        dt0 = dt
+
+    opts = SolveOptions(
+        rtol=rtol, atol=atol, dt0=dt0, max_steps=max_steps, tstops=tstops,
+        dense=dense, adj_rtol=adj_rtol, adj_atol=adj_atol,
+        adj_max_steps=adj_max_steps,
+    )
+
+    if isinstance(sensealg, _CONTINUOUS_RULES):
+        fn = make_ode_solve_fn(
+            prob.f, solver, sensealg, opts, t0, t1,
+            user_jac=prob.jac, user_vjp=prob.vjp, user_paramjac=prob.paramjac,
+            bwd_solver=bwd_solver,
+        )
+        ys, aux = fn(prob.u0, prob.p, saveat)
+    elif isinstance(sensealg, ForwardSensitivity):
+        from .adjoints.forward import make_forward_sensitivity_solve_fn
+
+        fn = make_forward_sensitivity_solve_fn(prob.f, solver, sensealg, opts, t0, t1)
+        ys, aux = fn(prob.u0, prob.p, saveat)
+    elif isinstance(sensealg, DirectAdjoint):
+        from .adjoints.direct import make_direct_solve_fn
+
+        fn = make_direct_solve_fn(prob.f, solver, sensealg, opts, t0, t1)
+        ys, aux = fn(prob.u0, prob.p, saveat)
+    else:
+        raise NotImplementedError(f"sensealg {sensealg!r} not supported for ODEs")
+
+    return ODESolution(
+        ts=saveat,
+        ys=ys,
+        stats=aux.stats,
+        retcode=aux.stats.retcode,
+        prob=prob,
+        solver=solver,
+        sensealg=sensealg,
+        dense=aux.dense if dense or aux.dense is not None else None,
+        unravel_u=unravel_u,
+        u_final=aux.u_final,
+    )

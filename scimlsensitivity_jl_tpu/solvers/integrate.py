@@ -1,0 +1,323 @@
+"""Adaptive time-stepping driver.
+
+The core IVP engine (SURVEY §7 build-order item 1): a `lax.while_loop` over
+step attempts with a PI step-size controller, fixed-shape dense-output
+buffers, `tstops` honored by clipping dt, and an optional per-accepted-step
+hook (used by GaussAdjoint quadrature accumulation and event detection —
+the XLA-native replacement for DiffEqCallbacks' IntegratingSumCallback /
+PresetTimeCallback, reference: src/gauss_adjoint.jl:806-851,
+src/adjoint_common.jl:824-868).
+
+Everything is traced once and compiled: no data-dependent Python control
+flow; the loop carry is a flat NamedTuple of arrays.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.interp import DenseOutput
+
+__all__ = [
+    "IntegrateResult",
+    "Stats",
+    "integrate",
+    "integrate_fixed",
+    "hairer_norm",
+    "initial_step_size",
+    "RETCODE_SUCCESS",
+    "RETCODE_MAXITERS",
+    "RETCODE_DTMIN",
+]
+
+RETCODE_SUCCESS = 0
+RETCODE_MAXITERS = 1
+RETCODE_DTMIN = 2
+
+
+class Stats(NamedTuple):
+    n_accepted: jnp.ndarray
+    n_rejected: jnp.ndarray
+    n_fevals: jnp.ndarray  # approximate: stages * attempts
+    retcode: jnp.ndarray
+
+
+class IntegrateResult(NamedTuple):
+    dense: DenseOutput
+    t_final: jnp.ndarray
+    u_final: jnp.ndarray
+    stats: Stats
+    hook_carry: Any
+
+
+def hairer_norm(x):
+    """RMS norm used by the Hairer-Wanner error controller."""
+    return jnp.sqrt(jnp.mean(jnp.square(x)))
+
+
+def initial_step_size(fvec, t0, u0, f0, order, rtol, atol, tdir):
+    """Hairer-Norsett-Wanner automatic initial dt (Solving ODEs I, II.4)."""
+    sc = atol + jnp.abs(u0) * rtol
+    d0 = hairer_norm(u0 / sc)
+    d1 = hairer_norm(f0 / sc)
+    small = jnp.asarray(1e-6, u0.dtype)
+    h0 = jnp.where((d0 < 1e-5) | (d1 < 1e-5), small, 0.01 * d0 / d1)
+    u1 = u0 + tdir * h0 * f0
+    f1 = fvec(u1, t0 + tdir * h0)
+    d2 = hairer_norm((f1 - f0) / sc) / h0
+    dmax = jnp.maximum(d1, d2)
+    h1 = jnp.where(
+        dmax <= 1e-15,
+        jnp.maximum(small, h0 * 1e-3),
+        (0.01 / dmax) ** (1.0 / (order + 1.0)),
+    )
+    return tdir * jnp.minimum(100.0 * h0, h1)
+
+
+class _Carry(NamedTuple):
+    t: jnp.ndarray
+    u: jnp.ndarray
+    f: jnp.ndarray
+    dt: jnp.ndarray  # signed proposal for the next attempt
+    err_prev: jnp.ndarray
+    n_acc: jnp.ndarray
+    n_rej: jnp.ndarray
+    n_iter: jnp.ndarray
+    status: jnp.ndarray  # -1 running, else retcode
+    ts: jnp.ndarray
+    ys: jnp.ndarray
+    fs: jnp.ndarray
+    hook_carry: Any
+
+
+def _next_stop(t, t1, tstops, tdir, dtype):
+    """Nearest upcoming stop strictly ahead of t (including t1)."""
+    if tstops is None or tstops.shape[0] == 0:
+        return t1
+    key = tstops * tdir
+    ahead = key > t * tdir + jnp.asarray(1e-12, dtype) * jnp.maximum(1.0, jnp.abs(t))
+    before_end = key < t1 * tdir
+    masked = jnp.where(ahead & before_end, key, jnp.inf)
+    nxt = jnp.min(masked)
+    return jnp.where(jnp.isfinite(nxt), nxt * tdir, t1)
+
+
+def integrate(
+    stepper,
+    fvec: Callable,
+    t0,
+    t1,
+    u0,
+    *,
+    rtol=1e-7,
+    atol=1e-9,
+    dt0=None,
+    max_steps: int = 4096,
+    tstops: Optional[jnp.ndarray] = None,
+    hook: Optional[Callable] = None,
+    hook_carry: Any = None,
+    controller=(0.7, 0.4),  # PI coefficients (beta1, beta2) scaled by 1/(order+1) below
+    safety=0.9,
+    factor_min=0.2,
+    factor_max=10.0,
+    store_dense: bool = True,
+) -> IntegrateResult:
+    """Adaptively integrate du/dt = fvec(u, t) from t0 to t1 (t1 < t0 allowed).
+
+    fvec: (uvec, t) -> duvec over flat state vectors.
+    stepper: object with `.order` (int), `.step(fvec, t, dt, u, f0) ->
+        (u1, f1, err)`; `err` is the embedded local-error vector.
+    hook: optional `(step_record, carry) -> carry` called on accepted steps,
+        step_record = (t_old, t_new, y0, f0, y1, f1).
+    """
+    u0 = jnp.asarray(u0)
+    dtype = u0.dtype
+    t0 = jnp.asarray(t0, dtype)
+    t1 = jnp.asarray(t1, dtype)
+    tdir = jnp.where(t1 >= t0, jnp.asarray(1.0, dtype), jnp.asarray(-1.0, dtype))
+    n = u0.shape[0]
+    order = stepper.order
+    rtol = jnp.asarray(rtol, dtype)
+    atol = jnp.asarray(atol, dtype)
+    if tstops is not None:
+        tstops = jnp.asarray(tstops, dtype)
+
+    f0 = fvec(u0, t0)
+    if dt0 is None:
+        dt = initial_step_size(fvec, t0, u0, f0, order, rtol, atol, tdir)
+    else:
+        dt = tdir * jnp.abs(jnp.asarray(dt0, dtype))
+
+    # When the caller doesn't need dense output (e.g. the λ-only reverse
+    # solves), keep the interpolation buffers at minimal size so each
+    # segment's while_loop carries O(n) not O(max_steps·n) state.
+    buf_len = max_steps + 1 if store_dense else 2
+    ts_buf = jnp.full((buf_len,), t1, dtype)
+    ts_buf = ts_buf.at[0].set(t0)
+    ys_buf = jnp.tile(u0[None, :], (buf_len, 1))
+    fs_buf = jnp.tile(f0[None, :], (buf_len, 1))
+
+    beta1 = controller[0] / (order + 1.0)
+    beta2 = controller[1] / (order + 1.0)
+
+    init = _Carry(
+        t=t0,
+        u=u0,
+        f=f0,
+        dt=dt,
+        err_prev=jnp.asarray(1.0, dtype),
+        n_acc=jnp.asarray(0, jnp.int32),
+        n_rej=jnp.asarray(0, jnp.int32),
+        n_iter=jnp.asarray(0, jnp.int32),
+        status=jnp.asarray(-1, jnp.int32),
+        ts=ts_buf,
+        ys=ys_buf,
+        fs=fs_buf,
+        hook_carry=hook_carry,
+    )
+
+    def cond(c: _Carry):
+        return c.status < 0
+
+    def body(c: _Carry):
+        # Clip dt to the next stop (t1 or a tstop) so stops are hit exactly.
+        stop = _next_stop(c.t, t1, tstops, tdir, dtype)
+        remaining = stop - c.t
+        dt_eff = jnp.where(jnp.abs(c.dt) >= jnp.abs(remaining), remaining, c.dt)
+
+        u1, f1, err = stepper.step(fvec, c.t, dt_eff, c.u, c.f)
+        sc = atol + rtol * jnp.maximum(jnp.abs(c.u), jnp.abs(u1))
+        err_norm = hairer_norm(err / sc)
+        bad = ~jnp.isfinite(err_norm)
+        err_norm = jnp.where(bad, jnp.asarray(2.0, dtype), err_norm)
+        accept = (err_norm <= 1.0) & ~bad
+
+        # PI controller on |dt| (Soderlind): factor from this + previous error.
+        err_cl = jnp.maximum(err_norm, jnp.asarray(1e-10, dtype))
+        factor = safety * err_cl ** (-beta1) * c.err_prev ** (beta2)
+        factor = jnp.where(bad, jnp.asarray(factor_min, dtype), factor)
+        factor = jnp.clip(factor, factor_min, factor_max)
+        dt_next = dt_eff * factor
+
+        t_new = jnp.where(accept, c.t + dt_eff, c.t)
+        u_new = jnp.where(accept, u1, c.u)
+        f_new = jnp.where(accept, f1, c.f)
+        # Single-row conditional writes (a full-buffer `where` would move
+        # O(max_steps·n) bytes of HBM every attempt).
+        idx = jnp.minimum(c.n_acc + 1, buf_len - 1)
+        ts = c.ts.at[idx].set(jnp.where(accept, t_new, c.ts[idx]))
+        ys = c.ys.at[idx].set(jnp.where(accept, u_new, c.ys[idx]))
+        fs = c.fs.at[idx].set(jnp.where(accept, f_new, c.fs[idx]))
+        n_acc = c.n_acc + accept.astype(jnp.int32)
+        n_rej = c.n_rej + (~accept).astype(jnp.int32)
+        err_prev = jnp.where(accept, err_cl, c.err_prev)
+
+        if hook is not None:
+            rec = (c.t, t_new, c.u, c.f, u_new, f_new)
+            new_hc = hook(rec, c.hook_carry)
+            hook_carry = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(accept, new, old), new_hc, c.hook_carry
+            )
+        else:
+            hook_carry = c.hook_carry
+
+        done = accept & ((t1 - t_new) * tdir <= jnp.abs(t1) * 1e-14 + 1e-300)
+        dt_floor = jnp.asarray(1e-14, dtype) * jnp.maximum(1.0, jnp.abs(t_new))
+        underflow = (jnp.abs(dt_next) < dt_floor) & ~done
+        out_of_steps = ((n_acc >= max_steps) | (c.n_iter + 1 >= 4 * max_steps)) & ~done
+        status = jnp.where(
+            done,
+            RETCODE_SUCCESS,
+            jnp.where(
+                out_of_steps,
+                RETCODE_MAXITERS,
+                jnp.where(underflow, RETCODE_DTMIN, jnp.asarray(-1, jnp.int32)),
+            ),
+        ).astype(jnp.int32)
+
+        return _Carry(
+            t=t_new,
+            u=u_new,
+            f=f_new,
+            dt=dt_next,
+            err_prev=err_prev,
+            n_acc=n_acc,
+            n_rej=n_rej,
+            n_iter=c.n_iter + 1,
+            status=status,
+            ts=ts,
+            ys=ys,
+            fs=fs,
+            hook_carry=hook_carry,
+        )
+
+    final = jax.lax.while_loop(cond, body, init)
+
+    # Pad the tail of ts with the final time so searchsorted stays in range.
+    valid = jnp.arange(buf_len) <= final.n_acc
+    ts = jnp.where(valid, final.ts, final.t)
+    n_dense_steps = jnp.minimum(final.n_acc, buf_len - 1)
+    dense = DenseOutput(ts=ts, ys=final.ys, fs=final.fs, n_steps=n_dense_steps, tdir=tdir)
+    stats = Stats(
+        n_accepted=final.n_acc,
+        n_rejected=final.n_rej,
+        n_fevals=final.n_iter * jnp.asarray(getattr(stepper, "n_stages", 1), jnp.int32),
+        retcode=final.status,
+    )
+    return IntegrateResult(
+        dense=dense, t_final=final.t, u_final=final.u, stats=stats, hook_carry=final.hook_carry
+    )
+
+
+def integrate_fixed(
+    stepper,
+    fvec: Callable,
+    ts_grid: jnp.ndarray,
+    u0,
+    *,
+    hook: Optional[Callable] = None,
+    hook_carry: Any = None,
+) -> IntegrateResult:
+    """Fixed-grid integration over the (static-length) time grid `ts_grid`.
+
+    Used where step placement must be deterministic and replayable: SDE solves
+    whose reverse pass must see the identical Brownian grid (reference pins
+    the reverse solve to the forward grid via tstops,
+    src/sensitivity_interface.jl:478-491), and LSS/NILSS trajectory
+    discretizations. Implemented as `lax.scan` — cheaper than a while_loop
+    when the trip count is static.
+    """
+    u0 = jnp.asarray(u0)
+    ts_grid = jnp.asarray(ts_grid, u0.dtype)
+    f0 = fvec(u0, ts_grid[0])
+    tdir = jnp.where(ts_grid[-1] >= ts_grid[0], 1.0, -1.0).astype(u0.dtype)
+
+    def scan_body(carry, t_pair):
+        u, f, hc = carry
+        t, t_next = t_pair
+        dt = t_next - t
+        u1, f1, _ = stepper.step(fvec, t, dt, u, f)
+        if hook is not None:
+            hc = hook((t, t_next, u, f, u1, f1), hc)
+        return (u1, f1, hc), (u1, f1)
+
+    (u_final, f_final, hc), (ys, fs) = jax.lax.scan(
+        scan_body, (u0, f0, hook_carry), (ts_grid[:-1], ts_grid[1:])
+    )
+    ys = jnp.concatenate([u0[None], ys], axis=0)
+    fs = jnp.concatenate([f0[None], fs], axis=0)
+    n_steps = jnp.asarray(ts_grid.shape[0] - 1, jnp.int32)
+    dense = DenseOutput(ts=ts_grid, ys=ys, fs=fs, n_steps=n_steps, tdir=tdir)
+    stats = Stats(
+        n_accepted=n_steps,
+        n_rejected=jnp.asarray(0, jnp.int32),
+        n_fevals=n_steps,
+        retcode=jnp.asarray(RETCODE_SUCCESS, jnp.int32),
+    )
+    return IntegrateResult(
+        dense=dense, t_final=ts_grid[-1], u_final=u_final, stats=stats, hook_carry=hc
+    )

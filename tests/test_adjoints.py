@@ -1,0 +1,164 @@
+"""Gradient cross-validation — the reference's dominant test pattern
+(SURVEY §4): the same gradient computed many ways must agree.
+
+Canonical config (reference: test/Core3/adjoint.jl): discrete L2-style cost
+on Lotka–Volterra, gradients wrt p and u0, cross-checked against finite
+differences and across every sensealg.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from scimlsensitivity_jl_tpu import (
+    BacksolveAdjoint,
+    ForwardDiffSensitivity,
+    GaussAdjoint,
+    InterpolatingAdjoint,
+    JacVJP,
+    ODEProblem,
+    QuadratureAdjoint,
+    Tsit5,
+    solve,
+)
+
+LV_P = jnp.array([1.5, 1.0, 3.0, 1.0])
+LV_U0 = jnp.array([1.0, 1.0])
+TS = jnp.linspace(0.0, 10.0, 11)
+
+
+def lv(u, p, t):
+    x, y = u[0], u[1]
+    a, b, c, d = p[0], p[1], p[2], p[3]
+    return jnp.stack([a * x - b * x * y, -c * y + d * x * y])
+
+
+def make_loss(sensealg):
+    def loss(u0, p):
+        prob = ODEProblem(lv, u0, (0.0, 10.0), p)
+        sol = solve(prob, Tsit5(), saveat=TS, rtol=1e-10, atol=1e-12,
+                    sensealg=sensealg)
+        return jnp.sum((sol.ys - 1.0) ** 2)
+
+    return loss
+
+
+def fd_grad(f, x, eps=1e-6):
+    x = np.asarray(x, dtype=np.float64)
+    g = np.zeros_like(x)
+    for i in range(x.size):
+        xp = x.copy(); xp[i] += eps
+        xm = x.copy(); xm[i] -= eps
+        g[i] = (f(jnp.asarray(xp)) - f(jnp.asarray(xm))) / (2 * eps)
+    return g
+
+
+# Finite-difference oracle computed once per session.
+_ORACLE = {}
+
+
+def oracle():
+    if not _ORACLE:
+        loss = make_loss(GaussAdjoint())
+        _ORACLE["dp"] = fd_grad(lambda p: loss(LV_U0, p), LV_P)
+        _ORACLE["du0"] = fd_grad(lambda u0: loss(u0, LV_P), LV_U0)
+    return _ORACLE
+
+
+SENSEALGS = [
+    InterpolatingAdjoint(),
+    InterpolatingAdjoint(checkpointing=True),
+    BacksolveAdjoint(),
+    BacksolveAdjoint(checkpointing=False),
+    QuadratureAdjoint(),
+    GaussAdjoint(),
+    ForwardDiffSensitivity(),
+    InterpolatingAdjoint(autojacvec=JacVJP()),
+]
+
+
+@pytest.mark.parametrize("sensealg", SENSEALGS, ids=lambda s: repr(s))
+def test_lv_gradient_matches_fd(sensealg):
+    loss = make_loss(sensealg)
+    du0, dp = jax.grad(loss, argnums=(0, 1))(LV_U0, LV_P)
+    ref = oracle()
+    assert np.allclose(dp, ref["dp"], rtol=1e-5, atol=1e-7), (np.asarray(dp), ref["dp"])
+    assert np.allclose(du0, ref["du0"], rtol=1e-5, atol=1e-7), (np.asarray(du0), ref["du0"])
+
+
+def test_cross_sensealg_agreement():
+    grads = []
+    for sa in [InterpolatingAdjoint(), GaussAdjoint(), QuadratureAdjoint(), BacksolveAdjoint()]:
+        loss = make_loss(sa)
+        grads.append(np.asarray(jax.grad(loss, argnums=1)(LV_U0, LV_P)))
+    for g in grads[1:]:
+        assert np.allclose(g, grads[0], rtol=1e-6, atol=1e-9)
+
+
+def test_pytree_params_gradient():
+    def f(u, p, t):
+        return jnp.tanh(p["W"] @ u + p["b"])
+
+    key = jax.random.PRNGKey(0)
+    p = {
+        "W": jax.random.normal(key, (3, 3), jnp.float64) * 0.4,
+        "b": jnp.array([0.1, -0.2, 0.3]),
+    }
+    u0 = jnp.array([1.0, 0.5, -0.5])
+    ts = jnp.linspace(0.0, 2.0, 5)
+
+    def loss_with(p_, sensealg):
+        prob = ODEProblem(f, u0, (0.0, 2.0), p_)
+        sol = solve(prob, Tsit5(), saveat=ts, rtol=1e-10, atol=1e-12, sensealg=sensealg)
+        return jnp.sum(sol.ys ** 2)
+
+    g_interp = jax.grad(lambda p_: loss_with(p_, InterpolatingAdjoint()))(p)
+    g_gauss = jax.grad(lambda p_: loss_with(p_, GaussAdjoint()))(p)
+    g_fwd = jax.grad(lambda p_: loss_with(p_, ForwardDiffSensitivity()))(p)
+    for k in p:
+        assert np.allclose(g_interp[k], g_fwd[k], rtol=1e-6, atol=1e-9), k
+        assert np.allclose(g_gauss[k], g_fwd[k], rtol=1e-6, atol=1e-9), k
+
+
+def test_grad_no_params():
+    # NullParameters analogue: gradient wrt u0 only, p=None
+    def f(u, p, t):
+        return jnp.stack([u[1], -u[0]])
+
+    def loss(u0):
+        prob = ODEProblem(f, u0, (0.0, 3.0), None)
+        sol = solve(prob, Tsit5(), saveat=jnp.linspace(0.0, 3.0, 4),
+                    rtol=1e-10, atol=1e-12, sensealg=InterpolatingAdjoint())
+        return jnp.sum(sol.ys ** 2)
+
+    u0 = jnp.array([1.0, 0.3])
+    g = jax.grad(loss)(u0)
+    g_fd = fd_grad(loss, u0)
+    assert np.allclose(g, g_fd, rtol=1e-5, atol=1e-7)
+
+
+def test_gradient_under_jit():
+    loss = make_loss(GaussAdjoint())
+    g1 = jax.jit(jax.grad(loss, argnums=1))(LV_U0, LV_P)
+    g2 = jax.grad(loss, argnums=1)(LV_U0, LV_P)
+    assert np.allclose(g1, g2, rtol=1e-12)
+
+
+def test_saveat_not_spanning_tspan():
+    # saveat strictly inside (t0, t1): u0-gradient still needs the tail
+    # segment [t0, saveat[0]] integrated (reference forces save_start/save_end).
+    ts = jnp.linspace(2.0, 8.0, 5)
+
+    def loss(u0, p, sensealg):
+        prob = ODEProblem(lv, u0, (0.0, 10.0), p)
+        sol = solve(prob, Tsit5(), saveat=ts, rtol=1e-10, atol=1e-12, sensealg=sensealg)
+        return jnp.sum(sol.ys ** 2)
+
+    for sa in [InterpolatingAdjoint(), GaussAdjoint(), BacksolveAdjoint()]:
+        du0, dp = jax.grad(lambda u, p: loss(u, p, sa), argnums=(0, 1))(LV_U0, LV_P)
+        du0_f, dp_f = jax.grad(
+            lambda u, p: loss(u, p, ForwardDiffSensitivity()), argnums=(0, 1)
+        )(LV_U0, LV_P)
+        assert np.allclose(du0, du0_f, rtol=1e-5, atol=1e-8), repr(sa)
+        assert np.allclose(dp, dp_f, rtol=1e-5, atol=1e-8), repr(sa)

@@ -1,0 +1,122 @@
+"""Forward-solve correctness: analytic solutions, scipy cross-check, dense
+output, saveat capture, tstops, backwards integration.
+
+Mirrors the reference test strategy (SURVEY §4): real integrators on small
+ODEs, no mocks.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from scipy.integrate import solve_ivp
+
+from scimlsensitivity_jl_tpu import (
+    BS3,
+    Dopri5,
+    Heun,
+    ODEProblem,
+    Tsit5,
+    solve,
+)
+from scimlsensitivity_jl_tpu.sensealg import GaussAdjoint
+
+
+def lv(u, p, t):
+    x, y = u[0], u[1]
+    a, b, c, d = p[0], p[1], p[2], p[3]
+    return jnp.stack([a * x - b * x * y, -c * y + d * x * y])
+
+
+LV_P = jnp.array([1.5, 1.0, 3.0, 1.0])
+LV_U0 = jnp.array([1.0, 1.0])
+
+
+@pytest.mark.parametrize("make_solver", [Tsit5, Dopri5, BS3])
+def test_exponential_decay(make_solver):
+    prob = ODEProblem(lambda u, p, t: -p * u, jnp.array([1.0]), (0.0, 2.0), jnp.array(0.7))
+    sol = solve(prob, make_solver(), saveat=jnp.linspace(0.0, 2.0, 5), rtol=1e-9, atol=1e-11,
+                sensealg=GaussAdjoint())
+    expected = jnp.exp(-0.7 * sol.ts)[:, None]
+    assert np.allclose(sol.ys, expected, rtol=1e-7, atol=1e-9)
+    assert int(sol.retcode) == 0
+
+
+def test_harmonic_oscillator_energy():
+    def f(u, p, t):
+        return jnp.stack([u[1], -(p ** 2) * u[0]])
+
+    prob = ODEProblem(f, jnp.array([1.0, 0.0]), (0.0, 10.0), jnp.asarray(2.0))
+    ts = jnp.linspace(0.0, 10.0, 7)
+    sol = solve(prob, Tsit5(), saveat=ts, rtol=1e-10, atol=1e-12, sensealg=GaussAdjoint())
+    expected = np.cos(2.0 * np.asarray(ts))
+    assert np.allclose(sol.ys[:, 0], expected, atol=1e-7)
+
+
+def test_lotka_volterra_vs_scipy():
+    ts = np.linspace(0.0, 10.0, 21)
+    ref = solve_ivp(
+        lambda t, y: np.asarray(lv(jnp.asarray(y), LV_P, t)),
+        (0.0, 10.0), np.asarray(LV_U0), rtol=1e-10, atol=1e-12, t_eval=ts,
+        method="RK45", dense_output=False,
+    )
+    prob = ODEProblem(lv, LV_U0, (0.0, 10.0), LV_P)
+    sol = solve(prob, Tsit5(), saveat=jnp.asarray(ts), rtol=1e-10, atol=1e-12,
+                sensealg=GaussAdjoint())
+    assert np.allclose(np.asarray(sol.ys), ref.y.T, rtol=1e-6, atol=1e-7)
+
+
+def test_dense_output():
+    prob = ODEProblem(lambda u, p, t: -u, jnp.array([1.0]), (0.0, 3.0), None)
+    sol = solve(prob, Tsit5(), rtol=1e-9, atol=1e-11, dense=True,
+                sensealg=GaussAdjoint())
+    for t in [0.0, 0.37, 1.5, 2.9, 3.0]:
+        assert np.allclose(sol(t), np.exp(-t), rtol=1e-6), t
+
+
+def test_backwards_integration():
+    prob = ODEProblem(lambda u, p, t: -u, jnp.array([jnp.e]), (1.0, 0.0), None)
+    sol = solve(prob, Tsit5(), saveat=jnp.array([1.0, 0.5, 0.0]), rtol=1e-9, atol=1e-11,
+                sensealg=GaussAdjoint())
+    # u(1) = e and du/dt = -u  =>  u(t) = e^{2-t}.
+    assert np.allclose(sol.ys[:, 0], np.exp(2.0 - np.array([1.0, 0.5, 0.0])), rtol=1e-7)
+
+
+def test_pytree_state():
+    def f(u, p, t):
+        return {"a": -p["k"] * u["a"], "b": p["k"] * u["b"]}
+
+    u0 = {"a": jnp.array([1.0, 2.0]), "b": jnp.array(3.0)}
+    prob = ODEProblem(f, u0, (0.0, 1.0), {"k": jnp.asarray(0.5)})
+    sol = solve(prob, Tsit5(), rtol=1e-9, atol=1e-11, sensealg=GaussAdjoint())
+    final = jax.tree_util.tree_map(lambda x: x[-1], sol.ys)
+    assert np.allclose(final["a"], np.array([1.0, 2.0]) * np.exp(-0.5))
+    assert np.allclose(final["b"], 3.0 * np.exp(0.5))
+
+
+def test_saveat_endpoint_capture():
+    prob = ODEProblem(lv, LV_U0, (0.0, 5.0), LV_P)
+    ts = jnp.linspace(0.0, 5.0, 11)
+    sol = solve(prob, Tsit5(), saveat=ts, sensealg=GaussAdjoint())
+    assert np.allclose(sol.ys[0], LV_U0)
+    assert sol.ys.shape == (11, 2)
+
+
+def test_fixed_dt0_and_heun():
+    prob = ODEProblem(lambda u, p, t: -u, jnp.array([1.0]), (0.0, 1.0), None)
+    sol = solve(prob, Heun(), dt0=1e-3, rtol=1e-7, atol=1e-9, sensealg=GaussAdjoint())
+    assert np.allclose(sol.ys[-1, 0], np.exp(-1.0), rtol=1e-5)
+
+
+def test_jit_and_vmap():
+    ts = jnp.linspace(0.0, 5.0, 6)
+
+    @jax.jit
+    def run(u0):
+        prob = ODEProblem(lv, u0, (0.0, 5.0), LV_P)
+        return solve(prob, Tsit5(), saveat=ts, sensealg=GaussAdjoint()).ys
+
+    single = run(LV_U0)
+    batch = jax.vmap(run)(jnp.stack([LV_U0, LV_U0 * 1.1]))
+    assert batch.shape == (2, 6, 2)
+    assert np.allclose(batch[0], single)
