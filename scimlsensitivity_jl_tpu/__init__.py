@@ -40,8 +40,17 @@ from .sensealg import (
     default_sensealg,
     setvjp,
 )
+from .adjoints.forward import (
+    ODEForwardSensitivityProblem,
+    extract_local_sensitivities,
+)
 from .solution import ODESolution
 from .solve import solve
+from .adjoints.interface import adjoint_sensitivities
+from .adjoints.second_order import (
+    second_order_sensitivities,
+    second_order_sensitivity_product,
+)
 from .solvers.explicit import BS3, Dopri5, Euler, Heun, Midpoint, Tsit5
 
 __version__ = "0.1.0"
@@ -54,6 +63,11 @@ __all__ = [
     "SteadyStateProblem",
     "remake",
     "solve",
+    "ODEForwardSensitivityProblem",
+    "extract_local_sensitivities",
+    "adjoint_sensitivities",
+    "second_order_sensitivities",
+    "second_order_sensitivity_product",
     "ODESolution",
     "Tsit5",
     "Dopri5",

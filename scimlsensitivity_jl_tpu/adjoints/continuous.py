@@ -193,7 +193,15 @@ def make_ode_solve_fn(f, solver, sensealg, opts: SolveOptions, t0, t1, *,
         times, jumps = _extend_times(t0, t1, jnp.asarray(saveat, u0vec.dtype), lam_jumps)
         return u0, p, saveat, fwd, u0vec, unravel_u, unravel_p, kern, n, npf, times, jumps
 
-    def _returns(unravel_u, unravel_p, lam0, qflat, saveat):
+    def _returns(unravel_u, unravel_p, lam0, qflat, saveat, retcode=None):
+        if retcode is not None:
+            # A truncated forward solve (MaxIters/DtMin) makes the adjoint
+            # silently wrong — poison the gradients so training loops notice
+            # (the reference surfaces this via retcode checks + warnings;
+            # here NaNs are the jit-compatible alarm).
+            bad = retcode != 0
+            lam0 = jnp.where(bad, jnp.full_like(lam0, jnp.nan), lam0)
+            qflat = jnp.where(bad, jnp.full_like(qflat, jnp.nan), qflat)
         du0 = unravel_u(lam0)
         dp = unravel_p(qflat)
         return du0, dp, jnp.zeros_like(saveat)
@@ -262,7 +270,8 @@ def make_ode_solve_fn(f, solver, sensealg, opts: SolveOptions, t0, t1, *,
             body, (z0, jnp.asarray(0, jnp.int32)), jnp.arange(nt_ext - 1, 0, -1)
         )
         z = z.at[:n].add(jumps[0])
-        return _returns(unravel_u, unravel_p, z[:n], z[n:], saveat)
+        return _returns(unravel_u, unravel_p, z[:n], z[n:], saveat,
+                        fwd.stats.retcode)
 
     # -- BacksolveAdjoint ------------------------------------------------
 
@@ -296,7 +305,8 @@ def make_ode_solve_fn(f, solver, sensealg, opts: SolveOptions, t0, t1, *,
             max_steps_per_segment=adj_max_steps,
             boundary_fn=boundary_fn,
         )
-        return _returns(unravel_u, unravel_p, z[:n], z[n:n + npf], saveat)
+        return _returns(unravel_u, unravel_p, z[:n], z[n:n + npf], saveat,
+                        fwd.stats.retcode)
 
     # -- GaussAdjoint ----------------------------------------------------
 
@@ -334,7 +344,8 @@ def make_ode_solve_fn(f, solver, sensealg, opts: SolveOptions, t0, t1, *,
             max_steps_per_segment=adj_max_steps,
             seg_hook=gauss_hook, seg_hook_carry=q0,
         )
-        return _returns(unravel_u, unravel_p, lam, qflat, saveat)
+        return _returns(unravel_u, unravel_p, lam, qflat, saveat,
+                        fwd.stats.retcode)
 
     # -- QuadratureAdjoint ----------------------------------------------
 
@@ -385,7 +396,8 @@ def make_ode_solve_fn(f, solver, sensealg, opts: SolveOptions, t0, t1, *,
             return jnp.sum(jax.vmap(panel)(jnp.arange(panels, dtype=u0vec.dtype)), axis=0)
 
         q = jnp.sum(jax.vmap(seg_integral)(jnp.arange(n_seg)), axis=0)
-        return _returns(unravel_u, unravel_p, lam, q, saveat)
+        return _returns(unravel_u, unravel_p, lam, q, saveat,
+                        fwd.stats.retcode)
 
     # -- ForwardDiffSensitivity (discrete forward mode) ------------------
 

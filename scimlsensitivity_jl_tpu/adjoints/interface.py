@@ -1,0 +1,168 @@
+"""Direct sensitivity API (layer L4) — `adjoint_sensitivities`.
+
+The analogue of the reference's src/sensitivity_interface.jl:373: given a
+solved trajectory, compute (dG/du0, dG/dp) for a cost
+
+    G = Σᵢ g_d(u(tᵢ), p, tᵢ, i)  +  ∫_{t0}^{t1} g(u, p, t) dt
+
+specified either by derivative callbacks (`dgdu_discrete`,
+`dgdu_continuous`, ...) or a scalar `g` that is AD'd on the fly (the
+reference builds ∂g/∂u with its AD backends; here one `jax.grad`).
+
+The continuous-cost term is folded into the reverse RHS exactly as
+`accumulate_cost!` does (reference: src/derivative_wrappers.jl:1411-1457):
+dλ/dt gains -∂g/∂u and dq/dt gains -∂g/∂p.
+
+The reverse pass runs over the data-time segments with λ jumps at each tᵢ
+(ReverseLossCallback semantics) — InterpolatingAdjoint-style with the dense
+forward interpolant, or BacksolveAdjoint-style re-integration of u.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.interp import dense_eval
+from ..ops.vjp import make_vjp_kernels
+from ..sensealg import (
+    BacksolveAdjoint,
+    GaussAdjoint,
+    GaussKronrodAdjoint,
+    InterpolatingAdjoint,
+    QuadratureAdjoint,
+)
+from ..utils.pytree import ravel_pytree
+from .common import reverse_segment_scan
+from .continuous import _extend_times
+
+__all__ = ["adjoint_sensitivities"]
+
+
+def adjoint_sensitivities(
+    sol,
+    solver=None,
+    *,
+    t=None,
+    dgdu_discrete: Optional[Callable] = None,
+    dgdp_discrete: Optional[Callable] = None,
+    dgdu_continuous: Optional[Callable] = None,
+    dgdp_continuous: Optional[Callable] = None,
+    g: Optional[Callable] = None,
+    sensealg=None,
+    rtol=1e-7,
+    atol=1e-9,
+    max_steps: int = 4096,
+):
+    """Compute (dG/du0, dG/dp) from a solved trajectory.
+
+    sol must carry dense output (`solve(..., dense=True)`).
+    t: data times for the discrete cost (default sol.ts).
+    dgdu_discrete(u, p, t, i) -> ∂g_d/∂u (pytree like u)
+    dgdp_discrete(u, p, t, i) -> ∂g_d/∂p (pytree like p)
+    dgdu_continuous(u, p, t) -> ∂g/∂u ; dgdp_continuous(u, p, t) -> ∂g/∂p
+    g(u, p, t) -> scalar: missing continuous derivatives are AD'd from it.
+    """
+    if sol.dense is None:
+        raise ValueError("adjoint_sensitivities needs solve(..., dense=True)")
+    prob = sol.prob
+    solver = solver or sol.solver
+    sensealg = sensealg or InterpolatingAdjoint()
+    p = prob.p
+    u0 = prob.u0
+    t0, t1 = prob.tspan
+
+    u0vec, unravel_u = ravel_pytree(u0)
+    pflat, unravel_p = ravel_pytree(p)
+    dtype = u0vec.dtype
+    n = u0vec.shape[0]
+    npf = pflat.shape[0]
+    dense = sol.dense
+
+    kern = make_vjp_kernels(
+        prob.f, u0, p,
+        user_jac=prob.jac, user_vjp=prob.vjp, user_paramjac=prob.paramjac,
+        **({"vjp_choice": sensealg.autojacvec} if hasattr(sensealg, "autojacvec") else {}),
+    )
+
+    ts = jnp.asarray(sol.ts if t is None else t, dtype)
+    nt = ts.shape[0]
+
+    if g is not None:
+        if dgdu_continuous is None:
+            dgdu_continuous = jax.grad(g, argnums=0)
+        if dgdp_continuous is None and npf > 0:
+            dgdp_continuous = jax.grad(g, argnums=1)
+
+    # λ jumps at data times.
+    if dgdu_discrete is not None:
+        def jump(i):
+            ti = ts[i]
+            ui = unravel_u(dense_eval(dense, ti))
+            return ravel_pytree(dgdu_discrete(ui, p, ti, i))[0]
+
+        lam_jumps = jax.vmap(jump)(jnp.arange(nt))
+    else:
+        lam_jumps = jnp.zeros((nt, n), dtype)
+
+    dp_disc = jnp.zeros(npf, dtype)
+    if dgdp_discrete is not None:
+        def pj(i):
+            ti = ts[i]
+            ui = unravel_u(dense_eval(dense, ti))
+            return ravel_pytree(dgdp_discrete(ui, p, ti, i))[0]
+
+        dp_disc = jnp.sum(jax.vmap(pj)(jnp.arange(nt)), axis=0)
+
+    def cost_terms(yvec, tt):
+        """(-∂g/∂u, -∂g/∂p) flat contributions at (y, t)."""
+        gu = jnp.zeros(n, dtype)
+        gp = jnp.zeros(npf, dtype)
+        if dgdu_continuous is not None:
+            gu = ravel_pytree(dgdu_continuous(unravel_u(yvec), p, tt))[0]
+        if dgdp_continuous is not None:
+            gp = ravel_pytree(dgdp_continuous(unravel_u(yvec), p, tt))[0]
+        return gu, gp
+
+    times, jumps = _extend_times(t0, t1, ts, lam_jumps)
+
+    if isinstance(sensealg, BacksolveAdjoint):
+        def aug_rhs(z, tt):
+            lam = z[:n]
+            y = z[n + npf:]
+            fval, ubar, pbar = kern.f_and_vjp(y, p, tt, lam)
+            gu, gp = cost_terms(y, tt)
+            return jnp.concatenate(
+                [-ubar - gu, -(ravel_pytree(pbar)[0] + gp), fval]
+            )
+
+        u_T = dense_eval(dense, jnp.asarray(t1, dtype))
+        z0 = jnp.concatenate([jnp.zeros(n + npf, dtype), u_T])
+        n_state = n + npf + n
+    elif isinstance(
+        sensealg,
+        (InterpolatingAdjoint, GaussAdjoint, GaussKronrodAdjoint, QuadratureAdjoint),
+    ):
+        def aug_rhs(z, tt):
+            lam = z[:n]
+            y = dense_eval(dense, tt)
+            _, ubar, pbar = kern.f_and_vjp(y, p, tt, lam)
+            gu, gp = cost_terms(y, tt)
+            return jnp.concatenate([-ubar - gu, -(ravel_pytree(pbar)[0] + gp)])
+
+        z0 = jnp.zeros(n + npf, dtype)
+        n_state = n + npf
+    else:
+        raise NotImplementedError(
+            f"adjoint_sensitivities does not support {sensealg!r}"
+        )
+
+    z, _, worst, _ = reverse_segment_scan(
+        solver, aug_rhs, times, jumps, z0, n,
+        rtol=rtol, atol=atol, max_steps_per_segment=max_steps,
+    )
+    du0 = unravel_u(z[:n])
+    dp = unravel_p(z[n:n + npf] + dp_disc)
+    return du0, dp

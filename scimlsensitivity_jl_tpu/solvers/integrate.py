@@ -26,6 +26,7 @@ __all__ = [
     "IntegrateResult",
     "Stats",
     "integrate",
+    "integrate_scan",
     "integrate_fixed",
     "hairer_norm",
     "initial_step_size",
@@ -271,6 +272,127 @@ def integrate(
     return IntegrateResult(
         dense=dense, t_final=final.t, u_final=final.u, stats=stats, hook_carry=final.hook_carry
     )
+
+
+def integrate_scan(
+    stepper,
+    fvec: Callable,
+    t0,
+    t1,
+    u0,
+    *,
+    rtol=1e-7,
+    atol=1e-9,
+    dt0=None,
+    max_steps: int = 512,
+    tstops: Optional[jnp.ndarray] = None,
+    hook: Optional[Callable] = None,
+    hook_carry: Any = None,
+    safety=0.9,
+    factor_min=0.2,
+    factor_max=10.0,
+) -> IntegrateResult:
+    """Adaptive integration with a *fixed* trip count (`lax.scan` with
+    masking) — reverse-mode differentiable, unlike the while_loop driver.
+
+    This is the execution engine of DirectAdjoint, the
+    discretize-then-optimize reverse path standing in for the reference's
+    TrackerAdjoint/ReverseDiffAdjoint/ZygoteAdjoint family
+    (src/concrete_solve.jl:1722-2415): XLA unrolls the reverse pass over the
+    scan, storing O(max_steps) residuals. Always runs `max_steps` iterations
+    (masked no-ops once finished), so size max_steps to the problem.
+
+    No dense output (it would defeat the O(steps) memory bound) — outputs
+    are captured by the hook.
+    """
+    u0 = jnp.asarray(u0)
+    dtype = u0.dtype
+    t0 = jnp.asarray(t0, dtype)
+    t1 = jnp.asarray(t1, dtype)
+    tdir = jnp.where(t1 >= t0, jnp.asarray(1.0, dtype), jnp.asarray(-1.0, dtype))
+    order = stepper.order
+    rtol = jnp.asarray(rtol, dtype)
+    atol = jnp.asarray(atol, dtype)
+    if tstops is not None:
+        tstops = jnp.asarray(tstops, dtype)
+
+    f0 = fvec(u0, t0)
+    if dt0 is None:
+        dt = initial_step_size(fvec, t0, u0, f0, order, rtol, atol, tdir)
+    else:
+        dt = tdir * jnp.abs(jnp.asarray(dt0, dtype))
+
+    beta1 = 0.7 / (order + 1.0)
+    beta2 = 0.4 / (order + 1.0)
+
+    def body(carry, _):
+        t, u, f, dt, err_prev, n_acc, n_rej, status, hc = carry
+        running = status < 0
+
+        stop = _next_stop(t, t1, tstops, tdir, dtype)
+        remaining = stop - t
+        dt_eff = jnp.where(jnp.abs(dt) >= jnp.abs(remaining), remaining, dt)
+
+        u1, f1, err = stepper.step(fvec, t, dt_eff, u, f)
+        sc = atol + rtol * jnp.maximum(jnp.abs(u), jnp.abs(u1))
+        err_norm = hairer_norm(err / sc)
+        bad = ~jnp.isfinite(err_norm)
+        err_norm = jnp.where(bad, jnp.asarray(2.0, dtype), err_norm)
+        accept = (err_norm <= 1.0) & ~bad & running
+
+        err_cl = jnp.maximum(err_norm, jnp.asarray(1e-10, dtype))
+        factor = safety * err_cl ** (-beta1) * err_prev ** (beta2)
+        factor = jnp.where(bad, jnp.asarray(factor_min, dtype), factor)
+        factor = jnp.clip(factor, factor_min, factor_max)
+        # Differentiating THROUGH the controller couples every step to the
+        # whole error history and blows gradients up by orders of magnitude;
+        # the meaningful discrete gradient treats the realized step sequence
+        # as fixed (same choice the reference's discrete adjoints make by
+        # taping value-dependent control flow as constants).
+        dt_next = jax.lax.stop_gradient(jnp.where(running, dt_eff * factor, dt))
+
+        t_new = jnp.where(accept, t + dt_eff, t)
+        u_new = jnp.where(accept, u1, u)
+        f_new = jnp.where(accept, f1, f)
+        n_acc = n_acc + accept.astype(jnp.int32)
+        n_rej = n_rej + (running & ~accept).astype(jnp.int32)
+        err_prev = jnp.where(accept, err_cl, err_prev)
+
+        if hook is not None:
+            rec = (t, t_new, u, f, u_new, f_new)
+            new_hc = hook(rec, hc)
+            hc = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(accept, new, old), new_hc, hc
+            )
+
+        done = accept & ((t1 - t_new) * tdir <= jnp.abs(t1) * 1e-14 + 1e-300)
+        status = jnp.where(running & done, RETCODE_SUCCESS, status).astype(jnp.int32)
+        return (t_new, u_new, f_new, dt_next, err_prev, n_acc, n_rej, status, hc), None
+
+    init = (
+        t0, u0, f0, dt, jnp.asarray(1.0, dtype),
+        jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32),
+        jnp.asarray(-1, jnp.int32), hook_carry,
+    )
+    (t, u, f, dt, _, n_acc, n_rej, status, hc), _ = jax.lax.scan(
+        body, init, None, length=max_steps
+    )
+    status = jnp.where(status < 0, RETCODE_MAXITERS, status).astype(jnp.int32)
+
+    dense = DenseOutput(
+        ts=jnp.stack([t0, t]),
+        ys=jnp.stack([u0, u]),
+        fs=jnp.stack([f0, f]),
+        n_steps=jnp.asarray(1, jnp.int32),
+        tdir=tdir,
+    )
+    stats = Stats(
+        n_accepted=n_acc,
+        n_rejected=n_rej,
+        n_fevals=jnp.asarray(max_steps * getattr(stepper, "n_stages", 1), jnp.int32),
+        retcode=status,
+    )
+    return IntegrateResult(dense=dense, t_final=t, u_final=u, stats=stats, hook_carry=hc)
 
 
 def integrate_fixed(

@@ -1,0 +1,125 @@
+"""Direct adjoint_sensitivities API + second-order tests
+(reference: test/Core3/adjoint.jl discrete/continuous cost configs and
+test/Core1/second_order.jl)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from scimlsensitivity_jl_tpu import (
+    BacksolveAdjoint,
+    DirectAdjoint,
+    GaussAdjoint,
+    InterpolatingAdjoint,
+    ODEProblem,
+    Tsit5,
+    adjoint_sensitivities,
+    second_order_sensitivities,
+    second_order_sensitivity_product,
+    solve,
+)
+
+LV_P = jnp.array([1.5, 1.0, 3.0, 1.0])
+LV_U0 = jnp.array([1.0, 1.0])
+TS = jnp.linspace(0.0, 10.0, 11)
+
+
+def lv(u, p, t):
+    x, y = u[0], u[1]
+    a, b, c, d = p[0], p[1], p[2], p[3]
+    return jnp.stack([a * x - b * x * y, -c * y + d * x * y])
+
+
+def _fd(f, x, eps=1e-6):
+    x = np.asarray(x, np.float64)
+    g = np.zeros_like(x)
+    for i in range(x.size):
+        xp = x.copy(); xp[i] += eps
+        xm = x.copy(); xm[i] -= eps
+        g[i] = (f(jnp.asarray(xp)) - f(jnp.asarray(xm))) / (2 * eps)
+    return g
+
+
+def test_discrete_cost_adjoint_sensitivities():
+    # G = Σ_i |u(t_i) - 1|^2 ; dg/du = 2(u-1)  (reference canonical config:
+    # dg(out,u,p,t,i) = -2 .+ u up to sign/scale).
+    prob = ODEProblem(lv, LV_U0, (0.0, 10.0), LV_P)
+    sol = solve(prob, Tsit5(), saveat=TS, rtol=1e-10, atol=1e-12, dense=True)
+
+    def dgdu(u, p, t, i):
+        return 2.0 * (u - 1.0)
+
+    for sa in [InterpolatingAdjoint(), BacksolveAdjoint(), GaussAdjoint()]:
+        du0, dp = adjoint_sensitivities(
+            sol, Tsit5(), t=TS, dgdu_discrete=dgdu, sensealg=sa,
+            rtol=1e-10, atol=1e-12,
+        )
+
+        def G_p(p):
+            s = solve(ODEProblem(lv, LV_U0, (0.0, 10.0), p), Tsit5(), saveat=TS,
+                      rtol=1e-12, atol=1e-14)
+            return float(jnp.sum((s.ys - 1.0) ** 2))
+
+        def G_u0(u0):
+            s = solve(ODEProblem(lv, u0, (0.0, 10.0), LV_P), Tsit5(), saveat=TS,
+                      rtol=1e-12, atol=1e-14)
+            return float(jnp.sum((s.ys - 1.0) ** 2))
+
+        assert np.allclose(dp, _fd(G_p, LV_P), rtol=1e-5, atol=1e-6), repr(sa)
+        assert np.allclose(du0, _fd(G_u0, LV_U0), rtol=1e-5, atol=1e-6), repr(sa)
+
+
+def test_continuous_cost_adjoint_sensitivities():
+    # G = ∫ (sum(u^2) + sum(p^2)) dt over [0, 5]
+    prob = ODEProblem(lv, LV_U0, (0.0, 5.0), LV_P)
+    sol = solve(prob, Tsit5(), rtol=1e-11, atol=1e-13, dense=True)
+
+    def g(u, p, t):
+        return jnp.sum(u ** 2) + jnp.sum(p ** 2)
+
+    du0, dp = adjoint_sensitivities(sol, Tsit5(), t=jnp.asarray([0.0, 5.0]),
+                                    g=g, sensealg=InterpolatingAdjoint(),
+                                    rtol=1e-10, atol=1e-12)
+
+    # FD oracle via dense quadrature of the forward solve.
+    def G(p, u0):
+        ts = jnp.linspace(0.0, 5.0, 2001)
+        s = solve(ODEProblem(lv, u0, (0.0, 5.0), p), Tsit5(), saveat=ts,
+                  rtol=1e-12, atol=1e-14)
+        vals = jnp.sum(s.ys ** 2, axis=1) + jnp.sum(p ** 2)
+        return float(jnp.trapezoid(vals, ts))
+
+    assert np.allclose(dp, _fd(lambda p: G(p, LV_U0), LV_P, eps=1e-5),
+                       rtol=2e-4, atol=1e-5)
+    assert np.allclose(du0, _fd(lambda u0: G(LV_P, u0), LV_U0, eps=1e-5),
+                       rtol=2e-4, atol=1e-5)
+
+
+def test_second_order():
+    prob = ODEProblem(lv, LV_U0, (0.0, 3.0), LV_P)
+    ts = jnp.linspace(0.0, 3.0, 4)
+
+    def loss(sol):
+        return jnp.sum(sol.ys ** 2)
+
+    kw = dict(saveat=ts, rtol=1e-9, atol=1e-11, max_steps=1024)
+    H = second_order_sensitivities(loss, prob, Tsit5(), **kw)
+    assert H.shape == (4, 4)
+    assert np.allclose(H, H.T, rtol=1e-4, atol=1e-7)
+
+    v = jnp.array([1.0, 0.0, 0.0, 0.0])
+    Hv = second_order_sensitivity_product(loss, prob, v, Tsit5(), **kw)
+    assert np.allclose(Hv, H @ v, rtol=1e-6, atol=1e-9)
+
+    # FD-of-grad oracle for one column
+    def grad_p(p):
+        def run(pp):
+            s = solve(ODEProblem(lv, LV_U0, (0.0, 3.0), pp), Tsit5(),
+                      sensealg=DirectAdjoint(), **kw)
+            return jnp.sum(s.ys ** 2)
+        return np.asarray(jax.grad(run)(p))
+
+    eps = 1e-6
+    col0 = (grad_p(LV_P + jnp.array([eps, 0, 0, 0])) -
+            grad_p(LV_P - jnp.array([eps, 0, 0, 0]))) / (2 * eps)
+    assert np.allclose(H[:, 0], col0, rtol=1e-4, atol=1e-6)
