@@ -52,6 +52,8 @@ from .adjoints.second_order import (
     second_order_sensitivity_product,
 )
 from .solvers.explicit import BS3, Dopri5, Euler, Heun, Midpoint, Tsit5
+from .solvers.rosenbrock import Rosenbrock23
+from .solvers.sdirk import TRBDF2, Kvaerno3
 
 __version__ = "0.1.0"
 
@@ -75,6 +77,9 @@ __all__ = [
     "Heun",
     "Midpoint",
     "Euler",
+    "Rosenbrock23",
+    "TRBDF2",
+    "Kvaerno3",
     "InterpolatingAdjoint",
     "BacksolveAdjoint",
     "QuadratureAdjoint",

@@ -144,6 +144,7 @@ def reverse_segment_scan(
     seg_hook_carry: Any = None,
     boundary_fn: Optional[Callable] = None,
     collect_dense: bool = False,
+    err_weights=None,
 ):
     """Integrate the augmented adjoint state backwards over inter-save
     segments, adding the discrete loss cotangent `lam_jumps[i]` into the
@@ -184,6 +185,7 @@ def reverse_segment_scan(
             hook=seg_hook,
             hook_carry=hc,
             store_dense=collect_dense,
+            err_weights=err_weights,
         )
         worst = jnp.maximum(worst, res.stats.retcode)
         out = res.dense if collect_dense else None

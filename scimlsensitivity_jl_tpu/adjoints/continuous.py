@@ -222,12 +222,20 @@ def make_ode_solve_fn(f, solver, sensealg, opts: SolveOptions, t0, t1, *,
                 return jnp.concatenate([-ubar, -ravel_pytree(pbar)[0]])
 
             z0 = jnp.zeros(n + npf, u0vec.dtype)
-            z, _, _, _ = reverse_segment_scan(
+            # q rows are pure quadrature (no feedback into λ): exclude them
+            # from error control or their atol-relative error forces
+            # microscopic steps on stiff problems.
+            wts = jnp.concatenate(
+                [jnp.ones(n, u0vec.dtype), jnp.zeros(npf, u0vec.dtype)]
+            )
+            z, _, worst, _ = reverse_segment_scan(
                 bwd_stepper, aug_rhs, times, jumps, z0, n,
                 rtol=adj_rtol, atol=adj_atol,
                 max_steps_per_segment=adj_max_steps,
+                err_weights=wts,
             )
-            return _returns(unravel_u, unravel_p, z[:n], z[n:], saveat)
+            return _returns(unravel_u, unravel_p, z[:n], z[n:], saveat,
+                            jnp.maximum(fwd.stats.retcode, worst))
 
         # Checkpointed: re-solve each inter-save interval forward from the
         # stored save values, then run the local adjoint over the fresh local
@@ -299,14 +307,19 @@ def make_ode_solve_fn(f, solver, sensealg, opts: SolveOptions, t0, t1, *,
         else:
             boundary_fn = None
 
-        z, _, _, _ = reverse_segment_scan(
+        wts = jnp.concatenate(
+            [jnp.ones(n, u0vec.dtype), jnp.zeros(npf, u0vec.dtype),
+             jnp.ones(n, u0vec.dtype)]
+        )
+        z, _, worst, _ = reverse_segment_scan(
             bwd_stepper, aug_rhs, times, jumps, z0, n,
             rtol=adj_rtol, atol=adj_atol,
             max_steps_per_segment=adj_max_steps,
             boundary_fn=boundary_fn,
+            err_weights=wts,
         )
         return _returns(unravel_u, unravel_p, z[:n], z[n:n + npf], saveat,
-                        fwd.stats.retcode)
+                        jnp.maximum(fwd.stats.retcode, worst))
 
     # -- GaussAdjoint ----------------------------------------------------
 
@@ -338,14 +351,14 @@ def make_ode_solve_fn(f, solver, sensealg, opts: SolveOptions, t0, t1, *,
 
         lam0 = jnp.zeros(n, u0vec.dtype)
         q0 = jnp.zeros(npf, u0vec.dtype)
-        lam, qflat, _, _ = reverse_segment_scan(
+        lam, qflat, worst, _ = reverse_segment_scan(
             bwd_stepper, aug_rhs, times, jumps, lam0, n,
             rtol=adj_rtol, atol=adj_atol,
             max_steps_per_segment=adj_max_steps,
             seg_hook=gauss_hook, seg_hook_carry=q0,
         )
         return _returns(unravel_u, unravel_p, lam, qflat, saveat,
-                        fwd.stats.retcode)
+                        jnp.maximum(fwd.stats.retcode, worst))
 
     # -- QuadratureAdjoint ----------------------------------------------
 
@@ -359,45 +372,50 @@ def make_ode_solve_fn(f, solver, sensealg, opts: SolveOptions, t0, t1, *,
             return -kern.vjp_u(y, p, t, lam)
 
         lam0 = jnp.zeros(n, u0vec.dtype)
-        lam, _, _, seg_dense = reverse_segment_scan(
+        lam, _, worst, seg_dense = reverse_segment_scan(
             bwd_stepper, aug_rhs, times, jumps, lam0, n,
             rtol=adj_rtol, atol=adj_atol,
             max_steps_per_segment=adj_max_steps,
             collect_dense=True,
         )
 
-        # dG/dp = Σ_segments ∫ λᵀ∂f/∂p dt, composite GL panels per segment,
-        # every node of every panel of every segment in one vmapped sweep.
+        # dG/dp = Σ_segments ∫ λᵀ∂f/∂p dt. Nodes are placed on the recorded
+        # reverse step grid (GL panel per accepted λ-step): where λ has a
+        # boundary layer the solver's own steps cluster, so the quadrature is
+        # adaptive for free — the fixed-shape replacement for quadgk's
+        # h-adaptivity (quadrature_adjoint.jl:536-615). Padding rows of the
+        # dense buffers have zero width and contribute nothing. All
+        # (segment, step, node) evaluations run as one batched sweep.
         order = opts.quad_order
-        panels = opts.quad_panels
         xg, wg = _gl_nodes(order, u0vec.dtype)
-        nt_ext = times.shape[0]
-        n_seg = nt_ext - 1  # walk order: seg j covers [times[nt-2-j], times[nt-1-j]]
+        n_seg = times.shape[0] - 1
 
         def seg_integral(j):
-            t_hi = times[nt_ext - 1 - j]
-            t_lo = times[nt_ext - 2 - j]
             sd = jax.tree_util.tree_map(lambda a: a[j], seg_dense)
-            width = (t_hi - t_lo) / panels
 
-            def panel(k):
-                start = t_lo + k * width
+            def row(k):
+                ta = sd.ts[k]
+                tb = sd.ts[k + 1]
+                w_t = tb - ta  # negative walking backwards; 0 on padding
 
                 def node(xj):
-                    tj = start + width * xj
-                    lam_j = dense_eval(sd, tj)
+                    tj = ta + w_t * xj
+                    lam_j = hermite_eval(tj, ta, tb, sd.ys[k], sd.fs[k],
+                                         sd.ys[k + 1], sd.fs[k + 1])
                     yj = dense_eval(dense, tj)
                     pbar = kern.vjp_p(yj, p, tj, lam_j)
                     return ravel_pytree(pbar)[0]
 
                 vals = jax.vmap(node)(xg)
-                return width * jnp.einsum("j,jk->k", wg, vals)
+                # forward-orientation integral over the step: -(tb-ta)·Σ w·v
+                return -w_t * jnp.einsum("j,jk->k", wg, vals)
 
-            return jnp.sum(jax.vmap(panel)(jnp.arange(panels, dtype=u0vec.dtype)), axis=0)
+            msub = sd.ts.shape[0] - 1
+            return jnp.sum(jax.vmap(row)(jnp.arange(msub)), axis=0)
 
-        q = jnp.sum(jax.vmap(seg_integral)(jnp.arange(n_seg)), axis=0)
+        q = jnp.sum(jax.lax.map(seg_integral, jnp.arange(n_seg)), axis=0)
         return _returns(unravel_u, unravel_p, lam, q, saveat,
-                        fwd.stats.retcode)
+                        jnp.maximum(fwd.stats.retcode, worst))
 
     # -- ForwardDiffSensitivity (discrete forward mode) ------------------
 

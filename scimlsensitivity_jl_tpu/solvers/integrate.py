@@ -126,6 +126,7 @@ def integrate(
     factor_min=0.2,
     factor_max=10.0,
     store_dense: bool = True,
+    err_weights: Optional[jnp.ndarray] = None,
 ) -> IntegrateResult:
     """Adaptively integrate du/dt = fvec(u, t) from t0 to t1 (t1 < t0 allowed).
 
@@ -192,7 +193,15 @@ def integrate(
 
         u1, f1, err = stepper.step(fvec, c.t, dt_eff, c.u, c.f)
         sc = atol + rtol * jnp.maximum(jnp.abs(c.u), jnp.abs(u1))
-        err_norm = hairer_norm(err / sc)
+        if err_weights is None:
+            err_norm = hairer_norm(err / sc)
+        else:
+            # RMS over the weighted components only (weight-0 rows — pure
+            # quadrature accumulators — must not dilute the mean).
+            cnt = jnp.maximum(jnp.sum(err_weights > 0), 1)
+            err_norm = jnp.sqrt(
+                jnp.sum(jnp.square(err_weights * (err / sc))) / cnt
+            )
         bad = ~jnp.isfinite(err_norm)
         err_norm = jnp.where(bad, jnp.asarray(2.0, dtype), err_norm)
         accept = (err_norm <= 1.0) & ~bad
@@ -202,7 +211,12 @@ def integrate(
         factor = safety * err_cl ** (-beta1) * c.err_prev ** (beta2)
         factor = jnp.where(bad, jnp.asarray(factor_min, dtype), factor)
         factor = jnp.clip(factor, factor_min, factor_max)
-        dt_next = dt_eff * factor
+        # Forward-mode (jvp) flows through this driver (ForwardDiffSensitivity,
+        # ForwardSensitivity); freeze the controller so tangents measure the
+        # scheme on the realized grid, not controller feedback (same policy as
+        # integrate_scan — controller coupling contaminates gradients on
+        # stiff problems).
+        dt_next = jax.lax.stop_gradient(dt_eff * factor)
 
         t_new = jnp.where(accept, c.t + dt_eff, c.t)
         u_new = jnp.where(accept, u1, c.u)

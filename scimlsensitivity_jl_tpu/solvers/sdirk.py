@@ -1,0 +1,146 @@
+"""ESDIRK solvers with modified-Newton stages (TRBDF2, Kvaerno3).
+
+The reference's stiff menu (TRBDF2, Kvaerno5, ... via OrdinaryDiffEq —
+SURVEY §2 item 4). Each implicit stage solves
+
+    kᵢ = f(t + cᵢh,  u + h·Σ_{j<i} aᵢⱼkⱼ + h·γ·kᵢ)
+
+by modified Newton with the step-frozen W = I - h·γ·J factored once (one
+`jax.jacfwd` + one LU per step, reused across stages and iterations — the
+standard stiff-solver economization). Newton runs a fixed iteration count
+with convergence masking, so the step stays a straight-line XLA program
+(reverse-mode differentiable under the scan driver, unlike a nested
+while_loop).
+
+ESDIRK: first stage explicit (k₁ = f₀, FSAL), diagonal γ elsewhere;
+stiffly accurate (b = last row) so f1 = k_last.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.scipy.linalg import lu_factor, lu_solve
+
+__all__ = ["ESDIRK", "TRBDF2", "Kvaerno3"]
+
+
+class ESDIRKTableau(NamedTuple):
+    a: Tuple[Tuple[float, ...], ...]  # full rows incl. diagonal, a[i] has i+2 entries
+    b_err: Tuple[float, ...]  # b - b_hat
+    c: Tuple[float, ...]
+    gamma: float
+    order: int
+
+
+_SQRT2 = math.sqrt(2.0)
+_G_TR = 2.0 - _SQRT2  # TRBDF2 gamma (c2)
+_D_TR = _G_TR / 2.0
+_W_TR = _SQRT2 / 4.0
+
+TRBDF2_TAB = ESDIRKTableau(
+    a=(
+        (_D_TR, _D_TR),
+        (_W_TR, _W_TR, _D_TR),
+    ),
+    # b = (w, w, d) stiffly accurate; bhat = ((1-w)/3, (3w+1)/3, d/3)
+    b_err=(
+        _W_TR - (1.0 - _W_TR) / 3.0,
+        _W_TR - (3.0 * _W_TR + 1.0) / 3.0,
+        _D_TR - _D_TR / 3.0,
+    ),
+    c=(0.0, _G_TR, 1.0),
+    gamma=_D_TR,
+    order=2,
+)
+
+# Kvaerno (2004) ESDIRK 3(2): gamma = 0.4358665215084590
+_G_K3 = 0.4358665215084590
+_A31_K3 = 0.490563388419108
+_A32_K3 = 0.073570090080892
+_B1_K3 = 0.308809969973036
+_B2_K3 = 1.490563388254106
+_B3_K3 = -1.235239879727145
+
+KVAERNO3_TAB = ESDIRKTableau(
+    a=(
+        (_G_K3, _G_K3),
+        (_A31_K3, _A32_K3, _G_K3),
+        (_B1_K3, _B2_K3, _B3_K3, _G_K3),
+    ),
+    # b = row 4 (stiffly accurate); bhat = row 3 extended with 0.
+    b_err=(
+        _B1_K3 - _A31_K3,
+        _B2_K3 - _A32_K3,
+        _B3_K3 - _G_K3,
+        _G_K3,
+    ),
+    c=(0.0, 2.0 * _G_K3, 1.0, 1.0),
+    gamma=_G_K3,
+    order=3,
+)
+
+
+class ESDIRK:
+    def __init__(self, tableau: ESDIRKTableau, name: str, newton_iters: int = 8,
+                 newton_tol: float = 1e-12):
+        self.tableau = tableau
+        self.order = tableau.order
+        self.fsal = True
+        self.n_stages = len(tableau.c)
+        self.name = name
+        self.newton_iters = newton_iters
+        self.newton_tol = newton_tol
+
+    def __repr__(self):
+        return f"{self.name}()"
+
+    def step(self, fvec, t, dt, u, f0):
+        tab = self.tableau
+        n = u.shape[0]
+        gam = tab.gamma
+
+        J = jax.jacfwd(lambda uu: fvec(uu, t))(u)
+        W = jnp.eye(n, dtype=u.dtype) - dt * gam * J
+        lu = lu_factor(W)
+
+        ks = [f0]
+        for i, row in enumerate(tab.a):
+            ti = t + tab.c[i + 1] * dt
+            base = u
+            for aij, k in zip(row[:-1], ks):
+                base = base + (dt * aij) * k
+
+            # Modified Newton on g(k) = k - f(ti, base + h·γ·k), warm-started
+            # from the previous stage derivative.
+            def newton_body(_, k):
+                g = k - fvec(base + (dt * gam) * k, ti)
+                return k - lu_solve(lu, g)
+
+            k = jax.lax.fori_loop(0, self.newton_iters, newton_body, ks[-1])
+            ks.append(k)
+
+        # Stiffly accurate: u1 = base of a virtual next stage = u + h·Σ b k.
+        u1 = u
+        for bi, k in zip(tab.a[-1], ks):
+            u1 = u1 + (dt * bi) * k
+        f1 = ks[-1]  # b == last row and c_last == 1  =>  k_last = f(t+dt, u1)
+
+        err = jnp.zeros_like(u)
+        for ei, k in zip(tab.b_err, ks):
+            err = err + (dt * ei) * k
+        # Hosea-Shampine filtered estimate: the embedded method is not
+        # L-stable, so damp the stiff components through W⁻¹.
+        err = lu_solve(lu, err)
+        return u1, f1, err
+
+
+def TRBDF2(**kw):
+    return ESDIRK(TRBDF2_TAB, "TRBDF2", **kw)
+
+
+def Kvaerno3(**kw):
+    return ESDIRK(KVAERNO3_TAB, "Kvaerno3", **kw)
