@@ -47,6 +47,11 @@ from .adjoints.forward import (
 from .solution import ODESolution
 from .solve import solve
 from .adjoints.interface import adjoint_sensitivities
+from .adjoints.steadystate import (
+    NonlinearSolution,
+    solve_nonlinear,
+    solve_unconstrained_optimization,
+)
 from .adjoints.second_order import (
     second_order_sensitivities,
     second_order_sensitivity_product,
@@ -70,6 +75,9 @@ __all__ = [
     "adjoint_sensitivities",
     "second_order_sensitivities",
     "second_order_sensitivity_product",
+    "NonlinearSolution",
+    "solve_nonlinear",
+    "solve_unconstrained_optimization",
     "ODESolution",
     "Tsit5",
     "Dopri5",

@@ -1,0 +1,325 @@
+"""SDE solve + adjoints (reference: src/backsolve_adjoint.jl SDE path
+:274-419, src/interpolating_adjoint.jl SDE path :453-613).
+
+Design (TPU-first, deliberately different from the reference's
+NoiseProcess-reversal):
+
+  * fixed-grid `lax.scan` forward (the reference pins SDE reverse passes to
+    the forward grid via tstops anyway, sensitivity_interface.jl:478-491);
+  * counter-based noise regenerated per step index — forward and reverse see
+    bit-identical ΔW with no stored path (replaces deepcopy+reverse of sol.W,
+    backsolve_adjoint.jl:395-411);
+  * adjoints are *discrete* adjoints of the realized scheme:
+      - DirectAdjoint / default: reverse AD through the scan (exact, O(N) mem)
+      - InterpolatingAdjoint: hand-rolled reverse scan over the stored node
+        trajectory (exact discrete adjoint, one fused jax.vjp of the step map
+        per reverse step)
+      - BacksolveAdjoint: O(1)-memory — states reconstructed by integrating
+        the scheme backwards, checkpoint-snapped to saved values at each save
+        node (the stability device of backsolve_adjoint.jl:523-572); the λ/q
+        updates are the same step-map vjp evaluated at reconstructed states.
+    Discrete adjoints sidestep the reference's Ito->Stratonovich adjoint
+    transformation entirely; the calculus conversion only enters in solver
+    selection for the forward pass (sde_tools.jl semantics, provided by
+    solvers/sde.py drift transforms).
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.brownian import grid_increment
+from ..problems import SDEProblem
+from ..sensealg import (
+    BacksolveAdjoint,
+    DirectAdjoint,
+    InterpolatingAdjoint,
+)
+from ..solution import ODESolution
+from ..solvers.integrate import Stats
+from ..solvers.sde import (
+    EulerHeun,
+    EulerMaruyama,
+    ito_to_stratonovich_drift,
+    stratonovich_to_ito_drift,
+)
+from ..utils.pytree import ravel_pytree
+
+__all__ = ["solve_sde", "solve_rode"]
+
+
+def solve_rode(
+    prob,
+    *,
+    dt,
+    saveat=None,
+    key=None,
+    sensealg=None,
+) -> ODESolution:
+    """Random ODE u' = f(u, p, t, W(t)) on a fixed grid (RandomEM scheme),
+    driving path W from counter-based increments (reference RODE adjoints:
+    src/interpolating_adjoint.jl:615-746 — here the discrete adjoint through
+    the scan is exact, so one path covers the family)."""
+    from ..ops.brownian import grid_path
+    from ..problems import RODEProblem
+
+    assert isinstance(prob, RODEProblem)
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    t0, t1 = float(prob.tspan[0]), float(prob.tspan[1])
+    n_steps = max(int(round((t1 - t0) / float(dt))), 1)
+    u0vec, unravel_u = ravel_pytree(prob.u0)
+    dtype = u0vec.dtype
+    n = u0vec.shape[0]
+    dt_a = jnp.asarray((t1 - t0) / n_steps, dtype)
+    ts_nodes = jnp.asarray(t0, dtype) + dt_a * jnp.arange(n_steps + 1)
+    w_shape = (prob.noise_dim,) if prob.noise_dim else (n,)
+    W = grid_path(key, n_steps, w_shape, dt_a).astype(dtype)
+
+    if saveat is None:
+        saveat = jnp.asarray([t0, t1], dtype)
+    else:
+        saveat = jnp.asarray(saveat, dtype)
+    import numpy as _np
+
+    steps_f = (_np.asarray(saveat) - t0) / float(dt_a)
+    save_steps_np = _np.rint(steps_f).astype(int)
+    if not _np.allclose(steps_f, save_steps_np, atol=1e-8):
+        raise ValueError("RODE saveat times must lie on the dt grid")
+    save_steps = jnp.asarray(save_steps_np)
+    ns = save_steps.shape[0]
+    f_user = prob.f
+
+    def run(u0, p):
+        u0v, _ = ravel_pytree(u0)
+
+        def capture(buf, i_next, u_next):
+            k = jnp.clip(jnp.searchsorted(save_steps, i_next), 0, ns - 1)
+            hit = save_steps[k] == i_next
+            return buf.at[k].set(jnp.where(hit, u_next, buf[k]))
+
+        buf = capture(jnp.zeros((ns, n), dtype), 0, u0v)
+
+        def body(carry, i):
+            uv, b = carry
+            du = ravel_pytree(
+                f_user(unravel_u(uv), p, ts_nodes[i], W[i])
+            )[0]
+            u1 = uv + dt_a * du
+            b = capture(b, i + 1, u1)
+            return (u1, b), None
+
+        (_, buf), _ = jax.lax.scan(body, (u0v, buf), jnp.arange(n_steps))
+        return buf
+
+    ys_flat = run(prob.u0, prob.p)
+    ys = jax.vmap(unravel_u)(ys_flat)
+    stats = Stats(
+        n_accepted=jnp.asarray(n_steps, jnp.int32),
+        n_rejected=jnp.asarray(0, jnp.int32),
+        n_fevals=jnp.asarray(n_steps, jnp.int32),
+        retcode=jnp.asarray(0, jnp.int32),
+    )
+    return ODESolution(
+        ts=saveat, ys=ys, stats=stats, retcode=stats.retcode, prob=prob,
+        solver="RandomEM", sensealg=sensealg, dense=None, unravel_u=unravel_u,
+    )
+
+
+def _resolve_drift(prob, solver, fvec, gvec):
+    """Match problem calculus to solver calculus via drift transforms."""
+    pi = prob.interpretation
+    si = getattr(solver, "interpretation", "ito")
+    if pi == si:
+        return fvec
+    if pi == "ito" and si == "stratonovich":
+        return ito_to_stratonovich_drift(fvec, gvec)
+    if pi == "stratonovich" and si == "ito":
+        return stratonovich_to_ito_drift(fvec, gvec)
+    raise ValueError(f"unknown interpretation pair {pi}/{si}")
+
+
+def solve_sde(
+    prob: SDEProblem,
+    solver=None,
+    *,
+    saveat=None,
+    dt=None,
+    key=None,
+    sensealg=None,
+    max_steps=None,
+) -> ODESolution:
+    if dt is None:
+        raise ValueError("SDE solves are fixed-grid: pass dt=...")
+    if solver is None:
+        solver = EulerMaruyama() if prob.interpretation == "ito" else EulerHeun()
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    if sensealg is None:
+        sensealg = DirectAdjoint()
+
+    t0, t1 = float(prob.tspan[0]), float(prob.tspan[1])
+    n_steps = max(int(round((t1 - t0) / float(dt))), 1)
+    u0vec_probe, unravel_u = ravel_pytree(prob.u0)
+    dtype = u0vec_probe.dtype
+    dt_a = jnp.asarray((t1 - t0) / n_steps, dtype)
+    ts_nodes = jnp.asarray(t0, dtype) + dt_a * jnp.arange(n_steps + 1)
+
+    if saveat is None:
+        saveat = jnp.asarray([t0, t1], dtype)
+    else:
+        saveat = jnp.asarray(saveat, dtype)
+    # Save times must sit on the grid (fixed-shape capture by node index).
+    import numpy as _np
+
+    sv = _np.asarray(saveat)
+    steps_f = (sv - t0) / float(dt_a)
+    save_steps_np = _np.rint(steps_f).astype(int)
+    if not _np.allclose(steps_f, save_steps_np, atol=1e-8):
+        raise ValueError(
+            f"SDE saveat times must lie on the dt grid; got offsets {steps_f}"
+        )
+    save_steps = jnp.asarray(save_steps_np)
+    ns = save_steps.shape[0]
+
+    f_user, g_user = prob.f, prob.g
+
+    def make_field(p):
+        def fvec(uv, t):
+            return ravel_pytree(f_user(unravel_u(uv), p, t))[0]
+
+        if prob.noise == "general":
+            def gvec(uv, t):
+                return jnp.asarray(g_user(unravel_u(uv), p, t))
+        else:
+            def gvec(uv, t):
+                return ravel_pytree(g_user(unravel_u(uv), p, t))[0]
+
+        return _resolve_drift(prob, solver, fvec, gvec), gvec
+
+    n = u0vec_probe.shape[0]
+    if prob.noise == "general":
+        if prob.noise_dim is None:
+            raise ValueError("general noise needs noise_dim=m")
+        w_shape = (prob.noise_dim,)
+    elif prob.noise == "scalar":
+        w_shape = ()
+    else:
+        w_shape = (n,)
+
+    def step_map(uv, p, i):
+        """One scheme step from node i to i+1 — the unit of adjoint vjp."""
+        fvec, gvec = make_field(p)
+        t = ts_nodes[i]
+        dw = grid_increment(key, i, w_shape, dt_a).astype(dtype)
+        return solver.step(fvec, gvec, t, dt_a, uv, dw)
+
+    def capture(buf, i_next, u_next):
+        k = jnp.clip(jnp.searchsorted(save_steps, i_next), 0, ns - 1)
+        hit = save_steps[k] == i_next
+        return buf.at[k].set(jnp.where(hit, u_next, buf[k]))
+
+    def forward_scan(u0vec, p, store_traj: bool):
+        buf = jnp.zeros((ns, n), dtype)
+        buf = capture(buf, 0, u0vec)
+
+        def body(carry, i):
+            uv, b = carry
+            u1 = step_map(uv, p, i)
+            b = capture(b, i + 1, u1)
+            return (u1, b), (u1 if store_traj else None)
+
+        (u_f, buf), traj = jax.lax.scan(body, (u0vec, buf), jnp.arange(n_steps))
+        if store_traj:
+            traj = jnp.concatenate([u0vec[None], traj], axis=0)
+        return u_f, buf, traj
+
+    def reverse_scan(p, lam_jumps, u_source, u_final, ys_save, snap: bool):
+        """Discrete adjoint walk j = N-1..0.
+
+        u_source: (N+1, n) stored nodes, or None -> backward reconstruction.
+        """
+        def node_jump(lam, u_rec, i_node):
+            k = jnp.clip(jnp.searchsorted(save_steps, i_node), 0, ns - 1)
+            hit = save_steps[k] == i_node
+            lam = lam + jnp.where(hit, lam_jumps[k], jnp.zeros_like(lam))
+            if snap:
+                u_rec = jnp.where(hit, ys_save[k], u_rec)
+            return lam, u_rec
+
+        def body(carry, j):
+            lam, q, u_rec = carry
+            lam, u_rec = node_jump(lam, u_rec, j + 1)
+            if u_source is not None:
+                u_j = u_source[j]
+            else:
+                # Backward reconstruction: subtract the scheme increment
+                # evaluated at u_{j+1} (same ΔW regenerated) — O(dt) inverse,
+                # stabilized by the checkpoint snaps above.
+                u_j = u_rec - (step_map(u_rec, p, j) - u_rec)
+            _, vjp_fn = jax.vjp(lambda uv, pp: step_map(uv, pp, j), u_j, p)
+            ubar, pbar = vjp_fn(lam)
+            q = jax.tree_util.tree_map(jnp.add, q, pbar)
+            return (ubar, q, u_j), None
+
+        lam0 = jnp.zeros(n, dtype)
+        q0 = jax.tree_util.tree_map(jnp.zeros_like, p)
+        (lam, q, _), _ = jax.lax.scan(
+            body, (lam0, q0, u_final), jnp.arange(n_steps - 1, -1, -1)
+        )
+        # jump at node 0 (t0 save)
+        k = jnp.clip(jnp.searchsorted(save_steps, 0), 0, ns - 1)
+        hit = save_steps[k] == 0
+        lam = lam + jnp.where(hit, lam_jumps[k], jnp.zeros_like(lam))
+        return lam, q
+
+    # ------------------------------------------------------------------
+
+    if isinstance(sensealg, (DirectAdjoint,)) or sensealg is None:
+        def run(u0, p):
+            u0vec, _ = ravel_pytree(u0)
+            _, buf, _ = forward_scan(u0vec, p, store_traj=False)
+            return buf
+
+        ys_flat = run(prob.u0, prob.p)
+    elif isinstance(sensealg, (InterpolatingAdjoint, BacksolveAdjoint)):
+        stored = isinstance(sensealg, InterpolatingAdjoint)
+        snap = (not stored) and getattr(sensealg, "checkpointing", True)
+
+        @jax.custom_vjp
+        def run(u0, p):
+            u0vec, _ = ravel_pytree(u0)
+            _, buf, _ = forward_scan(u0vec, p, store_traj=False)
+            return buf
+
+        def run_fwd(u0, p):
+            u0vec, _ = ravel_pytree(u0)
+            u_f, buf, traj = forward_scan(u0vec, p, store_traj=stored)
+            return buf, (u0, p, u_f, buf, traj)
+
+        def run_bwd(res, d_buf):
+            u0, p, u_f, buf, traj = res
+            lam, q = reverse_scan(p, d_buf, traj if stored else None,
+                                  u_f, buf, snap)
+            _, unr_u0 = ravel_pytree(u0)
+            return unr_u0(lam), q
+
+        run.defvjp(run_fwd, run_bwd)
+        ys_flat = run(prob.u0, prob.p)
+    else:
+        raise NotImplementedError(f"SDE sensealg {sensealg!r} unsupported")
+
+    ys = jax.vmap(unravel_u)(ys_flat)
+    stats = Stats(
+        n_accepted=jnp.asarray(n_steps, jnp.int32),
+        n_rejected=jnp.asarray(0, jnp.int32),
+        n_fevals=jnp.asarray(n_steps, jnp.int32),
+        retcode=jnp.asarray(0, jnp.int32),
+    )
+    return ODESolution(
+        ts=saveat, ys=ys, stats=stats, retcode=stats.retcode, prob=prob,
+        solver=solver, sensealg=sensealg, dense=None, unravel_u=unravel_u,
+    )

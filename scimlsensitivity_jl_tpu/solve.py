@@ -63,6 +63,7 @@ def solve(
     adj_atol=None,
     adj_max_steps=None,
     bwd_solver=None,
+    key=None,
 ):
     """Solve a problem; gradients through the result follow `sensealg`.
 
@@ -82,8 +83,27 @@ def solve(
 
         return solve_sde(
             prob, solver, saveat=saveat, dt=dt, sensealg=sensealg,
-            max_steps=max_steps,
+            max_steps=max_steps, key=key,
         )
+    from .problems import NonlinearProblem, RODEProblem, SteadyStateProblem
+
+    if isinstance(prob, RODEProblem):
+        from .adjoints.sde import solve_rode
+
+        return solve_rode(prob, dt=dt, saveat=saveat, key=key, sensealg=sensealg)
+
+    if isinstance(prob, (NonlinearProblem, SteadyStateProblem)):
+        from .adjoints.steadystate import solve_nonlinear
+        from .sensealg import SteadyStateAdjoint as _SSA
+
+        kw = {}
+        if sensealg is not None:
+            if not isinstance(sensealg, _SSA):
+                raise NotImplementedError(
+                    f"nonlinear problems support SteadyStateAdjoint, got {sensealg!r}"
+                )
+            kw["sensealg"] = sensealg
+        return solve_nonlinear(prob, **kw)
     raise NotImplementedError(f"solve not implemented for {type(prob).__name__}")
 
 

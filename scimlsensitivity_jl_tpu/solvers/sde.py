@@ -1,0 +1,137 @@
+"""SDE solvers: Euler-Maruyama (Ito), EulerHeun (Stratonovich), Milstein
+(Ito, diagonal noise).
+
+Fixed-grid `lax.scan` time loops (the reference pins SDE adjoints to the
+forward grid via tstops anyway — sensitivity_interface.jl:478-491); noise is
+counter-based (ops/brownian.py) so every pass regenerates identical
+increments. Steppers work on flat states with
+
+    step(fvec, gvec, t, dt, u, dw) -> u1
+
+where gvec(u, t) is (n,) for diagonal/scalar noise and (n, m) for general
+noise with dw of shape (m,).
+
+Ito <-> Stratonovich drift conversion (reference: src/sde_tools.jl
+StochasticTransformedFunction) is provided as a pure drift transform built
+from one jvp of g.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+__all__ = [
+    "EulerMaruyama",
+    "EulerHeun",
+    "Milstein",
+    "ito_to_stratonovich_drift",
+    "stratonovich_to_ito_drift",
+]
+
+
+def _gg_jvp(gvec, u, t, v):
+    """(∂g/∂u)·v for diagonal g: one jvp."""
+    return jax.jvp(lambda uu: gvec(uu, t), (u,), (v,))[1]
+
+
+def _diffusion_term(g_val, dw):
+    """g·dW for diagonal (n,) or general (n, m) diffusion."""
+    if g_val.ndim == 1:
+        return g_val * dw
+    return g_val @ dw
+
+
+class EulerMaruyama:
+    """Strong order 0.5 Ito scheme: u1 = u + f·dt + g·ΔW."""
+
+    name = "EulerMaruyama"
+    interpretation = "ito"
+    order = 1
+
+    def __repr__(self):
+        return "EulerMaruyama()"
+
+    def step(self, fvec, gvec, t, dt, u, dw):
+        return u + dt * fvec(u, t) + _diffusion_term(gvec(u, t), dw)
+
+
+class EulerHeun:
+    """Stratonovich Heun scheme: predictor-corrector in the diffusion."""
+
+    name = "EulerHeun"
+    interpretation = "stratonovich"
+    order = 1
+
+    def __repr__(self):
+        return "EulerHeun()"
+
+    def step(self, fvec, gvec, t, dt, u, dw):
+        g0 = gvec(u, t)
+        ubar = u + dt * fvec(u, t) + _diffusion_term(g0, dw)
+        g1 = gvec(ubar, t + dt)
+        return u + dt * fvec(u, t) + 0.5 * _diffusion_term(g0 + g1, dw)
+
+
+class Milstein:
+    """Strong order 1.0 Ito scheme for diagonal noise:
+    u1 = EM + 0.5·g·(∂g/∂u diag)·(ΔW² - dt). Derivative via one jvp."""
+
+    name = "Milstein"
+    interpretation = "ito"
+    order = 1
+
+    def __repr__(self):
+        return "Milstein()"
+
+    def step(self, fvec, gvec, t, dt, u, dw):
+        g0 = gvec(u, t)
+        if g0.ndim != 1:
+            raise NotImplementedError("Milstein implemented for diagonal noise")
+        dg = _gg_jvp(gvec, u, t, g0)  # (∂g/∂u)·g ; diagonal: g·g'
+        return (
+            u + dt * fvec(u, t) + g0 * dw + 0.5 * dg * (dw ** 2 - dt)
+        )
+
+
+def ito_to_stratonovich_drift(fvec, gvec):
+    """f̃ = f - ½ (∂g/∂u)·g (diagonal noise) — the drift correction applied
+    when an Ito problem meets a Stratonovich-converging scheme
+    (reference: src/sde_tools.jl:2-27, backsolve_adjoint.jl:327-345)."""
+
+    def f_corr(u, t):
+        g0 = gvec(u, t)
+        if g0.ndim == 1:
+            corr = 0.5 * _gg_jvp(gvec, u, t, g0)
+        else:
+            # Σ_j (∂g_j/∂u)·g_j over noise columns.
+            def col(j):
+                return jax.jvp(lambda uu: gvec(uu, t)[:, j], (u,),
+                               (g0[:, j],))[1]
+
+            corr = 0.5 * jnp.sum(
+                jax.vmap(col)(jnp.arange(g0.shape[1])), axis=0
+            )
+        return fvec(u, t) - corr
+
+    return f_corr
+
+
+def stratonovich_to_ito_drift(fvec, gvec):
+    """Inverse correction: f̃ = f + ½ (∂g/∂u)·g."""
+
+    def f_corr(u, t):
+        g0 = gvec(u, t)
+        if g0.ndim == 1:
+            corr = 0.5 * _gg_jvp(gvec, u, t, g0)
+        else:
+            def col(j):
+                return jax.jvp(lambda uu: gvec(uu, t)[:, j], (u,),
+                               (g0[:, j],))[1]
+
+            corr = 0.5 * jnp.sum(
+                jax.vmap(col)(jnp.arange(g0.shape[1])), axis=0
+            )
+        return fvec(u, t) + corr
+
+    return f_corr

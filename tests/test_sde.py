@@ -1,0 +1,173 @@
+"""SDE tests (reference strategy, SURVEY §4 SDE groups: fixed noise process,
+compare adjoint vs forward-mode over the SAME noise realization; weak
+statistics for scheme correctness; Ito<->Stratonovich conversion)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from scimlsensitivity_jl_tpu import (
+    BacksolveAdjoint,
+    DirectAdjoint,
+    InterpolatingAdjoint,
+    ODEProblem,
+    SDEProblem,
+    solve,
+)
+from scimlsensitivity_jl_tpu.solvers.sde import EulerHeun, EulerMaruyama, Milstein
+
+KEY = jax.random.PRNGKey(42)
+
+
+def test_gbm_weak_mean():
+    # dX = mu X dt + sigma X dW ; E[X(T)] = X0 exp(mu T).
+    mu, sigma, T = 0.3, 0.4, 1.0
+
+    def run(key):
+        prob = SDEProblem(
+            lambda u, p, t: p[0] * u,
+            lambda u, p, t: p[1] * u,
+            jnp.array([1.0]), (0.0, T), jnp.array([mu, sigma]),
+        )
+        return solve(prob, EulerMaruyama(), dt=1e-3, key=key).ys[-1, 0]
+
+    keys = jax.random.split(KEY, 4000)
+    vals = jax.vmap(run)(keys)
+    assert np.isclose(float(vals.mean()), np.exp(mu * T), rtol=2e-2)
+
+
+def test_milstein_strong_order_vs_exact_gbm():
+    # GBM has exact solution X = X0 exp((mu - sigma^2/2) t + sigma W_t).
+    mu, sigma, T = 0.2, 0.5, 1.0
+    p = jnp.array([mu, sigma])
+
+    def path_err(key, dt):
+        prob = SDEProblem(
+            lambda u, pp, t: pp[0] * u,
+            lambda u, pp, t: pp[1] * u,
+            jnp.array([1.0]), (0.0, T), p,
+        )
+        sol = solve(prob, Milstein(), dt=dt, key=key)
+        # Reconstruct the same W_T from the same counter-based increments.
+        from scimlsensitivity_jl_tpu.ops.brownian import grid_increment
+        n = int(round(T / dt))
+        incs = jax.vmap(lambda i: grid_increment(key, i, (1,), dt))(jnp.arange(n))
+        WT = jnp.sum(incs)
+        exact = jnp.exp((mu - 0.5 * sigma ** 2) * T + sigma * WT)
+        return jnp.abs(sol.ys[-1, 0] - exact)
+
+    keys = jax.random.split(KEY, 200)
+    e1 = float(jax.vmap(lambda k: path_err(k, 1e-2))(keys).mean())
+    e2 = float(jax.vmap(lambda k: path_err(k, 1e-3))(keys).mean())
+    # Strong order 1: error ratio ~ 10.
+    assert e1 / e2 > 5.0, (e1, e2)
+
+
+def test_ito_stratonovich_consistency():
+    # Same Ito problem via EM (Ito) and via EulerHeun (Strat solver with
+    # auto drift conversion) must agree pathwise as dt -> 0.
+    p = jnp.array([0.2, 0.5])
+    prob = SDEProblem(
+        lambda u, pp, t: pp[0] * u,
+        lambda u, pp, t: pp[1] * u,
+        jnp.array([1.0]), (0.0, 1.0), p, interpretation="ito",
+    )
+    a = solve(prob, EulerMaruyama(), dt=2e-4, key=KEY).ys[-1, 0]
+    b = solve(prob, EulerHeun(), dt=2e-4, key=KEY).ys[-1, 0]
+    assert np.isclose(float(a), float(b), rtol=2e-2)
+
+
+def _sde_loss(sensealg, key, dt=1e-2):
+    ts = jnp.linspace(0.0, 1.0, 6)
+
+    def loss(p):
+        prob = SDEProblem(
+            lambda u, pp, t: jnp.stack([pp[0] * u[0] - pp[1] * u[0] * u[1],
+                                        -pp[2] * u[1] + pp[3] * u[0] * u[1]]),
+            lambda u, pp, t: 0.1 * u,
+            jnp.array([1.0, 1.0]), (0.0, 1.0), p, interpretation="ito",
+        )
+        sol = solve(prob, EulerMaruyama(), dt=dt, saveat=ts, key=key,
+                    sensealg=sensealg)
+        return jnp.sum((sol.ys - 1.0) ** 2)
+
+    return loss
+
+
+def test_sde_direct_adjoint_vs_fd():
+    p0 = jnp.array([1.5, 1.0, 3.0, 1.0])
+    loss = _sde_loss(DirectAdjoint(), KEY)
+    g = jax.grad(loss)(p0)
+    eps = 1e-6
+    g_fd = np.zeros(4)
+    for i in range(4):
+        pp = np.asarray(p0).copy(); pp[i] += eps
+        pm = np.asarray(p0).copy(); pm[i] -= eps
+        g_fd[i] = (loss(jnp.asarray(pp)) - loss(jnp.asarray(pm))) / (2 * eps)
+    assert np.allclose(g, g_fd, rtol=1e-6, atol=1e-8)
+
+
+def test_sde_interpolating_adjoint_exact():
+    # Stored-trajectory discrete adjoint == autodiff-through-scan gradients.
+    p0 = jnp.array([1.5, 1.0, 3.0, 1.0])
+    g_direct = jax.grad(_sde_loss(DirectAdjoint(), KEY))(p0)
+    g_interp = jax.grad(_sde_loss(InterpolatingAdjoint(), KEY))(p0)
+    assert np.allclose(g_interp, g_direct, rtol=1e-10)
+
+
+def test_sde_backsolve_adjoint_close():
+    # O(1)-memory reconstruction: approximate, checkpoint-snapped at 6 save
+    # nodes; must match the exact discrete adjoint to reconstruction error.
+    p0 = jnp.array([1.5, 1.0, 3.0, 1.0])
+    dt = 1e-3
+    g_direct = jax.grad(_sde_loss(DirectAdjoint(), KEY, dt))(p0)
+    g_back = jax.grad(_sde_loss(BacksolveAdjoint(), KEY, dt))(p0)
+    assert np.allclose(g_back, g_direct, rtol=2e-2), (g_back, g_direct)
+
+
+def test_sde_u0_gradient():
+    key = jax.random.PRNGKey(7)
+
+    def loss(u0, sensealg):
+        prob = SDEProblem(
+            lambda u, p, t: -u, lambda u, p, t: 0.2 * jnp.ones_like(u),
+            u0, (0.0, 1.0), None,
+        )
+        sol = solve(prob, EulerMaruyama(), dt=1e-2, key=key, sensealg=sensealg)
+        return jnp.sum(sol.ys[-1] ** 2)
+
+    u0 = jnp.array([1.0, -0.5])
+    g_d = jax.grad(lambda u: loss(u, DirectAdjoint()))(u0)
+    g_i = jax.grad(lambda u: loss(u, InterpolatingAdjoint()))(u0)
+    assert np.allclose(g_d, g_i, rtol=1e-10)
+
+
+def test_scalar_and_general_noise():
+    key = jax.random.PRNGKey(3)
+    # scalar noise: one Wiener process shared
+    prob_s = SDEProblem(
+        lambda u, p, t: -u, lambda u, p, t: 0.3 * jnp.ones_like(u),
+        jnp.array([1.0, 2.0]), (0.0, 0.5), None, noise="scalar",
+    )
+    sol_s = solve(prob_s, EulerMaruyama(), dt=1e-2, key=key)
+    assert sol_s.ys.shape == (2, 2)
+
+    # general (n x m) noise matrix
+    G = jnp.array([[0.1, 0.0], [0.05, 0.2]])
+    prob_g = SDEProblem(
+        lambda u, p, t: -u, lambda u, p, t: G,
+        jnp.array([1.0, 2.0]), (0.0, 0.5), None, noise="general", noise_dim=2,
+    )
+    sol_g = solve(prob_g, EulerMaruyama(), dt=1e-2, key=key)
+    assert sol_g.ys.shape == (2, 2)
+    assert np.all(np.isfinite(sol_g.ys))
+
+    # gradient through general noise (Direct)
+    def loss(u0):
+        pr = SDEProblem(lambda u, p, t: -u, lambda u, p, t: G, u0,
+                        (0.0, 0.5), None, noise="general", noise_dim=2)
+        return jnp.sum(solve(pr, EulerMaruyama(), dt=1e-2, key=key).ys ** 2)
+
+    g = jax.grad(loss)(jnp.array([1.0, 2.0]))
+    assert np.all(np.isfinite(g))

@@ -1,0 +1,132 @@
+"""Steady-state / nonlinear-solve adjoint tests (reference:
+test/Core6/steady_state.jl strategy — IFT gradients vs finite differences,
+dense and matrix-free paths)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from scimlsensitivity_jl_tpu import (
+    NonlinearProblem,
+    SteadyStateAdjoint,
+    SteadyStateProblem,
+    solve,
+    solve_nonlinear,
+    solve_unconstrained_optimization,
+)
+
+
+def test_nonlinear_root():
+    # u^2 - p = 0  ->  u* = sqrt(p); dL/dp for L = u* is 1/(2 sqrt(p)).
+    prob = NonlinearProblem(lambda u, p: u ** 2 - p, jnp.array([1.0]),
+                            jnp.asarray(2.0))
+    sol = solve_nonlinear(prob)
+    assert np.allclose(sol.u, np.sqrt(2.0), rtol=1e-10)
+    assert int(sol.retcode) == 0
+
+    def loss(p):
+        s = solve_nonlinear(NonlinearProblem(lambda u, pp: u ** 2 - pp,
+                                             jnp.array([1.0]), p))
+        return s.u[0]
+
+    g = jax.grad(loss)(jnp.asarray(2.0))
+    assert np.allclose(g, 0.5 / np.sqrt(2.0), rtol=1e-8)
+
+
+def test_steady_state_problem_via_solve():
+    # ODE du/dt = p - u  ->  steady state u* = p.
+    prob = SteadyStateProblem(lambda u, p, t: p - u, jnp.array([0.3]),
+                              jnp.asarray(1.7))
+    sol = solve(prob)
+    assert np.allclose(sol.u, 1.7, atol=1e-9)
+
+    def loss(p):
+        s = solve(SteadyStateProblem(lambda u, pp, t: pp - u,
+                                     jnp.array([0.3]), p))
+        return jnp.sum(s.u ** 2)
+
+    g = jax.grad(loss)(jnp.asarray(1.7))
+    assert np.allclose(g, 2 * 1.7, rtol=1e-8)
+
+
+def test_ift_gradient_multidim_vs_fd():
+    # f(u, p) = A(p) u - b(p) with nonlinear twist; u* solves the system.
+    key = jax.random.PRNGKey(1)
+    A = jax.random.normal(key, (5, 5), jnp.float64) + 5.0 * jnp.eye(5)
+
+    def f(u, p):
+        return A @ u + 0.1 * jnp.tanh(u) - p
+
+    p0 = jnp.arange(1.0, 6.0)
+
+    def loss(p):
+        s = solve_nonlinear(NonlinearProblem(f, jnp.zeros(5), p))
+        return jnp.sum(s.u ** 2)
+
+    g = jax.grad(loss)(p0)
+    eps = 1e-6
+    g_fd = np.zeros(5)
+    for i in range(5):
+        pp = np.asarray(p0).copy(); pp[i] += eps
+        pm = np.asarray(p0).copy(); pm[i] -= eps
+        g_fd[i] = (loss(jnp.asarray(pp)) - loss(jnp.asarray(pm))) / (2 * eps)
+    assert np.allclose(g, g_fd, rtol=1e-6, atol=1e-9)
+
+
+def test_matrix_free_gmres_path():
+    # Force the matrix-free branch with dense_cutoff=0.
+    def f(u, p):
+        return u ** 3 + u - p
+
+    p0 = jnp.linspace(1.0, 2.0, 8)
+    sa = SteadyStateAdjoint(linsolve="gmres", dense_cutoff=0)
+
+    def loss(p):
+        s = solve_nonlinear(NonlinearProblem(f, jnp.ones(8), p), sensealg=sa)
+        return jnp.sum(s.u ** 2)
+
+    def loss_dense(p):
+        s = solve_nonlinear(NonlinearProblem(f, jnp.ones(8), p))
+        return jnp.sum(s.u ** 2)
+
+    g = jax.grad(loss)(p0)
+    g_ref = jax.grad(loss_dense)(p0)
+    assert np.allclose(g, g_ref, rtol=1e-7, atol=1e-10)
+
+
+def test_unconstrained_optimization_adjoint():
+    # argmin_u (u - p)^2 + 0.1 u^4 ; d(u*)/dp via IFT vs fd.
+    def phi(u, p):
+        return jnp.sum((u - p) ** 2 + 0.1 * u ** 4)
+
+    p0 = jnp.array([0.7, -0.3])
+
+    def loss(p):
+        s = solve_unconstrained_optimization(phi, jnp.zeros(2), p)
+        return jnp.sum(s.u)
+
+    g = jax.grad(loss)(p0)
+    eps = 1e-6
+    g_fd = np.zeros(2)
+    for i in range(2):
+        pp = np.asarray(p0).copy(); pp[i] += eps
+        pm = np.asarray(p0).copy(); pm[i] -= eps
+        g_fd[i] = (loss(jnp.asarray(pp)) - loss(jnp.asarray(pm))) / (2 * eps)
+    assert np.allclose(g, g_fd, rtol=1e-6, atol=1e-9)
+
+
+def test_pytree_params_steady_state():
+    def f(u, p):
+        return p["A"] @ u - p["b"]
+
+    p = {"A": 3.0 * jnp.eye(3) + 0.1, "b": jnp.array([1.0, 2.0, 3.0])}
+
+    def loss(p_):
+        s = solve_nonlinear(NonlinearProblem(f, jnp.zeros(3), p_))
+        return jnp.sum(s.u)
+
+    g = jax.grad(loss)(p)
+    assert set(g.keys()) == {"A", "b"}
+    # dL/db = (A^-T) 1
+    expect_b = np.linalg.solve(np.asarray(p["A"]).T, np.ones(3))
+    assert np.allclose(g["b"], expect_b, rtol=1e-8)
