@@ -23,7 +23,101 @@ import jax.numpy as jnp
 from ..ops.interp import DenseOutput
 from ..solvers.integrate import IntegrateResult, Stats, integrate
 
-__all__ = ["ForwardResult", "forward_saveat_solve", "reverse_segment_scan", "save_hook_factory"]
+__all__ = [
+    "ForwardResult",
+    "forward_saveat_solve",
+    "reverse_joined_solve",
+    "save_hook_factory",
+]
+
+
+def reverse_joined_solve(
+    stepper,
+    aug_rhs: Callable,
+    times: jnp.ndarray,
+    lam_jumps: jnp.ndarray,
+    z_init: jnp.ndarray,
+    n_lam: int,
+    *,
+    rtol,
+    atol,
+    max_steps: int,
+    hook: Optional[Callable] = None,
+    hook_carry: Any = None,
+    snap_values: Optional[jnp.ndarray] = None,
+    snap_start: Optional[int] = None,
+    collect_dense: bool = False,
+    err_weights=None,
+):
+    """ONE adaptive reverse solve over [times[-1] -> times[0]] with the
+    discrete loss cotangents `lam_jumps[k]` added into z[:n_lam] exactly when
+    the integrator lands on times[k] (ReverseLossCallback jumps applied via
+    the driver's stop_transform — no per-segment loop restarts, so the
+    controller state and initial-dt search are paid once, not per segment).
+
+    times ascending, shape (m,); lam_jumps (m, n_lam). Duplicated times fire
+    all their jumps at once. snap_values (m, k)+snap_start: overwrite
+    z[snap_start:snap_start+k] with snap_values[j] at times[j] (Backsolve's
+    checkpoint snap). hook: per-accepted-step hook over the user carry.
+
+    Returns (z_at_t0_after_all_jumps, hook_carry, retcode, dense).
+    """
+    dtype = z_init.dtype
+    times = jnp.asarray(times, dtype)
+    m = times.shape[0]
+    t_hi = times[-1]
+    t_lo = times[0]
+    eps = jnp.finfo(dtype).eps
+
+    def apply_at(t, z, k):
+        tol = 64.0 * eps * jnp.maximum(jnp.maximum(jnp.abs(t), jnp.abs(t_hi)), 1.0)
+
+        def cond(c):
+            z_, k_ = c
+            return (k_ >= 0) & (jnp.abs(times[jnp.maximum(k_, 0)] - t) <= tol)
+
+        def body(c):
+            z_, k_ = c
+            z_ = z_.at[:n_lam].add(lam_jumps[k_])
+            if snap_values is not None:
+                kk = snap_values.shape[1]
+                z_ = jax.lax.dynamic_update_slice(
+                    z_, snap_values[k_], (snap_start,)
+                )
+            return (z_, k_ - 1)
+
+        return jax.lax.while_loop(cond, body, (z, k))
+
+    z0, k0 = apply_at(t_hi, z_init, jnp.asarray(m - 1, jnp.int32))
+
+    def stop_transform(t, z, carry):
+        hc, k = carry
+        z2, k2 = apply_at(t, z, k)
+        return z2, (hc, k2), k2 != k
+
+    if hook is not None:
+        wrapped_hook = lambda rec, carry: (hook(rec, carry[0]), carry[1])
+    else:
+        wrapped_hook = lambda rec, carry: carry
+
+    res = integrate(
+        stepper,
+        aug_rhs,
+        t_hi,
+        t_lo,
+        z0,
+        rtol=rtol,
+        atol=atol,
+        max_steps=max_steps + m + 4,
+        tstops=times,
+        hook=wrapped_hook,
+        hook_carry=(hook_carry, k0),
+        stop_transform=stop_transform,
+        store_dense=collect_dense,
+        err_weights=err_weights,
+    )
+    hc, _k = res.hook_carry
+    return res.u_final, hc, res.stats.retcode, res.dense
 
 
 class ForwardResult(NamedTuple):
@@ -129,69 +223,3 @@ def forward_saveat_solve(
     return fwd, extra_carry
 
 
-def reverse_segment_scan(
-    stepper,
-    aug_rhs: Callable,
-    saveat: jnp.ndarray,
-    lam_jumps: jnp.ndarray,
-    z_init: jnp.ndarray,
-    n_lam: int,
-    *,
-    rtol,
-    atol,
-    max_steps_per_segment: int,
-    seg_hook: Optional[Callable] = None,
-    seg_hook_carry: Any = None,
-    boundary_fn: Optional[Callable] = None,
-    collect_dense: bool = False,
-    err_weights=None,
-):
-    """Integrate the augmented adjoint state backwards over inter-save
-    segments, adding the discrete loss cotangent `lam_jumps[i]` into the
-    leading `n_lam` entries of z at each save time (the ReverseLossCallback
-    jump, reference: src/adjoint_common.jl:754-789).
-
-    aug_rhs(z, t) -> dz ; segments walked i = nt-1 .. 1, each an adaptive
-    solve from saveat[i] to saveat[i-1].
-
-    boundary_fn(z, i) -> z  : applied after the λ jump at segment start
-        (Backsolve's checkpoint snap of the trailing u block).
-    seg_hook / seg_hook_carry : per-accepted-step hook threaded through every
-        segment (Gauss quadrature accumulation).
-    collect_dense : also return each segment's dense interpolant, stacked in
-        walk order (segment j covers [saveat[nt-1-j-1], saveat[nt-1-j]]) —
-        QuadratureAdjoint needs the dense reverse λ.
-
-    Returns (z_at_t0_after_final_jump, hook_carry, worst_retcode, seg_dense).
-    """
-    nt = saveat.shape[0]
-
-    def body(carry, i):
-        z, hc, worst = carry
-        z = z.at[:n_lam].add(lam_jumps[i])
-        if boundary_fn is not None:
-            z = boundary_fn(z, i)
-        t_hi = saveat[i]
-        t_lo = saveat[i - 1]
-        res = integrate(
-            stepper,
-            aug_rhs,
-            t_hi,
-            t_lo,
-            z,
-            rtol=rtol,
-            atol=atol,
-            max_steps=max_steps_per_segment,
-            hook=seg_hook,
-            hook_carry=hc,
-            store_dense=collect_dense,
-            err_weights=err_weights,
-        )
-        worst = jnp.maximum(worst, res.stats.retcode)
-        out = res.dense if collect_dense else None
-        return (res.u_final, res.hook_carry, worst), out
-
-    init = (z_init, seg_hook_carry, jnp.asarray(0, jnp.int32))
-    (z, hc, worst), seg_dense = jax.lax.scan(body, init, jnp.arange(nt - 1, 0, -1))
-    z = z.at[:n_lam].add(lam_jumps[0])
-    return z, hc, worst, seg_dense

@@ -52,7 +52,7 @@ from ..sensealg import (
 )
 from ..solvers.integrate import Stats, integrate
 from ..utils.pytree import ravel_pytree
-from .common import forward_saveat_solve, reverse_segment_scan
+from .common import forward_saveat_solve, reverse_joined_solve
 
 __all__ = ["SolveOptions", "AuxOut", "make_ode_solve_fn"]
 
@@ -228,10 +228,10 @@ def make_ode_solve_fn(f, solver, sensealg, opts: SolveOptions, t0, t1, *,
             wts = jnp.concatenate(
                 [jnp.ones(n, u0vec.dtype), jnp.zeros(npf, u0vec.dtype)]
             )
-            z, _, worst, _ = reverse_segment_scan(
+            z, _, worst, _ = reverse_joined_solve(
                 bwd_stepper, aug_rhs, times, jumps, z0, n,
                 rtol=adj_rtol, atol=adj_atol,
-                max_steps_per_segment=adj_max_steps,
+                max_steps=adj_max_steps,
                 err_weights=wts,
             )
             return _returns(unravel_u, unravel_p, z[:n], z[n:], saveat,
@@ -296,26 +296,25 @@ def make_ode_solve_fn(f, solver, sensealg, opts: SolveOptions, t0, t1, *,
         z0 = jnp.concatenate([jnp.zeros(n + npf, u0vec.dtype), fwd.u_final])
 
         if sensealg.checkpointing:
-            ckpt_vals = jnp.concatenate(
+            # Snap the trailing u block back to the stored forward value at
+            # each save time (backsolve_adjoint.jl:523-546).
+            snap_values = jnp.concatenate(
                 [u0vec[None], fwd.ys_save, fwd.u_final[None]], axis=0
             )
-
-            def boundary_fn(z, i):
-                # Snap the trailing u block back to the stored forward value
-                # at this save time (backsolve_adjoint.jl:523-546).
-                return z.at[n + npf:].set(ckpt_vals[i])
+            snap_start = n + npf
         else:
-            boundary_fn = None
+            snap_values = None
+            snap_start = None
 
         wts = jnp.concatenate(
             [jnp.ones(n, u0vec.dtype), jnp.zeros(npf, u0vec.dtype),
              jnp.ones(n, u0vec.dtype)]
         )
-        z, _, worst, _ = reverse_segment_scan(
+        z, _, worst, _ = reverse_joined_solve(
             bwd_stepper, aug_rhs, times, jumps, z0, n,
             rtol=adj_rtol, atol=adj_atol,
-            max_steps_per_segment=adj_max_steps,
-            boundary_fn=boundary_fn,
+            max_steps=adj_max_steps,
+            snap_values=snap_values, snap_start=snap_start,
             err_weights=wts,
         )
         return _returns(unravel_u, unravel_p, z[:n], z[n:n + npf], saveat,
@@ -351,11 +350,11 @@ def make_ode_solve_fn(f, solver, sensealg, opts: SolveOptions, t0, t1, *,
 
         lam0 = jnp.zeros(n, u0vec.dtype)
         q0 = jnp.zeros(npf, u0vec.dtype)
-        lam, qflat, worst, _ = reverse_segment_scan(
+        lam, qflat, worst, _ = reverse_joined_solve(
             bwd_stepper, aug_rhs, times, jumps, lam0, n,
             rtol=adj_rtol, atol=adj_atol,
-            max_steps_per_segment=adj_max_steps,
-            seg_hook=gauss_hook, seg_hook_carry=q0,
+            max_steps=adj_max_steps,
+            hook=gauss_hook, hook_carry=q0,
         )
         return _returns(unravel_u, unravel_p, lam, qflat, saveat,
                         jnp.maximum(fwd.stats.retcode, worst))
@@ -372,48 +371,44 @@ def make_ode_solve_fn(f, solver, sensealg, opts: SolveOptions, t0, t1, *,
             return -kern.vjp_u(y, p, t, lam)
 
         lam0 = jnp.zeros(n, u0vec.dtype)
-        lam, _, worst, seg_dense = reverse_segment_scan(
+        lam, _, worst, lam_dense = reverse_joined_solve(
             bwd_stepper, aug_rhs, times, jumps, lam0, n,
             rtol=adj_rtol, atol=adj_atol,
-            max_steps_per_segment=adj_max_steps,
+            max_steps=adj_max_steps,
             collect_dense=True,
         )
 
-        # dG/dp = Σ_segments ∫ λᵀ∂f/∂p dt. Nodes are placed on the recorded
-        # reverse step grid (GL panel per accepted λ-step): where λ has a
-        # boundary layer the solver's own steps cluster, so the quadrature is
-        # adaptive for free — the fixed-shape replacement for quadgk's
-        # h-adaptivity (quadrature_adjoint.jl:536-615). Padding rows of the
-        # dense buffers have zero width and contribute nothing. All
-        # (segment, step, node) evaluations run as one batched sweep.
+        # dG/dp = ∫ λᵀ∂f/∂p dt over the whole reverse span. Nodes are placed
+        # on the recorded reverse step grid (one GL panel per accepted
+        # λ-step): where λ has a boundary layer the solver's own steps
+        # cluster, so the quadrature is adaptive for free — the fixed-shape
+        # replacement for quadgk's h-adaptivity
+        # (quadrature_adjoint.jl:536-615). λ-jump discontinuities sit on
+        # zero-width dense rows, and padding rows also have zero width, so
+        # both contribute nothing. All (step, node) evals in one vmapped sweep.
         order = opts.quad_order
         xg, wg = _gl_nodes(order, u0vec.dtype)
-        n_seg = times.shape[0] - 1
 
-        def seg_integral(j):
-            sd = jax.tree_util.tree_map(lambda a: a[j], seg_dense)
+        def row(k):
+            ta = lam_dense.ts[k]
+            tb = lam_dense.ts[k + 1]
+            w_t = tb - ta  # negative walking backwards; 0 on padding/jumps
 
-            def row(k):
-                ta = sd.ts[k]
-                tb = sd.ts[k + 1]
-                w_t = tb - ta  # negative walking backwards; 0 on padding
+            def node(xj):
+                tj = ta + w_t * xj
+                lam_j = hermite_eval(tj, ta, tb, lam_dense.ys[k],
+                                     lam_dense.fs[k], lam_dense.ys[k + 1],
+                                     lam_dense.fs[k + 1])
+                yj = dense_eval(dense, tj)
+                pbar = kern.vjp_p(yj, p, tj, lam_j)
+                return ravel_pytree(pbar)[0]
 
-                def node(xj):
-                    tj = ta + w_t * xj
-                    lam_j = hermite_eval(tj, ta, tb, sd.ys[k], sd.fs[k],
-                                         sd.ys[k + 1], sd.fs[k + 1])
-                    yj = dense_eval(dense, tj)
-                    pbar = kern.vjp_p(yj, p, tj, lam_j)
-                    return ravel_pytree(pbar)[0]
+            vals = jax.vmap(node)(xg)
+            # forward-orientation integral over the step: -(tb-ta)·Σ w·v
+            return -w_t * jnp.einsum("j,jk->k", wg, vals)
 
-                vals = jax.vmap(node)(xg)
-                # forward-orientation integral over the step: -(tb-ta)·Σ w·v
-                return -w_t * jnp.einsum("j,jk->k", wg, vals)
-
-            msub = sd.ts.shape[0] - 1
-            return jnp.sum(jax.vmap(row)(jnp.arange(msub)), axis=0)
-
-        q = jnp.sum(jax.lax.map(seg_integral, jnp.arange(n_seg)), axis=0)
+        msub = lam_dense.ts.shape[0] - 1
+        q = jnp.sum(jax.vmap(row)(jnp.arange(msub)), axis=0)
         return _returns(unravel_u, unravel_p, lam, q, saveat,
                         jnp.maximum(fwd.stats.retcode, worst))
 

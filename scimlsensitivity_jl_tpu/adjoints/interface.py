@@ -35,7 +35,7 @@ from ..sensealg import (
     QuadratureAdjoint,
 )
 from ..utils.pytree import ravel_pytree
-from .common import reverse_segment_scan
+from .common import reverse_joined_solve
 from .continuous import _extend_times
 
 __all__ = ["adjoint_sensitivities"]
@@ -159,9 +159,10 @@ def adjoint_sensitivities(
             f"adjoint_sensitivities does not support {sensealg!r}"
         )
 
-    z, _, worst, _ = reverse_segment_scan(
+    wts = jnp.ones(n_state, dtype).at[n:n + npf].set(0.0)
+    z, _, worst, _ = reverse_joined_solve(
         solver, aug_rhs, times, jumps, z0, n,
-        rtol=rtol, atol=atol, max_steps_per_segment=max_steps,
+        rtol=rtol, atol=atol, max_steps=max_steps, err_weights=wts,
     )
     du0 = unravel_u(z[:n])
     dp = unravel_p(z[n:n + npf] + dp_disc)

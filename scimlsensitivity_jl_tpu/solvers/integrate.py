@@ -127,6 +127,7 @@ def integrate(
     factor_max=10.0,
     store_dense: bool = True,
     err_weights: Optional[jnp.ndarray] = None,
+    stop_transform: Optional[Callable] = None,
 ) -> IntegrateResult:
     """Adaptively integrate du/dt = fvec(u, t) from t0 to t1 (t1 < t0 allowed).
 
@@ -135,6 +136,13 @@ def integrate(
         (u1, f1, err)`; `err` is the embedded local-error vector.
     hook: optional `(step_record, carry) -> carry` called on accepted steps,
         step_record = (t_old, t_new, y0, f0, y1, f1).
+    stop_transform: optional `(t, u, carry) -> (u', carry', fired)` invoked
+        whenever an accepted step lands exactly on a tstop — the
+        PresetTimeCallback analogue (reference: src/adjoint_common.jl:824-868).
+        When `fired`, f is re-evaluated at u' and a zero-width dense row is
+        appended carrying the post-event state, so the interpolant represents
+        both sides of the discontinuity. Size max_steps to include one extra
+        row per firing stop.
     """
     u0 = jnp.asarray(u0)
     dtype = u0.dtype
@@ -239,6 +247,33 @@ def integrate(
             )
         else:
             hook_carry = c.hook_carry
+
+        if stop_transform is not None:
+            # This accepted step landed exactly on a stop iff dt was clipped.
+            hit_stop = accept & (jnp.abs(c.dt) >= jnp.abs(remaining))
+
+            def _apply(args):
+                u_, f_, hc_ = args
+                u_p, hc_p, fired = stop_transform(t_new, u_, hc_)
+                f_p = jax.lax.cond(
+                    fired, lambda: fvec(u_p, t_new), lambda: f_
+                )
+                return u_p, f_p, hc_p, fired
+
+            def _skip(args):
+                u_, f_, hc_ = args
+                return u_, f_, hc_, jnp.asarray(False)
+
+            u_new, f_new, hook_carry, fired = jax.lax.cond(
+                hit_stop, _apply, _skip, (u_new, f_new, hook_carry)
+            )
+            wrote = hit_stop & fired
+            # Post-event state as a zero-width dense row at the same time.
+            idx2 = jnp.minimum(n_acc + 1, buf_len - 1)
+            ts = ts.at[idx2].set(jnp.where(wrote, t_new, ts[idx2]))
+            ys = ys.at[idx2].set(jnp.where(wrote, u_new, ys[idx2]))
+            fs = fs.at[idx2].set(jnp.where(wrote, f_new, fs[idx2]))
+            n_acc = n_acc + wrote.astype(jnp.int32)
 
         done = accept & ((t1 - t_new) * tdir <= jnp.abs(t1) * 1e-14 + 1e-300)
         dt_floor = jnp.asarray(1e-14, dtype) * jnp.maximum(1.0, jnp.abs(t_new))
