@@ -47,6 +47,13 @@ from .adjoints.forward import (
 from .solution import ODESolution
 from .solve import solve
 from .adjoints.interface import adjoint_sensitivities
+from .adjoints.shadowing import (
+    AdjointLSSProblem,
+    ForwardLSSProblem,
+    NILSSProblem,
+    shadow_adjoint,
+    shadow_forward,
+)
 from .adjoints.steadystate import (
     NonlinearSolution,
     solve_nonlinear,
@@ -78,6 +85,11 @@ __all__ = [
     "NonlinearSolution",
     "solve_nonlinear",
     "solve_unconstrained_optimization",
+    "ForwardLSSProblem",
+    "AdjointLSSProblem",
+    "NILSSProblem",
+    "shadow_forward",
+    "shadow_adjoint",
     "ODESolution",
     "Tsit5",
     "Dopri5",

@@ -226,23 +226,28 @@ class Cos2Windowing(AbstractWindowing):
 
 @dataclass(frozen=True)
 class TimeDilation(AbstractWindowing):
-    """time-dilation regularization (reference :1033)."""
+    """time-dilation regularization (reference :1033); `alpha` is the
+    dilation strength (wE⁻¹ = Δt/(α²·dt), lss.jl:291-295)."""
 
-    g0: float = 1.0
+    alpha: float = 10.0
     t0skip: float = 0.0
     t1skip: float = 0.0
 
 
 @dataclass(frozen=True)
 class ForwardLSS(AbstractShadowingSensealg):
-    """Least-squares shadowing, forward formulation (reference: src/lss.jl)."""
+    """Least-squares shadowing, forward formulation (reference: src/lss.jl).
+    `g(u, p, t)` is the long-time-averaged objective (required for
+    TimeDilation, reference check_for_g lss.jl:743)."""
 
-    alpha: AbstractWindowing = field(default_factory=CosWindowing)
+    LSSregularizer: AbstractWindowing = field(default_factory=CosWindowing)
+    g: Optional[object] = None
 
 
 @dataclass(frozen=True)
 class AdjointLSS(AbstractShadowingSensealg):
-    alpha: AbstractWindowing = field(default_factory=lambda: TimeDilation(10.0))
+    LSSregularizer: AbstractWindowing = field(default_factory=lambda: TimeDilation(10.0))
+    g: Optional[object] = None
 
 
 @dataclass(frozen=True)
@@ -253,6 +258,7 @@ class NILSS(AbstractShadowingSensealg):
     nstep: int = 100
     nus: Optional[int] = None
     rng_seed: int = 1234
+    g: Optional[object] = None
 
 
 @dataclass(frozen=True)
@@ -263,6 +269,7 @@ class NILSAS(AbstractShadowingSensealg):
     nstep: int = 100
     M: int = 2
     rng_seed: int = 1234
+    g: Optional[object] = None
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,92 @@
+"""Shadowing tests — Lorenz oracle d⟨z⟩/dρ ≈ 1.01 from the literature
+(reference: test/Shadowing/shadowing.jl — asserts LSS/NILSS/NILSAS against
+this value across regularizers)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from scimlsensitivity_jl_tpu import (
+    AdjointLSS,
+    AdjointLSSProblem,
+    Cos2Windowing,
+    CosWindowing,
+    ForwardLSS,
+    ForwardLSSProblem,
+    ODEProblem,
+    TimeDilation,
+    Tsit5,
+    shadow_adjoint,
+    shadow_forward,
+    solve,
+)
+
+RHO_SENS = 1.01  # literature value for d<z>/drho at rho=28
+
+
+def lorenz_rho(u, p, t):
+    x, y, z = u[0], u[1], u[2]
+    return jnp.stack([
+        10.0 * (y - x),
+        x * (p[0] - z) - y,
+        x * y - (8.0 / 3.0) * z,
+    ])
+
+
+def g(u, p, t):
+    return u[2]
+
+
+@pytest.fixture(scope="module")
+def attractor_sol():
+    p = jnp.array([28.0])
+    # warm onto the attractor (same u0 the reference uses post-warmup)
+    u0 = jnp.array([-2.259143724332269, -2.47457604992522, 18.939914218990612])
+    ts = jnp.arange(0.0, 10.0 + 1e-9, 0.01) + 30.0
+    prob = ODEProblem(lorenz_rho, u0, (30.0, 40.0), p)
+    return solve(prob, Tsit5(), saveat=ts, rtol=1e-11, atol=1e-13,
+                 max_steps=16384)
+
+
+@pytest.mark.parametrize("reg", [
+    CosWindowing(), Cos2Windowing(), TimeDilation(10.0),
+], ids=lambda r: type(r).__name__)
+def test_forward_lss_lorenz(attractor_sol, reg):
+    prob = ForwardLSSProblem(attractor_sol, ForwardLSS(LSSregularizer=reg, g=g))
+    res = shadow_forward(prob)
+    assert res.shape == (1,)
+    assert np.isclose(float(res[0]), RHO_SENS, atol=0.12), float(res[0])
+
+
+def test_forward_lss_with_dgdu(attractor_sol):
+    def dg(u, p, t):
+        return jnp.array([0.0, 0.0, 1.0])
+
+    prob = ForwardLSSProblem(
+        attractor_sol, ForwardLSS(LSSregularizer=TimeDilation(10.0), g=g),
+        dgdu_continuous=dg,
+    )
+    res = shadow_forward(prob)
+    assert np.isclose(float(res[0]), RHO_SENS, atol=0.12), float(res[0])
+
+
+def test_adjoint_lss_matches_forward(attractor_sol):
+    fwd = shadow_forward(ForwardLSSProblem(
+        attractor_sol, ForwardLSS(LSSregularizer=TimeDilation(10.0), g=g)))
+    adj = shadow_adjoint(AdjointLSSProblem(
+        attractor_sol, AdjointLSS(LSSregularizer=TimeDilation(10.0), g=g)))
+    assert np.isclose(float(adj[0]), RHO_SENS, atol=0.12), float(adj[0])
+    assert np.isclose(float(adj[0]), float(fwd[0]), atol=0.05)
+
+
+def test_nilss_lorenz():
+    from scimlsensitivity_jl_tpu import NILSS, NILSSProblem
+
+    p = jnp.array([28.0])
+    u0 = jnp.array([-2.259143724332269, -2.47457604992522, 18.939914218990612])
+    prob = ODEProblem(lorenz_rho, u0, (30.0, 60.0), p)
+    nprob = NILSSProblem(prob, NILSS(nseg=30, nstep=101), g=g)
+    res = shadow_forward(nprob, Tsit5(), rtol=1e-8, atol=1e-10)
+    assert res.shape == (1,)
+    assert np.isclose(float(res[0]), RHO_SENS, atol=0.25), float(res[0])
