@@ -90,3 +90,20 @@ def test_nilss_lorenz():
     res = shadow_forward(nprob, Tsit5(), rtol=1e-8, atol=1e-10)
     assert res.shape == (1,)
     assert np.isclose(float(res[0]), RHO_SENS, atol=0.25), float(res[0])
+
+
+def test_nilsas_lorenz():
+    from scimlsensitivity_jl_tpu import NILSAS
+    from scimlsensitivity_jl_tpu.adjoints.shadowing.nilsas import (
+        NILSASProblem,
+        nilsas_shadow_adjoint,
+    )
+
+    p = jnp.array([28.0])
+    u0 = jnp.array([-2.259143724332269, -2.47457604992522, 18.939914218990612])
+    prob = ODEProblem(lorenz_rho, u0, (30.0, 60.0), p)
+    nprob = NILSASProblem(prob, NILSAS(nseg=30, nstep=101, M=2), g=g)
+    res = nilsas_shadow_adjoint(nprob, Tsit5(), fwd_rtol=1e-10,
+                                max_steps=32768)
+    assert res.shape == (1,)
+    assert np.isclose(float(res[0]), RHO_SENS, atol=0.25), float(res[0])
