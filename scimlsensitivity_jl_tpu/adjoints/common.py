@@ -48,6 +48,9 @@ def reverse_joined_solve(
     snap_start: Optional[int] = None,
     collect_dense: bool = False,
     err_weights=None,
+    event_times: Optional[jnp.ndarray] = None,
+    event_count=None,
+    event_apply: Optional[Callable] = None,
 ):
     """ONE adaptive reverse solve over [times[-1] -> times[0]] with the
     discrete loss cotangents `lam_jumps[k]` added into z[:n_lam] exactly when
@@ -70,35 +73,61 @@ def reverse_joined_solve(
     eps = jnp.finfo(dtype).eps
 
     def apply_at(t, z, k):
+        # Unrolled (not a while_loop — nested whiles explode TPU compile
+        # times): at most 3 times can coincide (a saveat point duplicated by
+        # the t0/t1 extension), since saveat is validated strictly monotone.
         tol = 64.0 * eps * jnp.maximum(jnp.maximum(jnp.abs(t), jnp.abs(t_hi)), 1.0)
-
-        def cond(c):
-            z_, k_ = c
-            return (k_ >= 0) & (jnp.abs(times[jnp.maximum(k_, 0)] - t) <= tol)
-
-        def body(c):
-            z_, k_ = c
-            z_ = z_.at[:n_lam].add(lam_jumps[k_])
+        for _ in range(3):
+            kc = jnp.maximum(k, 0)
+            match = (k >= 0) & (jnp.abs(times[kc] - t) <= tol)
+            z = z.at[:n_lam].add(jnp.where(match, lam_jumps[kc], 0.0))
             if snap_values is not None:
                 kk = snap_values.shape[1]
-                z_ = jax.lax.dynamic_update_slice(
-                    z_, snap_values[k_], (snap_start,)
+                cur = jax.lax.dynamic_slice(z, (snap_start,), (kk,))
+                z = jax.lax.dynamic_update_slice(
+                    z, jnp.where(match, snap_values[kc], cur), (snap_start,)
                 )
-            return (z_, k_ - 1)
-
-        return jax.lax.while_loop(cond, body, (z, k))
+            k = k - match.astype(k.dtype)
+        return z, k
 
     z0, k0 = apply_at(t_hi, z_init, jnp.asarray(m - 1, jnp.int32))
 
+    have_events = event_apply is not None and event_times is not None
+    ke0 = (jnp.asarray(event_count, jnp.int32) - 1) if have_events else jnp.asarray(-1, jnp.int32)
+
     def stop_transform(t, z, carry):
-        hc, k = carry
+        hc, k, ke = carry
         z2, k2 = apply_at(t, z, k)
-        return z2, (hc, k2), k2 != k
+        fired = k2 != k
+        if have_events:
+            tol = 64.0 * eps * jnp.maximum(
+                jnp.maximum(jnp.abs(t), jnp.abs(t_hi)), 1.0
+            )
+            # Unrolled: distinct events never share a time (one event per
+            # accepted step in the forward pass).
+            ke2 = ke
+            kec = jnp.maximum(ke2, 0)
+            match = (ke2 >= 0) & (jnp.abs(event_times[kec] - t) <= tol)
+
+            def _apply_ev(args):
+                z_, hc_ = args
+                return event_apply(kec, t, z_, hc_)
+
+            z2, hc = jax.lax.cond(match, _apply_ev, lambda a: a, (z2, hc))
+            ke2 = ke2 - match.astype(ke2.dtype)
+            fired = fired | match
+        else:
+            ke2 = ke
+        return z2, (hc, k2, ke2), fired
 
     if hook is not None:
-        wrapped_hook = lambda rec, carry: (hook(rec, carry[0]), carry[1])
+        wrapped_hook = lambda rec, carry: (hook(rec, carry[0]), carry[1], carry[2])
     else:
         wrapped_hook = lambda rec, carry: carry
+
+    all_stops = times if not have_events else jnp.sort(
+        jnp.concatenate([times, jnp.asarray(event_times, dtype)])
+    )
 
     res = integrate(
         stepper,
@@ -109,14 +138,14 @@ def reverse_joined_solve(
         rtol=rtol,
         atol=atol,
         max_steps=max_steps + m + 4,
-        tstops=times,
+        tstops=all_stops,
         hook=wrapped_hook,
-        hook_carry=(hook_carry, k0),
+        hook_carry=(hook_carry, k0, ke0),
         stop_transform=stop_transform,
         store_dense=collect_dense,
         err_weights=err_weights,
     )
-    hc, _k = res.hook_carry
+    hc, _k, _ke = res.hook_carry
     return res.u_final, hc, res.stats.retcode, res.dense
 
 
@@ -126,6 +155,7 @@ class ForwardResult(NamedTuple):
     t_final: jnp.ndarray
     u_final: jnp.ndarray
     stats: Stats
+    events: Any = None  # (ev_ts, ev_upre, ev_idx, ev_count) when callbacks on
 
 
 def save_hook_factory(saveat: jnp.ndarray, tdir, dtype):
@@ -167,6 +197,7 @@ def forward_saveat_solve(
     store_dense: bool = True,
     extra_hook: Optional[Callable] = None,
     extra_hook_carry: Any = None,
+    event_set=None,
 ) -> Tuple[ForwardResult, Any]:
     """Forward solve capturing saveat states exactly; optionally composes a
     second per-step hook (event tracking, Gauss accumulation)."""
@@ -211,6 +242,7 @@ def forward_saveat_solve(
         hook=hook,
         hook_carry=carry0,
         store_dense=store_dense,
+        event_set=event_set,
     )
     (save_buf, _k), extra_carry = res.hook_carry
     fwd = ForwardResult(
@@ -219,6 +251,7 @@ def forward_saveat_solve(
         t_final=res.t_final,
         u_final=res.u_final,
         stats=res.stats,
+        events=res.events,
     )
     return fwd, extra_carry
 

@@ -53,6 +53,7 @@ class IntegrateResult(NamedTuple):
     u_final: jnp.ndarray
     stats: Stats
     hook_carry: Any
+    events: Any = None  # (ev_ts, ev_upre, ev_idx, ev_count) when events on
 
 
 def hairer_norm(x):
@@ -93,6 +94,7 @@ class _Carry(NamedTuple):
     ys: jnp.ndarray
     fs: jnp.ndarray
     hook_carry: Any
+    events: Any = None  # (ev_ts, ev_upre, ev_idx, ev_count) or None
 
 
 def _next_stop(t, t1, tstops, tdir, dtype):
@@ -128,6 +130,7 @@ def integrate(
     store_dense: bool = True,
     err_weights: Optional[jnp.ndarray] = None,
     stop_transform: Optional[Callable] = None,
+    event_set=None,
 ) -> IntegrateResult:
     """Adaptively integrate du/dt = fvec(u, t) from t0 to t1 (t1 < t0 allowed).
 
@@ -174,6 +177,17 @@ def integrate(
     beta1 = controller[0] / (order + 1.0)
     beta2 = controller[1] / (order + 1.0)
 
+    if event_set is not None:
+        me = event_set.max_events
+        ev0 = (
+            jnp.full((me,), t1, dtype),
+            jnp.zeros((me, n), dtype),
+            jnp.full((me,), -1, jnp.int32),
+            jnp.asarray(0, jnp.int32),
+        )
+    else:
+        ev0 = None
+
     init = _Carry(
         t=t0,
         u=u0,
@@ -188,6 +202,7 @@ def integrate(
         ys=ys_buf,
         fs=fs_buf,
         hook_carry=hook_carry,
+        events=ev0,
     )
 
     def cond(c: _Carry):
@@ -229,6 +244,156 @@ def integrate(
         t_new = jnp.where(accept, c.t + dt_eff, c.t)
         u_new = jnp.where(accept, u1, c.u)
         f_new = jnp.where(accept, f1, c.f)
+
+        # ---- event handling (ContinuousCallback sign change on this step,
+        # then DiscreteCallback at the step end) -------------------------
+        events_carry = c.events
+        event_fired = jnp.asarray(False)
+        u_post_pair = None  # (t_e, u_post, f_post) extra row when fired
+        if event_set is not None:
+            from ..ops.interp import hermite_eval as _hermite
+
+            ev_ts, ev_upre, ev_idx, ev_count = c.events
+            t_a, t_b = c.t, c.t + dt_eff
+
+            def _detect(args):
+                (u_a, f_a, u_b, f_b) = args
+                fired_c = jnp.asarray(False)
+                theta_min = jnp.asarray(2.0, dtype)
+                j_hit = jnp.asarray(-1, jnp.int32)
+                if event_set.cond is not None:
+                    # Sample the interpolant at interior points so crossings
+                    # that enter and leave within one accepted step are still
+                    # seen (the interp_points device of DiffEq's
+                    # ContinuousCallback).
+                    NSMP = 8
+                    th_grid = jnp.linspace(
+                        jnp.asarray(0.0, dtype), jnp.asarray(1.0, dtype),
+                        NSMP + 1,
+                    )
+
+                    def g_at(th):
+                        tt = t_a + th * dt_eff
+                        uu = _hermite(tt, t_a, t_b, u_a, f_a, u_b, f_b)
+                        return event_set.cond(uu, tt)  # (k_cont,)
+
+                    g_smp = jax.vmap(g_at)(th_grid)  # (NSMP+1, k_cont)
+                    gl, gr = g_smp[:-1], g_smp[1:]
+                    pair = (gl * gr < 0) | ((gr == 0) & (gl != 0))
+                    if event_set.directions is not None:
+                        dirs = event_set.directions[None, :]
+                        pair = pair & (
+                            (dirs == 0)
+                            | ((dirs == -1) & (gl > 0))
+                            | ((dirs == 1) & (gl < 0))
+                        )
+                    crossed = jnp.any(pair, axis=0)  # (k_cont,)
+                    # first crossing subinterval per callback
+                    m_first = jnp.argmax(pair, axis=0)  # (k_cont,)
+
+                    def locate(gk_fn, crossed_k, m_k):
+                        # bisection in the bracketing sample subinterval +
+                        # Newton polish (τ stays differentiable through the
+                        # final Newton step).
+                        def gtheta(th):
+                            tt = t_a + th * dt_eff
+                            uu = _hermite(tt, t_a, t_b, u_a, f_a, u_b, f_b)
+                            return gk_fn(uu, tt)
+
+                        def bis(_, lohi):
+                            lo, hi = lohi
+                            mid = 0.5 * (lo + hi)
+                            gm = gtheta(mid)
+                            ga = gtheta(lo)
+                            same = gm * ga >= 0
+                            return (jnp.where(same, mid, lo),
+                                    jnp.where(same, hi, mid))
+
+                        lo0 = th_grid[m_k]
+                        hi0 = th_grid[m_k + 1]
+                        lo, hi = jax.lax.fori_loop(0, 40, bis, (lo0, hi0))
+                        th = 0.5 * (lo + hi)
+                        for _ in range(2):
+                            g_v, dg = jax.jvp(gtheta, (th,),
+                                              (jnp.ones_like(th),))
+                            th = th - jnp.where(
+                                jnp.abs(dg) > 1e-30, g_v / dg, 0.0
+                            )
+                        th = jnp.clip(th, 0.0, 1.0)
+                        return jnp.where(crossed_k, th, jnp.asarray(2.0, dtype))
+
+                    k_cont = event_set.n_cont
+                    thetas = jnp.stack([
+                        locate(
+                            lambda uu, tt, i=i: event_set.cond(uu, tt)[i],
+                            crossed[i],
+                            m_first[i],
+                        )
+                        for i in range(k_cont)
+                    ])
+                    j_hit = jnp.argmin(thetas).astype(jnp.int32)
+                    theta_min = thetas[j_hit]
+                    fired_c = theta_min <= 1.0
+
+                def _cont_fire(_):
+                    t_e = t_a + theta_min * dt_eff
+                    u_pre = _hermite(t_e, t_a, t_b, u_a, f_a, u_b, f_b)
+                    f_pre = fvec(u_pre, t_e)
+                    u_post = event_set.affect(u_pre, t_e, j_hit)
+                    f_post = fvec(u_post, t_e)
+                    return t_e, u_pre, f_pre, u_post, f_post, j_hit
+
+                def _disc_check(_):
+                    # discrete callbacks at the (untruncated) step end
+                    if event_set.disc_cond is not None:
+                        dc = event_set.disc_cond(u_b, t_b)
+                        any_d = jnp.any(dc)
+                        j_d = (event_set.n_cont +
+                               jnp.argmax(dc).astype(jnp.int32))
+
+                        def fire_d(_):
+                            u_post = event_set.affect(u_b, t_b, j_d)
+                            return (t_b, u_b, f_b, u_post,
+                                    fvec(u_post, t_b), j_d)
+
+                        def no_d(_):
+                            return (t_b, u_b, f_b, u_b, f_b,
+                                    jnp.asarray(-1, jnp.int32))
+
+                        return jax.lax.cond(any_d, fire_d, no_d, None)
+                    return (t_b, u_b, f_b, u_b, f_b,
+                            jnp.asarray(-1, jnp.int32))
+
+                t_e, u_pre, f_pre, u_post, f_post, j_fin = jax.lax.cond(
+                    fired_c, _cont_fire, _disc_check, None
+                )
+                return t_e, u_pre, f_pre, u_post, f_post, j_fin
+
+            def _no_detect(args):
+                (u_a, f_a, u_b, f_b) = args
+                return (t_b, u_b, f_b, u_b, f_b, jnp.asarray(-1, jnp.int32))
+
+            t_e, u_pre, f_pre, u_post, f_post, j_fin = jax.lax.cond(
+                accept, _detect, _no_detect, (c.u, c.f, u1, f1)
+            )
+            event_fired = accept & (j_fin >= 0)
+            # truncate the accepted step to the event point (pre-affect)
+            t_new = jnp.where(event_fired, t_e, t_new)
+            u_new = jnp.where(event_fired, u_pre, u_new)
+            f_new = jnp.where(event_fired, f_pre, f_new)
+            u_post_pair = (t_e, u_post, f_post)
+            # record
+            slot = jnp.minimum(ev_count, ev_ts.shape[0] - 1)
+            ev_ts = ev_ts.at[slot].set(jnp.where(event_fired, t_e, ev_ts[slot]))
+            ev_upre = ev_upre.at[slot].set(
+                jnp.where(event_fired, u_pre, ev_upre[slot])
+            )
+            ev_idx = ev_idx.at[slot].set(
+                jnp.where(event_fired, j_fin, ev_idx[slot])
+            )
+            ev_count = ev_count + event_fired.astype(jnp.int32)
+            events_carry = (ev_ts, ev_upre, ev_idx, ev_count)
+
         # Single-row conditional writes (a full-buffer `where` would move
         # O(max_steps·n) bytes of HBM every attempt).
         idx = jnp.minimum(c.n_acc + 1, buf_len - 1)
@@ -238,6 +403,18 @@ def integrate(
         n_acc = c.n_acc + accept.astype(jnp.int32)
         n_rej = c.n_rej + (~accept).astype(jnp.int32)
         err_prev = jnp.where(accept, err_cl, c.err_prev)
+
+        if event_set is not None:
+            # post-affect state continues the integration; zero-width dense
+            # row carries the right-hand side of the discontinuity.
+            t_e, u_post, f_post = u_post_pair
+            idx2 = jnp.minimum(n_acc + 1, buf_len - 1)
+            ts = ts.at[idx2].set(jnp.where(event_fired, t_e, ts[idx2]))
+            ys = ys.at[idx2].set(jnp.where(event_fired, u_post, ys[idx2]))
+            fs = fs.at[idx2].set(jnp.where(event_fired, f_post, fs[idx2]))
+            n_acc = n_acc + event_fired.astype(jnp.int32)
+            u_new = jnp.where(event_fired, u_post, u_new)
+            f_new = jnp.where(event_fired, f_post, f_new)
 
         if hook is not None:
             rec = (c.t, t_new, c.u, c.f, u_new, f_new)
@@ -249,8 +426,9 @@ def integrate(
             hook_carry = c.hook_carry
 
         if stop_transform is not None:
-            # This accepted step landed exactly on a stop iff dt was clipped.
-            hit_stop = accept & (jnp.abs(c.dt) >= jnp.abs(remaining))
+            # This accepted step landed exactly on a stop iff dt was clipped
+            # (and no event truncated it first).
+            hit_stop = accept & (jnp.abs(c.dt) >= jnp.abs(remaining)) & ~event_fired
 
             def _apply(args):
                 u_, f_, hc_ = args
@@ -303,6 +481,7 @@ def integrate(
             ys=ys,
             fs=fs,
             hook_carry=hook_carry,
+            events=events_carry,
         )
 
     final = jax.lax.while_loop(cond, body, init)
@@ -319,7 +498,8 @@ def integrate(
         retcode=final.status,
     )
     return IntegrateResult(
-        dense=dense, t_final=final.t, u_final=final.u, stats=stats, hook_carry=final.hook_carry
+        dense=dense, t_final=final.t, u_final=final.u, stats=stats,
+        hook_carry=final.hook_carry, events=final.events,
     )
 
 
