@@ -71,6 +71,8 @@ class SolveOptions(NamedTuple):
     adj_max_steps: Any = None
     quad_panels: int = 8  # composite-GL panels per segment (QuadratureAdjoint)
     quad_order: int = 7
+    callback: Any = None     # CallbackSet (events)
+    max_events: int = 32
 
 
 class AuxOut(NamedTuple):
@@ -78,6 +80,7 @@ class AuxOut(NamedTuple):
     t_final: jnp.ndarray
     u_final: jnp.ndarray
     stats: Stats
+    events: Any = None
 
 
 def _ravel_rows(tree_with_time_axis):
@@ -105,6 +108,68 @@ def _extend_times(t0, t1, saveat, lam_jumps):
     zero = jnp.zeros((1, n), lam_jumps.dtype)
     jumps = jnp.concatenate([zero, lam_jumps, zero], axis=0)
     return times, jumps
+
+
+
+def _make_event_apply(kern, p, event_set, fwd_events, n, npf,
+                      q_slice=None, u_snap_start=None, q_in_hc=False):
+    """Reverse event-jump transform (reference: callback_tracking.jl reverse
+    affect! :319-458 + ImplicitCorrection :15-58; Eq. 13 of arXiv:1905.10403):
+
+        λ⁻ = (∂A/∂u)ᵀλ⁺ − ∇g·((∂A/∂u·f⁻ − f⁺)·λ⁺)/ġ
+        dq += (∂A/∂p)ᵀλ⁺            (parameter-modifying events)
+
+    Discrete callbacks skip the implicit-time correction (their firing time
+    is grid-determined). For Backsolve, the trailing u-block is snapped to
+    the recorded pre-event state (the reference's event-time checkpoint).
+    """
+    ev_ts, ev_upre, ev_idx, ev_count = fwd_events
+    affect_p = event_set.affect_p
+    cond = event_set.cond
+    n_cont = event_set.n_cont
+
+    def apply(i, t, z, hc):
+        u_pre = ev_upre[i]
+        j = ev_idx[i]
+        lam = jax.lax.dynamic_slice(z, (0,), (n,))
+        _, pull = jax.vjp(lambda uu, pp: affect_p(uu, pp, t, j), u_pre, p)
+        ubar, pbar = pull(lam)
+        pbar_flat = ravel_pytree(pbar)[0]
+
+        if n_cont > 0:
+            def with_corr(lam_base):
+                f_m = kern.fvec(u_pre, p, t)
+                u_post = affect_p(u_pre, p, t, j)
+                f_p = kern.fvec(u_post, p, t)
+                _, Af_m = jax.jvp(
+                    lambda uu: affect_p(uu, p, t, j), (u_pre,), (f_m,)
+                )
+                jc = jnp.minimum(j, n_cont - 1)
+                gj = lambda uu, tt: cond(uu, tt)[jc]
+                gu = jax.grad(gj, argnums=0)(u_pre, t)
+                gt = jax.grad(gj, argnums=1)(u_pre, t)
+                gdot = gu @ f_m + gt
+                term = (Af_m - f_p) @ lam
+                corr = jnp.where(jnp.abs(gdot) > 1e-300, term / gdot, 0.0)
+                return lam_base - gu * corr
+
+            lam_new = jax.lax.cond(
+                j < n_cont, with_corr, lambda lb: lb, ubar
+            )
+        else:
+            lam_new = ubar
+
+        z = jax.lax.dynamic_update_slice(z, lam_new, (0,))
+        if q_slice is not None and npf > 0:
+            q_cur = jax.lax.dynamic_slice(z, (q_slice,), (npf,))
+            z = jax.lax.dynamic_update_slice(z, q_cur + pbar_flat, (q_slice,))
+        if u_snap_start is not None:
+            z = jax.lax.dynamic_update_slice(z, u_pre, (u_snap_start,))
+        if q_in_hc:
+            hc = hc + pbar_flat
+        return z, hc
+
+    return apply
 
 
 def make_ode_solve_fn(f, solver, sensealg, opts: SolveOptions, t0, t1, *,
@@ -141,39 +206,50 @@ def make_ode_solve_fn(f, solver, sensealg, opts: SolveOptions, t0, t1, *,
         u0vec, unravel_u = ravel_pytree(u0)
         kern = _kern(u0, p)
         fvec = lambda uv, t: kern.fvec(uv, p, t)
+        if opts.callback is not None:
+            from ..callbacks import build_event_set
+
+            event_set = build_event_set(
+                opts.callback, p, unravel_u, opts.max_events
+            )
+        else:
+            event_set = None
         fwd, _ = forward_saveat_solve(
             solver, fvec, u0vec, t0, t1, saveat,
             rtol=opts.rtol, atol=opts.atol, dt0=opts.dt0,
             max_steps=opts.max_steps, tstops=opts.tstops,
             store_dense=store_dense,
+            event_set=event_set,
         )
-        return fwd, unravel_u, kern
+        return fwd, unravel_u, kern, event_set
 
     # ------------------------------------------------------------------
     # primal
     # ------------------------------------------------------------------
 
     def _primal(u0, p, saveat):
-        fwd, unravel_u, _ = _forward(u0, p, saveat)
+        fwd, unravel_u, _, _ = _forward(u0, p, saveat)
         ys = jax.vmap(unravel_u)(fwd.ys_save)
         aux = AuxOut(
             dense=fwd.dense if store_dense else None,
             t_final=fwd.t_final,
             u_final=fwd.u_final,
             stats=fwd.stats,
+            events=fwd.events,
         )
         return ys, aux
 
     solve_fn = jax.custom_vjp(_primal)
 
     def _fwd_rule(u0, p, saveat):
-        fwd, unravel_u, _ = _forward(u0, p, saveat)
+        fwd, unravel_u, _, _ = _forward(u0, p, saveat)
         ys = jax.vmap(unravel_u)(fwd.ys_save)
         aux = AuxOut(
             dense=fwd.dense if store_dense else None,
             t_final=fwd.t_final,
             u_final=fwd.u_final,
             stats=fwd.stats,
+            events=fwd.events,
         )
         return (ys, aux), (u0, p, saveat, fwd)
 
@@ -191,7 +267,15 @@ def make_ode_solve_fn(f, solver, sensealg, opts: SolveOptions, t0, t1, *,
         n = u0vec.shape[0]
         npf = pflat.shape[0]
         times, jumps = _extend_times(t0, t1, jnp.asarray(saveat, u0vec.dtype), lam_jumps)
-        return u0, p, saveat, fwd, u0vec, unravel_u, unravel_p, kern, n, npf, times, jumps
+        if opts.callback is not None:
+            from ..callbacks import build_event_set
+
+            event_set = build_event_set(opts.callback, p, unravel_u,
+                                        opts.max_events)
+        else:
+            event_set = None
+        return (u0, p, saveat, fwd, u0vec, unravel_u, unravel_p, kern, n,
+                npf, times, jumps, event_set)
 
     def _returns(unravel_u, unravel_p, lam0, qflat, saveat, retcode=None):
         if retcode is not None:
@@ -210,7 +294,7 @@ def make_ode_solve_fn(f, solver, sensealg, opts: SolveOptions, t0, t1, *,
 
     def _bwd_interpolating(res, cot):
         (u0, p, saveat, fwd, u0vec, unravel_u, unravel_p, kern,
-         n, npf, times, jumps) = _common_bwd_setup(res, cot)
+         n, npf, times, jumps, event_set) = _common_bwd_setup(res, cot)
 
         if not sensealg.checkpointing:
             dense = fwd.dense
@@ -228,15 +312,30 @@ def make_ode_solve_fn(f, solver, sensealg, opts: SolveOptions, t0, t1, *,
             wts = jnp.concatenate(
                 [jnp.ones(n, u0vec.dtype), jnp.zeros(npf, u0vec.dtype)]
             )
+            ev_kwargs = {}
+            if event_set is not None:
+                ev_kwargs = dict(
+                    event_times=fwd.events[0], event_count=fwd.events[3],
+                    event_apply=_make_event_apply(
+                        kern, p, event_set, fwd.events, n, npf, q_slice=n
+                    ),
+                )
             z, _, worst, _ = reverse_joined_solve(
                 bwd_stepper, aug_rhs, times, jumps, z0, n,
                 rtol=adj_rtol, atol=adj_atol,
                 max_steps=adj_max_steps,
                 err_weights=wts,
+                **ev_kwargs,
             )
             return _returns(unravel_u, unravel_p, z[:n], z[n:], saveat,
                             jnp.maximum(fwd.stats.retcode, worst))
 
+        if event_set is not None:
+            raise NotImplementedError(
+                "callbacks with checkpointed InterpolatingAdjoint are not "
+                "supported yet; use the non-checkpointed variant or "
+                "BacksolveAdjoint"
+            )
         # Checkpointed: re-solve each inter-save interval forward from the
         # stored save values, then run the local adjoint over the fresh local
         # interpolant (reference cursor logic interpolating_adjoint.jl:206-278
@@ -285,7 +384,7 @@ def make_ode_solve_fn(f, solver, sensealg, opts: SolveOptions, t0, t1, *,
 
     def _bwd_backsolve(res, cot):
         (u0, p, saveat, fwd, u0vec, unravel_u, unravel_p, kern,
-         n, npf, times, jumps) = _common_bwd_setup(res, cot)
+         n, npf, times, jumps, event_set) = _common_bwd_setup(res, cot)
 
         def aug_rhs(z, t):
             lam = z[:n]
@@ -310,12 +409,22 @@ def make_ode_solve_fn(f, solver, sensealg, opts: SolveOptions, t0, t1, *,
             [jnp.ones(n, u0vec.dtype), jnp.zeros(npf, u0vec.dtype),
              jnp.ones(n, u0vec.dtype)]
         )
+        ev_kwargs = {}
+        if event_set is not None:
+            ev_kwargs = dict(
+                event_times=fwd.events[0], event_count=fwd.events[3],
+                event_apply=_make_event_apply(
+                    kern, p, event_set, fwd.events, n, npf,
+                    q_slice=n, u_snap_start=n + npf,
+                ),
+            )
         z, _, worst, _ = reverse_joined_solve(
             bwd_stepper, aug_rhs, times, jumps, z0, n,
             rtol=adj_rtol, atol=adj_atol,
             max_steps=adj_max_steps,
             snap_values=snap_values, snap_start=snap_start,
             err_weights=wts,
+            **ev_kwargs,
         )
         return _returns(unravel_u, unravel_p, z[:n], z[n:n + npf], saveat,
                         jnp.maximum(fwd.stats.retcode, worst))
@@ -324,7 +433,7 @@ def make_ode_solve_fn(f, solver, sensealg, opts: SolveOptions, t0, t1, *,
 
     def _bwd_gauss(res, cot):
         (u0, p, saveat, fwd, u0vec, unravel_u, unravel_p, kern,
-         n, npf, times, jumps) = _common_bwd_setup(res, cot)
+         n, npf, times, jumps, event_set) = _common_bwd_setup(res, cot)
         dense = fwd.dense
         n_nodes = getattr(sensealg, "n_nodes", 7)
         xg, wg = _gl_nodes(n_nodes, u0vec.dtype)
@@ -350,11 +459,20 @@ def make_ode_solve_fn(f, solver, sensealg, opts: SolveOptions, t0, t1, *,
 
         lam0 = jnp.zeros(n, u0vec.dtype)
         q0 = jnp.zeros(npf, u0vec.dtype)
+        ev_kwargs = {}
+        if event_set is not None:
+            ev_kwargs = dict(
+                event_times=fwd.events[0], event_count=fwd.events[3],
+                event_apply=_make_event_apply(
+                    kern, p, event_set, fwd.events, n, npf, q_in_hc=True
+                ),
+            )
         lam, qflat, worst, _ = reverse_joined_solve(
             bwd_stepper, aug_rhs, times, jumps, lam0, n,
             rtol=adj_rtol, atol=adj_atol,
             max_steps=adj_max_steps,
             hook=gauss_hook, hook_carry=q0,
+            **ev_kwargs,
         )
         return _returns(unravel_u, unravel_p, lam, qflat, saveat,
                         jnp.maximum(fwd.stats.retcode, worst))
@@ -363,7 +481,7 @@ def make_ode_solve_fn(f, solver, sensealg, opts: SolveOptions, t0, t1, *,
 
     def _bwd_quadrature(res, cot):
         (u0, p, saveat, fwd, u0vec, unravel_u, unravel_p, kern,
-         n, npf, times, jumps) = _common_bwd_setup(res, cot)
+         n, npf, times, jumps, event_set) = _common_bwd_setup(res, cot)
         dense = fwd.dense
 
         def aug_rhs(lam, t):
@@ -371,11 +489,22 @@ def make_ode_solve_fn(f, solver, sensealg, opts: SolveOptions, t0, t1, *,
             return -kern.vjp_u(y, p, t, lam)
 
         lam0 = jnp.zeros(n, u0vec.dtype)
-        lam, _, worst, lam_dense = reverse_joined_solve(
+        ev_kwargs = {}
+        q_ev0 = jnp.zeros(npf, u0vec.dtype)
+        if event_set is not None:
+            ev_kwargs = dict(
+                event_times=fwd.events[0], event_count=fwd.events[3],
+                event_apply=_make_event_apply(
+                    kern, p, event_set, fwd.events, n, npf, q_in_hc=True
+                ),
+            )
+        lam, q_ev, worst, lam_dense = reverse_joined_solve(
             bwd_stepper, aug_rhs, times, jumps, lam0, n,
             rtol=adj_rtol, atol=adj_atol,
             max_steps=adj_max_steps,
             collect_dense=True,
+            hook_carry=q_ev0,
+            **ev_kwargs,
         )
 
         # dG/dp = ∫ λᵀ∂f/∂p dt over the whole reverse span. Nodes are placed
@@ -408,7 +537,7 @@ def make_ode_solve_fn(f, solver, sensealg, opts: SolveOptions, t0, t1, *,
             return -w_t * jnp.einsum("j,jk->k", wg, vals)
 
         msub = lam_dense.ts.shape[0] - 1
-        q = jnp.sum(jax.vmap(row)(jnp.arange(msub)), axis=0)
+        q = jnp.sum(jax.vmap(row)(jnp.arange(msub)), axis=0) + q_ev
         return _returns(unravel_u, unravel_p, lam, q, saveat,
                         jnp.maximum(fwd.stats.retcode, worst))
 
@@ -422,14 +551,23 @@ def make_ode_solve_fn(f, solver, sensealg, opts: SolveOptions, t0, t1, *,
         lam = _ravel_rows(d_ys)  # (nt, n)
         kern = _kern(u0, p)
 
+        _, unravel_u_ = ravel_pytree(u0)
+
         def ys_of(u0v, pf):
             p_ = unravel_p(pf)
             fvec = lambda uv, t: kern.fvec(uv, p_, t)
+            if opts.callback is not None:
+                from ..callbacks import build_event_set
+
+                es = build_event_set(opts.callback, p_, unravel_u_,
+                                     opts.max_events)
+            else:
+                es = None
             fr, _ = forward_saveat_solve(
                 solver, fvec, u0v, t0, t1, jnp.asarray(saveat, u0v.dtype),
                 rtol=opts.rtol, atol=opts.atol, dt0=opts.dt0,
                 max_steps=opts.max_steps, tstops=opts.tstops,
-                store_dense=False,
+                store_dense=False, event_set=es,
             )
             return fr.ys_save  # (nt, n)
 

@@ -44,6 +44,7 @@ class ODESolution:
     dense: Optional[DenseOutput] = None
     unravel_u: Optional[Callable] = None
     u_final: Optional[jnp.ndarray] = None  # flat state at t1
+    events: Any = None  # (ev_ts, ev_upre, ev_idx, ev_count) when callbacks on
 
     def __call__(self, t):
         """Continuous dense evaluation u(t); vectorizes over 1-D t."""
@@ -71,6 +72,7 @@ class ODESolution:
 
 jax.tree_util.register_dataclass(
     ODESolution,
-    data_fields=["ts", "ys", "stats", "retcode", "prob", "dense", "u_final"],
+    data_fields=["ts", "ys", "stats", "retcode", "prob", "dense", "u_final",
+                 "events"],
     meta_fields=["solver", "sensealg", "unravel_u"],
 )

@@ -64,8 +64,15 @@ def solve(
     adj_max_steps=None,
     bwd_solver=None,
     key=None,
+    callback=None,
+    max_events: int = 32,
+    save_idxs=None,
 ):
     """Solve a problem; gradients through the result follow `sensealg`.
+
+    callback: ContinuousCallback / DiscreteCallback / CallbackSet — events
+    applied during the forward solve and differentiated through in the
+    adjoint (reference: callback_tracking.jl).
 
     saveat: 1-D array of output times (default: the two endpoints). Output
     shapes are fixed under jit, so "save every step" has no analogue; use
@@ -76,7 +83,8 @@ def solve(
             prob, solver, saveat=saveat, rtol=rtol, atol=atol, dt0=dt0, dt=dt,
             max_steps=max_steps, tstops=tstops, sensealg=sensealg, dense=dense,
             adj_rtol=adj_rtol, adj_atol=adj_atol, adj_max_steps=adj_max_steps,
-            bwd_solver=bwd_solver,
+            bwd_solver=bwd_solver, callback=callback, max_events=max_events,
+            save_idxs=save_idxs,
         )
     if isinstance(prob, SDEProblem):
         from .adjoints.sde import solve_sde
@@ -109,7 +117,7 @@ def solve(
 
 def _solve_ode(prob, solver, *, saveat, rtol, atol, dt0, dt, max_steps,
                tstops, sensealg, dense, adj_rtol, adj_atol, adj_max_steps,
-               bwd_solver):
+               bwd_solver, callback=None, max_events=32, save_idxs=None):
     solver = solver or Tsit5()
     t0, t1 = prob.tspan
     u0vec, unravel_u = ravel_pytree(prob.u0)
@@ -139,8 +147,14 @@ def _solve_ode(prob, solver, *, saveat, rtol, atol, dt0, dt, max_steps,
                 jax.errors.ConcretizationTypeError):
             pass  # traced values: trust the caller
 
+    from .callbacks import as_callback_set
+
+    cbs = as_callback_set(callback)
+
     if sensealg is None:
-        sensealg = default_sensealg(n, np_, prob.p is not None)
+        sensealg = default_sensealg(
+            n, np_, prob.p is not None, has_callbacks=cbs is not None
+        )
 
     if dt is not None and dt0 is None:
         dt0 = dt
@@ -148,8 +162,13 @@ def _solve_ode(prob, solver, *, saveat, rtol, atol, dt0, dt, max_steps,
     opts = SolveOptions(
         rtol=rtol, atol=atol, dt0=dt0, max_steps=max_steps, tstops=tstops,
         dense=dense, adj_rtol=adj_rtol, adj_atol=adj_atol,
-        adj_max_steps=adj_max_steps,
+        adj_max_steps=adj_max_steps, callback=cbs, max_events=max_events,
     )
+    if cbs is not None and isinstance(sensealg, DirectAdjoint):
+        raise NotImplementedError(
+            "callbacks are supported with the continuous adjoints and "
+            "ForwardDiffSensitivity, not DirectAdjoint"
+        )
 
     if isinstance(sensealg, _CONTINUOUS_RULES):
         fn = make_ode_solve_fn(
@@ -171,7 +190,17 @@ def _solve_ode(prob, solver, *, saveat, rtol, atol, dt0, dt, max_steps,
     else:
         raise NotImplementedError(f"sensealg {sensealg!r} not supported for ODEs")
 
-    return ODESolution(
+    if save_idxs is not None:
+        # Restrict outputs to selected state components (reference save_idxs
+        # plumbing, concrete_solve.jl:713-770). Gradients flow through the
+        # gather.
+        import numpy as _np
+
+        idxs = jnp.asarray(save_idxs)
+        ys = jax.tree_util.tree_map(lambda a: a[:, idxs], ys) \
+            if not isinstance(ys, jnp.ndarray) else ys[:, idxs]
+
+    sol = ODESolution(
         ts=saveat,
         ys=ys,
         stats=aux.stats,
@@ -182,4 +211,6 @@ def _solve_ode(prob, solver, *, saveat, rtol, atol, dt0, dt, max_steps,
         dense=aux.dense if dense or aux.dense is not None else None,
         unravel_u=unravel_u,
         u_final=aux.u_final,
+        events=getattr(aux, "events", None),
     )
+    return sol

@@ -1,0 +1,73 @@
+"""Default-sensealg heuristic + misc API surface tests (reference:
+test/Core3/automatic_sensealg_choice.jl asserts which sensealg the probe
+picks; Core1 save_idxs)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from scimlsensitivity_jl_tpu import (
+    ForwardDiffSensitivity,
+    GaussAdjoint,
+    InterpolatingAdjoint,
+    ODEProblem,
+    QuadratureAdjoint,
+    Tsit5,
+    default_sensealg,
+    setvjp,
+    solve,
+    JacVJP,
+)
+
+
+def test_heuristic_small_forward():
+    # n + p <= 100 -> discrete forward (concrete_solve.jl:177-183)
+    assert isinstance(default_sensealg(2, 4, True), ForwardDiffSensitivity)
+    assert isinstance(default_sensealg(50, 50, True), ForwardDiffSensitivity)
+
+
+def test_heuristic_no_params_quadrature():
+    assert isinstance(default_sensealg(200, 0, False), QuadratureAdjoint)
+
+
+def test_heuristic_large_ode_gauss():
+    assert isinstance(default_sensealg(200, 500, True), GaussAdjoint)
+
+
+def test_heuristic_non_ode_interpolating():
+    assert isinstance(
+        default_sensealg(200, 500, True, is_ode=False), InterpolatingAdjoint
+    )
+
+
+def test_heuristic_callbacks_avoid_forward():
+    sa = default_sensealg(2, 4, True, has_callbacks=True)
+    assert not isinstance(sa, ForwardDiffSensitivity)
+
+
+def test_setvjp():
+    sa = setvjp(InterpolatingAdjoint(), JacVJP())
+    assert isinstance(sa.autojacvec, JacVJP)
+
+
+def test_save_idxs():
+    def f(u, p, t):
+        return jnp.stack([-u[0], -2.0 * u[1], -3.0 * u[2]])
+
+    prob = ODEProblem(f, jnp.array([1.0, 1.0, 1.0]), (0.0, 1.0), None)
+    ts = jnp.linspace(0.0, 1.0, 4)
+    sol = solve(prob, Tsit5(), saveat=ts, save_idxs=jnp.array([0, 2]),
+                rtol=1e-9, atol=1e-11, sensealg=GaussAdjoint())
+    assert sol.ys.shape == (4, 2)
+    assert np.allclose(sol.ys[-1], [np.exp(-1.0), np.exp(-3.0)], rtol=1e-7)
+
+    # gradient flows through the gather
+    def loss(u0):
+        s = solve(ODEProblem(f, u0, (0.0, 1.0), None), Tsit5(), saveat=ts,
+                  save_idxs=jnp.array([0]), rtol=1e-9, atol=1e-11,
+                  sensealg=InterpolatingAdjoint())
+        return jnp.sum(s.ys ** 2)
+
+    g = jax.grad(loss)(jnp.array([1.0, 1.0, 1.0]))
+    assert abs(float(g[1])) < 1e-12 and abs(float(g[2])) < 1e-12
+    assert float(g[0]) > 0

@@ -1,0 +1,73 @@
+"""Model-family tests: spiral neural ODE training (the reference benchmark
+config) and the MNIST-style neural-ODE classifier (BASELINE config 3;
+synthetic data — the environment has no dataset egress)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from scimlsensitivity_jl_tpu import (
+    BacksolveAdjoint,
+    InterpolatingAdjoint,
+    Tsit5,
+    solve,
+)
+from scimlsensitivity_jl_tpu.models.neural_ode import (
+    mnist_node_apply,
+    mnist_node_init,
+    spiral_data,
+    spiral_neural_ode,
+)
+
+
+def test_spiral_neural_ode_trains():
+    true_prob, ts = spiral_data(jnp.float64, nt=16)
+    data = solve(true_prob, Tsit5(), saveat=ts, rtol=1e-10, atol=1e-12).ys
+
+    params, make_prob = spiral_neural_ode(jax.random.PRNGKey(0), hidden=16,
+                                          dtype=jnp.float64)
+
+    def loss(p):
+        sol = solve(make_prob(p), Tsit5(), saveat=ts, rtol=1e-6, atol=1e-8,
+                    sensealg=InterpolatingAdjoint(), max_steps=512)
+        return jnp.mean((sol.ys - data) ** 2)
+
+    opt = optax.adam(1e-2)
+    state = opt.init(params)
+    vg = jax.jit(jax.value_and_grad(loss))
+    l0, _ = vg(params)
+    p = params
+    for _ in range(60):
+        l, g = vg(p)
+        upd, state = opt.update(g, state)
+        p = optax.apply_updates(p, upd)
+    assert float(l) < 0.5 * float(l0), (float(l0), float(l))
+
+
+def test_mnist_node_classifier_step():
+    key = jax.random.PRNGKey(0)
+    params = mnist_node_init(key, hidden=32, feature=32, dtype=jnp.float64)
+    # synthetic "digits": 10 class prototypes + noise
+    kproto, kx, ky = jax.random.split(key, 3)
+    protos = jax.random.normal(kproto, (10, 784), jnp.float64)
+    labels = jax.random.randint(ky, (32,), 0, 10)
+    x = protos[labels] + 0.1 * jax.random.normal(kx, (32, 784), jnp.float64)
+
+    def solve_fn(prob):
+        return solve(prob, Tsit5(), rtol=1e-4, atol=1e-6,
+                     sensealg=BacksolveAdjoint(), max_steps=256)
+
+    def loss(p):
+        logits = mnist_node_apply(p, x, solve_fn)
+        return jnp.mean(
+            -jax.nn.log_softmax(logits)[jnp.arange(32), labels]
+        )
+
+    vg = jax.jit(jax.value_and_grad(loss))
+    l0, g0 = vg(params)
+    assert np.isfinite(float(l0))
+    # one SGD step reduces the loss
+    p1 = jax.tree_util.tree_map(lambda a, b: a - 0.5 * b, params, g0)
+    l1, _ = vg(p1)
+    assert float(l1) < float(l0)
