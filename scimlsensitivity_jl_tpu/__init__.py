@@ -63,8 +63,11 @@ from .adjoints.second_order import (
     second_order_sensitivities,
     second_order_sensitivity_product,
 )
+from .callbacks import CallbackSet, ContinuousCallback, DiscreteCallback
+from .parallel.ensemble import EnsembleProblem, make_mesh, solve_ensemble
 from .solvers.explicit import BS3, Dopri5, Euler, Heun, Midpoint, Tsit5
 from .solvers.rosenbrock import Rosenbrock23
+from .solvers.sde import EulerHeun, EulerMaruyama, Milstein
 from .solvers.sdirk import TRBDF2, Kvaerno3
 
 __version__ = "0.1.0"
@@ -100,6 +103,15 @@ __all__ = [
     "Rosenbrock23",
     "TRBDF2",
     "Kvaerno3",
+    "EulerMaruyama",
+    "EulerHeun",
+    "Milstein",
+    "ContinuousCallback",
+    "DiscreteCallback",
+    "CallbackSet",
+    "EnsembleProblem",
+    "solve_ensemble",
+    "make_mesh",
     "InterpolatingAdjoint",
     "BacksolveAdjoint",
     "QuadratureAdjoint",

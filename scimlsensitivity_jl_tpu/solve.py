@@ -147,6 +147,32 @@ def _solve_ode(prob, solver, *, saveat, rtol, atol, dt0, dt, max_steps,
                 jax.errors.ConcretizationTypeError):
             pass  # traced values: trust the caller
 
+    if prob.mass_matrix is not None:
+        # Invertible mass matrix M u' = f: solved as u' = M⁻¹f (M constant,
+        # folded in once — the adjoint equations transform consistently
+        # because the rule differentiates the transformed RHS). Singular M
+        # (semi-explicit DAE index handling, reference
+        # adjoint_common.jl:110-139) is not implemented yet.
+        M = jnp.asarray(prob.mass_matrix, dtype)
+        import numpy as _np
+
+        if abs(float(_np.linalg.det(_np.asarray(M)))) < 1e-300:
+            raise NotImplementedError(
+                "singular mass matrices (DAEs) are not supported yet; "
+                "only invertible M in M·u' = f(u,p,t)"
+            )
+        Minv = jnp.linalg.inv(M)
+        f_orig = prob.f
+
+        def f_mass(u, p_, t):
+            du = f_orig(u, p_, t)
+            duvec, unrav = ravel_pytree(du)
+            return unrav(Minv @ duvec)
+
+        from .problems import remake as _remake
+
+        prob = _remake(prob, f=f_mass, mass_matrix=None)
+
     from .callbacks import as_callback_set
 
     cbs = as_callback_set(callback)

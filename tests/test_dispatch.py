@@ -71,3 +71,26 @@ def test_save_idxs():
     g = jax.grad(loss)(jnp.array([1.0, 1.0, 1.0]))
     assert abs(float(g[1])) < 1e-12 and abs(float(g[2])) < 1e-12
     assert float(g[0]) > 0
+
+
+def test_mass_matrix_invertible():
+    # M u' = -u with M = diag(2, 4): u' = -u/diag -> decay rates 1/2, 1/4
+    import scimlsensitivity_jl_tpu as sml
+
+    M = jnp.diag(jnp.array([2.0, 4.0]))
+    prob = sml.ODEProblem(lambda u, p, t: -u, jnp.array([1.0, 1.0]),
+                          (0.0, 1.0), None, mass_matrix=M)
+    sol = solve(prob, Tsit5(), rtol=1e-10, atol=1e-12,
+                sensealg=GaussAdjoint())
+    assert np.allclose(sol.ys[-1], [np.exp(-0.5), np.exp(-0.25)], rtol=1e-8)
+
+
+def test_mass_matrix_singular_raises():
+    import pytest as _pytest
+    import scimlsensitivity_jl_tpu as sml
+
+    M = jnp.diag(jnp.array([1.0, 0.0]))
+    prob = sml.ODEProblem(lambda u, p, t: -u, jnp.array([1.0, 1.0]),
+                          (0.0, 1.0), None, mass_matrix=M)
+    with _pytest.raises(NotImplementedError):
+        solve(prob, Tsit5())
