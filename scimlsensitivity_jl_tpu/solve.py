@@ -67,6 +67,8 @@ def solve(
     callback=None,
     max_events: int = 32,
     save_idxs=None,
+    adaptive: bool = True,
+    unroll: bool = False,
 ):
     """Solve a problem; gradients through the result follow `sensealg`.
 
@@ -84,7 +86,7 @@ def solve(
             max_steps=max_steps, tstops=tstops, sensealg=sensealg, dense=dense,
             adj_rtol=adj_rtol, adj_atol=adj_atol, adj_max_steps=adj_max_steps,
             bwd_solver=bwd_solver, callback=callback, max_events=max_events,
-            save_idxs=save_idxs,
+            save_idxs=save_idxs, adaptive=adaptive, unroll=unroll,
         )
     if isinstance(prob, SDEProblem):
         from .adjoints.sde import solve_sde
@@ -117,7 +119,8 @@ def solve(
 
 def _solve_ode(prob, solver, *, saveat, rtol, atol, dt0, dt, max_steps,
                tstops, sensealg, dense, adj_rtol, adj_atol, adj_max_steps,
-               bwd_solver, callback=None, max_events=32, save_idxs=None):
+               bwd_solver, callback=None, max_events=32, save_idxs=None,
+               adaptive=True, unroll=False):
     solver = solver or Tsit5()
     t0, t1 = prob.tspan
     u0vec, unravel_u = ravel_pytree(prob.u0)
@@ -196,7 +199,22 @@ def _solve_ode(prob, solver, *, saveat, rtol, atol, dt0, dt, max_steps,
             "ForwardDiffSensitivity, not DirectAdjoint"
         )
 
-    if isinstance(sensealg, _CONTINUOUS_RULES):
+    if not adaptive:
+        # Fixed-grid mode: dt required; plain AD (discrete adjoint) through
+        # the step graph; unroll=True emits straight-line XLA (no loop
+        # constructs — fastest for small step counts / loop-dispatch-bound
+        # hardware). Events unsupported here.
+        if dt is None:
+            raise ValueError("adaptive=False requires dt=...")
+        if cbs is not None:
+            raise NotImplementedError("callbacks need the adaptive driver")
+        from .adjoints.direct import make_fixed_grid_solve_fn
+
+        n_steps = max(int(round((float(t1) - float(t0)) / float(dt))), 1)
+        fn = make_fixed_grid_solve_fn(prob.f, solver, opts, t0, t1,
+                                      n_steps=n_steps, unroll=unroll)
+        ys, aux = fn(prob.u0, prob.p, saveat)
+    elif isinstance(sensealg, _CONTINUOUS_RULES):
         fn = make_ode_solve_fn(
             prob.f, solver, sensealg, opts, t0, t1,
             user_jac=prob.jac, user_vjp=prob.vjp, user_paramjac=prob.paramjac,

@@ -120,3 +120,33 @@ def test_jit_and_vmap():
     batch = jax.vmap(run)(jnp.stack([LV_U0, LV_U0 * 1.1]))
     assert batch.shape == (2, 6, 2)
     assert np.allclose(batch[0], single)
+
+
+def test_fixed_grid_unrolled_matches_adaptive():
+    # the bench configuration: unrolled fixed-grid gradient vs the adaptive
+    # continuous adjoint
+    from scimlsensitivity_jl_tpu.models.neural_ode import spiral_data
+    from scimlsensitivity_jl_tpu.sensealg import InterpolatingAdjoint
+
+    prob, ts = spiral_data(jnp.float64)
+    ref = solve(prob, Tsit5(), saveat=ts, rtol=1e-10, atol=1e-12).ys
+    sol = solve(prob, Tsit5(), saveat=ts, dt=1.5 / 58, adaptive=False,
+                unroll=True)
+    assert float(jnp.max(jnp.abs(sol.ys - ref))) < 1e-5
+
+    u0 = jnp.array([2.0, 0.0])
+
+    def loss_fixed(u):
+        s = solve(ODEProblem(prob.f, u, (0.0, 1.5), None), Tsit5(),
+                  saveat=ts, dt=1.5 / 58, adaptive=False, unroll=True)
+        return jnp.sum(s.ys ** 2)
+
+    def loss_adj(u):
+        s = solve(ODEProblem(prob.f, u, (0.0, 1.5), None), Tsit5(),
+                  saveat=ts, rtol=1e-10, atol=1e-12,
+                  sensealg=InterpolatingAdjoint())
+        return jnp.sum(s.ys ** 2)
+
+    g1 = jax.grad(loss_fixed)(u0)
+    g2 = jax.grad(loss_adj)(u0)
+    assert np.allclose(g1, g2, rtol=1e-5, atol=1e-8)
