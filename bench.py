@@ -44,16 +44,16 @@ def main():
     def field(u, p, t):
         return mlp_apply(p, u ** 3)
 
-    # Fixed-grid UNROLLED Tsit5 (58 steps => trajectory error ~3e-6, well
-    # below the reference benchmark's reltol=1e-3 operating point; validated
+    # Fixed-grid UNROLLED Tsit5 (29 steps => trajectory error ~6e-4, matching
+    # the reference benchmark's reltol=1e-3 operating point; validated
     # against the adaptive adjoint in tests/test_solve.py). Unrolling emits
     # one straight-line XLA program — the TPU-native formulation for
-    # small fixed-cost solves (loop constructs carry a fixed dispatch cost
-    # on this hardware path). Gradients are the exact discrete adjoint
+    # small fixed-cost solves (loop constructs carry a fixed ~29 ms dispatch
+    # cost on this hardware path). Gradients are the exact discrete adjoint
     # through the unrolled graph.
     def loss(p):
         prob = ODEProblem(field, u0, (0.0, 1.5), p)
-        sol = solve(prob, Tsit5(), saveat=ts, dt=1.5 / 58,
+        sol = solve(prob, Tsit5(), saveat=ts, dt=1.5 / 29,
                     adaptive=False, unroll=True)
         return jnp.sum((sol.ys - data) ** 2)
 

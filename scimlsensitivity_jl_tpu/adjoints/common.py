@@ -66,11 +66,12 @@ def reverse_joined_solve(
     Returns (z_at_t0_after_all_jumps, hook_carry, retcode, dense).
     """
     dtype = z_init.dtype
-    times = jnp.asarray(times, dtype)
+    tdtype = jnp.zeros((), dtype).real.dtype
+    times = jnp.asarray(times, tdtype)
     m = times.shape[0]
     t_hi = times[-1]
     t_lo = times[0]
-    eps = jnp.finfo(dtype).eps
+    eps = jnp.finfo(tdtype).eps
 
     def apply_at(t, z, k):
         # Unrolled (not a while_loop — nested whiles explode TPU compile
@@ -126,7 +127,7 @@ def reverse_joined_solve(
         wrapped_hook = lambda rec, carry: carry
 
     all_stops = times if not have_events else jnp.sort(
-        jnp.concatenate([times, jnp.asarray(event_times, dtype)])
+        jnp.concatenate([times, jnp.asarray(event_times, tdtype)])
     )
 
     res = integrate(
@@ -202,25 +203,26 @@ def forward_saveat_solve(
     """Forward solve capturing saveat states exactly; optionally composes a
     second per-step hook (event tracking, Gauss accumulation)."""
     dtype = u0vec.dtype
-    t0 = jnp.asarray(t0, dtype)
-    t1 = jnp.asarray(t1, dtype)
-    saveat = jnp.asarray(saveat, dtype)
-    tdir = jnp.where(t1 >= t0, 1.0, -1.0).astype(dtype)
+    tdtype = jnp.zeros((), dtype).real.dtype
+    t0 = jnp.asarray(t0, tdtype)
+    t1 = jnp.asarray(t1, tdtype)
+    saveat = jnp.asarray(saveat, tdtype)
+    tdir = jnp.where(t1 >= t0, 1.0, -1.0).astype(tdtype)
     nt = saveat.shape[0]
     n = u0vec.shape[0]
 
     all_stops = saveat if tstops is None else jnp.sort(
-        jnp.concatenate([saveat, jnp.asarray(tstops, dtype)])
+        jnp.concatenate([saveat, jnp.asarray(tstops, tdtype)])
     )
 
     # Pre-capture any save times at/before t0 (normally just saveat[0] == t0).
-    eps = jnp.finfo(dtype).eps
+    eps = jnp.finfo(tdtype).eps
     tol0 = 64.0 * eps * jnp.maximum(jnp.abs(t0), 1.0)
     pre = (saveat - t0) * tdir <= tol0
     k0 = jnp.sum(pre).astype(jnp.int32)
     buf0 = jnp.where(pre[:, None], u0vec[None, :], jnp.zeros((nt, n), dtype))
 
-    hook_s = save_hook_factory(saveat, tdir, dtype)
+    hook_s = save_hook_factory(saveat, tdir, tdtype)
     if extra_hook is None:
         hook = lambda rec, c: (hook_s(rec, c[0]), c[1])
         carry0 = ((buf0, k0), None)

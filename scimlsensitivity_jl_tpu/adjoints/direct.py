@@ -34,63 +34,63 @@ def make_fixed_grid_solve_fn(f, solver, opts: SolveOptions, t0, t1, *,
     this is the fastest execution mode. saveat times must lie on the grid.
     """
 
+    # Static grid math happens at the Python level (factory args), never on
+    # traced values: under jit even constants become tracers.
+    dt_py = (float(t1) - float(t0)) / n_steps
+    ts_nodes_py = [float(t0) + dt_py * i for i in range(n_steps + 1)]
+
     def solve_fn(u0, p, saveat):
         u0vec, unravel_u = ravel_pytree(u0)
         dtype = u0vec.dtype
         kern = make_vjp_kernels(f, u0, p)
         fvec = lambda uv, t: kern.fvec(uv, p, t)
-        t0a = jnp.asarray(t0, dtype)
-        t1a = jnp.asarray(t1, dtype)
-        dt = (t1a - t0a) / n_steps
-        ts_nodes = t0a + dt * jnp.arange(n_steps + 1)
+        dt = jnp.asarray(dt_py, dtype)
         saveat = jnp.asarray(saveat, dtype)
         nt = saveat.shape[0]
-        n = u0vec.shape[0]
 
+        # save indices: concrete validation when possible, traced gather
+        # otherwise
+        save_idx = jnp.clip(
+            jnp.rint((saveat - float(t0)) / dt_py).astype(jnp.int32),
+            0, n_steps,
+        )
         import numpy as _np
 
-        steps_f = (_np.asarray(saveat) - float(t0a)) / float(dt)
-        save_steps = _np.rint(steps_f).astype(int)
-        if not _np.allclose(steps_f, save_steps, atol=1e-6):
-            raise ValueError(
-                "fixed-grid saveat times must lie on the dt grid; "
-                f"got offsets {steps_f}"
-            )
+        try:
+            steps_f = (_np.asarray(saveat) - float(t0)) / dt_py
+            if not _np.allclose(steps_f, _np.rint(steps_f), atol=1e-4):
+                raise ValueError(
+                    "fixed-grid saveat times must lie on the dt grid; "
+                    f"got offsets {steps_f}"
+                )
+        except jax.errors.TracerArrayConversionError:
+            pass
 
         if unroll:
-            outs = [None] * nt
-            save_map = {int(s): k for k, s in enumerate(save_steps)}
+            nodes = [u0vec]
             u = u0vec
-            fcur = fvec(u, ts_nodes[0])
-            if 0 in save_map:
-                outs[save_map[0]] = u
+            fcur = fvec(u, jnp.asarray(ts_nodes_py[0], dtype))
             for i in range(n_steps):
-                u, fcur, _ = solver.step(fvec, ts_nodes[i], dt, u, fcur)
-                if (i + 1) in save_map:
-                    outs[save_map[i + 1]] = u
-            ys_save = jnp.stack(outs)
+                u, fcur, _ = solver.step(
+                    fvec, jnp.asarray(ts_nodes_py[i], dtype), dt, u, fcur
+                )
+                nodes.append(u)
+            all_nodes = jnp.stack(nodes)  # (n_steps+1, n)
             u_final = u
         else:
-            save_steps_j = jnp.asarray(save_steps)
-
             def body(carry, i):
-                u, fcur, buf = carry
-                u, fcur, _ = solver.step(fvec, ts_nodes[i], dt, u, fcur)
-                k = jnp.clip(jnp.searchsorted(save_steps_j, i + 1), 0, nt - 1)
-                hit = save_steps_j[k] == i + 1
-                buf = buf.at[k].set(jnp.where(hit, u, buf[k]))
-                return (u, fcur, buf), None
+                u, fcur = carry
+                t_i = jnp.asarray(t0, dtype) + dt * i.astype(dtype)
+                u, fcur, _ = solver.step(fvec, t_i, dt, u, fcur)
+                return (u, fcur), u
 
-            buf0 = jnp.zeros((nt, n), dtype)
-            k0 = jnp.clip(jnp.searchsorted(jnp.asarray(save_steps), 0), 0, nt - 1)
-            buf0 = buf0.at[k0].set(
-                jnp.where(jnp.asarray(save_steps)[k0] == 0, u0vec, buf0[k0])
-            )
-            (u_final, _, ys_save), _ = jax.lax.scan(
-                body, (u0vec, fvec(u0vec, ts_nodes[0]), buf0),
+            (u_final, _), stacked = jax.lax.scan(
+                body, (u0vec, fvec(u0vec, jnp.asarray(t0, dtype))),
                 jnp.arange(n_steps),
             )
+            all_nodes = jnp.concatenate([u0vec[None], stacked], axis=0)
 
+        ys_save = all_nodes[save_idx]
         ys = jax.vmap(unravel_u)(ys_save)
         from ..solvers.integrate import Stats
 
@@ -100,7 +100,7 @@ def make_fixed_grid_solve_fn(f, solver, opts: SolveOptions, t0, t1, *,
             n_fevals=jnp.asarray(n_steps * getattr(solver, "n_stages", 1), jnp.int32),
             retcode=jnp.asarray(0, jnp.int32),
         )
-        aux = AuxOut(dense=None, t_final=t1a, u_final=u_final, stats=stats)
+        aux = AuxOut(dense=None, t_final=jnp.asarray(t1, u0vec.dtype), u_final=u_final, stats=stats)
         return ys, aux
 
     return solve_fn

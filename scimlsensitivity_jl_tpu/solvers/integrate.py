@@ -57,8 +57,8 @@ class IntegrateResult(NamedTuple):
 
 
 def hairer_norm(x):
-    """RMS norm used by the Hairer-Wanner error controller."""
-    return jnp.sqrt(jnp.mean(jnp.square(x)))
+    """RMS norm used by the Hairer-Wanner error controller (complex-safe)."""
+    return jnp.sqrt(jnp.mean(jnp.abs(x) ** 2))
 
 
 def initial_step_size(fvec, t0, u0, f0, order, rtol, atol, tdir):
@@ -66,7 +66,7 @@ def initial_step_size(fvec, t0, u0, f0, order, rtol, atol, tdir):
     sc = atol + jnp.abs(u0) * rtol
     d0 = hairer_norm(u0 / sc)
     d1 = hairer_norm(f0 / sc)
-    small = jnp.asarray(1e-6, u0.dtype)
+    small = jnp.asarray(1e-6, jnp.zeros((), u0.dtype).real.dtype)
     h0 = jnp.where((d0 < 1e-5) | (d1 < 1e-5), small, 0.01 * d0 / d1)
     u1 = u0 + tdir * h0 * f0
     f1 = fvec(u1, t0 + tdir * h0)
@@ -149,27 +149,29 @@ def integrate(
     """
     u0 = jnp.asarray(u0)
     dtype = u0.dtype
-    t0 = jnp.asarray(t0, dtype)
-    t1 = jnp.asarray(t1, dtype)
-    tdir = jnp.where(t1 >= t0, jnp.asarray(1.0, dtype), jnp.asarray(-1.0, dtype))
+    # time variables live in the REAL dtype (complex states supported)
+    tdtype = jnp.zeros((), dtype).real.dtype
+    t0 = jnp.asarray(t0, tdtype)
+    t1 = jnp.asarray(t1, tdtype)
+    tdir = jnp.where(t1 >= t0, jnp.asarray(1.0, tdtype), jnp.asarray(-1.0, tdtype))
     n = u0.shape[0]
     order = stepper.order
-    rtol = jnp.asarray(rtol, dtype)
-    atol = jnp.asarray(atol, dtype)
+    rtol = jnp.asarray(rtol, tdtype)
+    atol = jnp.asarray(atol, tdtype)
     if tstops is not None:
-        tstops = jnp.asarray(tstops, dtype)
+        tstops = jnp.asarray(tstops, tdtype)
 
     f0 = fvec(u0, t0)
     if dt0 is None:
         dt = initial_step_size(fvec, t0, u0, f0, order, rtol, atol, tdir)
     else:
-        dt = tdir * jnp.abs(jnp.asarray(dt0, dtype))
+        dt = tdir * jnp.abs(jnp.asarray(dt0, tdtype))
 
     # When the caller doesn't need dense output (e.g. the λ-only reverse
     # solves), keep the interpolation buffers at minimal size so each
     # segment's while_loop carries O(n) not O(max_steps·n) state.
     buf_len = max_steps + 1 if store_dense else 2
-    ts_buf = jnp.full((buf_len,), t1, dtype)
+    ts_buf = jnp.full((buf_len,), t1, tdtype)
     ts_buf = ts_buf.at[0].set(t0)
     ys_buf = jnp.tile(u0[None, :], (buf_len, 1))
     fs_buf = jnp.tile(f0[None, :], (buf_len, 1))
@@ -180,7 +182,7 @@ def integrate(
     if event_set is not None:
         me = event_set.max_events
         ev0 = (
-            jnp.full((me,), t1, dtype),
+            jnp.full((me,), t1, tdtype),
             jnp.zeros((me, n), dtype),
             jnp.full((me,), -1, jnp.int32),
             jnp.asarray(0, jnp.int32),
@@ -193,7 +195,7 @@ def integrate(
         u=u0,
         f=f0,
         dt=dt,
-        err_prev=jnp.asarray(1.0, dtype),
+        err_prev=jnp.asarray(1.0, tdtype),
         n_acc=jnp.asarray(0, jnp.int32),
         n_rej=jnp.asarray(0, jnp.int32),
         n_iter=jnp.asarray(0, jnp.int32),
@@ -223,16 +225,16 @@ def integrate(
             # quadrature accumulators — must not dilute the mean).
             cnt = jnp.maximum(jnp.sum(err_weights > 0), 1)
             err_norm = jnp.sqrt(
-                jnp.sum(jnp.square(err_weights * (err / sc))) / cnt
+                jnp.sum(jnp.abs(err_weights * (err / sc)) ** 2) / cnt
             )
         bad = ~jnp.isfinite(err_norm)
-        err_norm = jnp.where(bad, jnp.asarray(2.0, dtype), err_norm)
+        err_norm = jnp.where(bad, jnp.asarray(2.0, tdtype), err_norm)
         accept = (err_norm <= 1.0) & ~bad
 
         # PI controller on |dt| (Soderlind): factor from this + previous error.
-        err_cl = jnp.maximum(err_norm, jnp.asarray(1e-10, dtype))
+        err_cl = jnp.maximum(err_norm, jnp.asarray(1e-10, tdtype))
         factor = safety * err_cl ** (-beta1) * c.err_prev ** (beta2)
-        factor = jnp.where(bad, jnp.asarray(factor_min, dtype), factor)
+        factor = jnp.where(bad, jnp.asarray(factor_min, tdtype), factor)
         factor = jnp.clip(factor, factor_min, factor_max)
         # Forward-mode (jvp) flows through this driver (ForwardDiffSensitivity,
         # ForwardSensitivity); freeze the controller so tangents measure the
@@ -259,7 +261,7 @@ def integrate(
             def _detect(args):
                 (u_a, f_a, u_b, f_b) = args
                 fired_c = jnp.asarray(False)
-                theta_min = jnp.asarray(2.0, dtype)
+                theta_min = jnp.asarray(2.0, tdtype)
                 j_hit = jnp.asarray(-1, jnp.int32)
                 if event_set.cond is not None:
                     # Sample the interpolant at interior points so crossings
@@ -268,7 +270,7 @@ def integrate(
                     # ContinuousCallback).
                     NSMP = 8
                     th_grid = jnp.linspace(
-                        jnp.asarray(0.0, dtype), jnp.asarray(1.0, dtype),
+                        jnp.asarray(0.0, tdtype), jnp.asarray(1.0, tdtype),
                         NSMP + 1,
                     )
 
@@ -320,7 +322,7 @@ def integrate(
                                 jnp.abs(dg) > 1e-30, g_v / dg, 0.0
                             )
                         th = jnp.clip(th, 0.0, 1.0)
-                        return jnp.where(crossed_k, th, jnp.asarray(2.0, dtype))
+                        return jnp.where(crossed_k, th, jnp.asarray(2.0, tdtype))
 
                     k_cont = event_set.n_cont
                     thetas = jnp.stack([
@@ -454,7 +456,7 @@ def integrate(
             n_acc = n_acc + wrote.astype(jnp.int32)
 
         done = accept & ((t1 - t_new) * tdir <= jnp.abs(t1) * 1e-14 + 1e-300)
-        dt_floor = jnp.asarray(1e-14, dtype) * jnp.maximum(1.0, jnp.abs(t_new))
+        dt_floor = jnp.asarray(1e-14, tdtype) * jnp.maximum(1.0, jnp.abs(t_new))
         underflow = (jnp.abs(dt_next) < dt_floor) & ~done
         out_of_steps = ((n_acc >= max_steps) | (c.n_iter + 1 >= 4 * max_steps)) & ~done
         status = jnp.where(

@@ -94,3 +94,27 @@ def test_mass_matrix_singular_raises():
                           (0.0, 1.0), None, mass_matrix=M)
     with _pytest.raises(NotImplementedError):
         solve(prob, Tsit5())
+
+
+def test_complex_ode_adjoint():
+    # reference Core1/complex strategy: complex state, real params
+    om = 2.0
+    prob = ODEProblem(lambda u, p, t: 1j * p * u, jnp.array([1.0 + 0j]),
+                      (0.0, 3.0), jnp.asarray(om))
+    sol = solve(prob, Tsit5(), rtol=1e-10, atol=1e-12,
+                sensealg=GaussAdjoint())
+    assert np.allclose(np.asarray(sol.ys[-1, 0]), np.exp(1j * om * 3), atol=1e-8)
+
+    def loss(p):
+        s = solve(ODEProblem(lambda u, pp, t: 1j * pp * u,
+                             jnp.array([1.0 + 0j]), (0.0, 3.0), p),
+                  Tsit5(), rtol=1e-10, atol=1e-12,
+                  sensealg=InterpolatingAdjoint())
+        return jnp.abs(s.ys[-1, 0] - jnp.exp(1j * 1.9 * 3.0)) ** 2
+
+    g = np.complex128(jax.grad(loss)(jnp.asarray(om)))
+    eps = 1e-6
+    fd = (float(loss(jnp.asarray(om + eps))) -
+          float(loss(jnp.asarray(om - eps)))) / (2 * eps)
+    assert np.isclose(g.real, fd, rtol=1e-6)
+    assert abs(g.imag) < 1e-10
