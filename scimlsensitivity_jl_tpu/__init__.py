@@ -26,6 +26,7 @@ from .sensealg import (
     DirectAdjoint,
     ForwardDiffSensitivity,
     ForwardLSS,
+    FiniteDiffVJP,
     ForwardSensitivity,
     GaussAdjoint,
     GaussKronrodAdjoint,
@@ -131,6 +132,7 @@ __all__ = [
     "AutoVJP",
     "JacVJP",
     "PallasVJP",
+    "FiniteDiffVJP",
     "default_sensealg",
     "setvjp",
 ]

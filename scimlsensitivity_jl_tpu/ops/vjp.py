@@ -20,7 +20,7 @@ from typing import Any, Callable, NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
-from ..sensealg import AutoVJP, JacVJP, PallasVJP, VJPChoice
+from ..sensealg import AutoVJP, FiniteDiffVJP, JacVJP, PallasVJP, VJPChoice
 from ..utils.pytree import ravel_pytree, tree_zeros_like
 
 __all__ = ["VJPKernels", "make_vjp_kernels", "make_flat_field"]
@@ -89,6 +89,30 @@ def make_vjp_kernels(
         return f_flat(uvec, p, t)
 
     use_jac_path = isinstance(vjp_choice, JacVJP)
+    use_fd = isinstance(vjp_choice, FiniteDiffVJP)
+    fd_eps = getattr(vjp_choice, "eps", 1e-6)
+
+    def _fd_jac_u(uvec, p, t):
+        def col(j):
+            e = jnp.zeros_like(uvec).at[j].set(fd_eps)
+            return (f_flat(uvec + e, p, t) - f_flat(uvec - e, p, t)) / (2 * fd_eps)
+
+        return jax.vmap(col)(jnp.arange(uvec.shape[0])).T
+
+    def _fd_f_and_vjp(uvec, p, t, lamvec):
+        fval = f_flat(uvec, p, t)
+        J = _fd_jac_u(uvec, p, t)
+        ubar = J.T @ lamvec
+        pflat, unravel_p = ravel_pytree(p)
+
+        def pcol(j):
+            e = jnp.zeros_like(pflat).at[j].set(fd_eps)
+            return (f_flat(uvec, unravel_p(pflat + e), t)
+                    - f_flat(uvec, unravel_p(pflat - e), t)) / (2 * fd_eps)
+
+        pJ = jax.vmap(pcol)(jnp.arange(pflat.shape[0]))  # (np, n)
+        pbar = unravel_p(pJ @ lamvec)
+        return fval, ubar, pbar
 
     def _auto_f_and_vjp(uvec, p, t, lamvec):
         fval, pullback = jax.vjp(lambda u_, p_: f_flat(u_, p_, t), uvec, p)
@@ -121,6 +145,8 @@ def make_vjp_kernels(
                 pbar = pbar_auto
             return fval, ubar, pbar
 
+    elif use_fd:
+        f_and_vjp = _fd_f_and_vjp
     elif use_jac_path:
         f_and_vjp = _jac_f_and_vjp
     else:
@@ -129,6 +155,8 @@ def make_vjp_kernels(
     def vjp_u(uvec, p, t, lamvec):
         if user_vjp is not None:
             return ravel_pytree(user_vjp(unravel_u(lamvec), unravel_u(uvec), p, t))[0]
+        if use_fd:
+            return _fd_jac_u(uvec, p, t).T @ lamvec
         if use_jac_path:
             return jac_u(uvec, p, t).T @ lamvec
         _, pullback = jax.vjp(lambda u_: f_flat(u_, p, t), uvec)
@@ -138,6 +166,8 @@ def make_vjp_kernels(
     def vjp_p(uvec, p, t, lamvec):
         if user_paramjac is not None:
             return user_paramjac(unravel_u(lamvec), unravel_u(uvec), p, t)
+        if use_fd:
+            return _fd_f_and_vjp(uvec, p, t, lamvec)[2]
         _, pullback = jax.vjp(lambda p_: f_flat(uvec, p_, t), p)
         (pbar,) = pullback(lamvec)
         return pbar

@@ -40,6 +40,7 @@ __all__ = [
     "AutoVJP",
     "JacVJP",
     "PallasVJP",
+    "FiniteDiffVJP",
     "ForwardSensitivity",
     "ForwardDiffSensitivity",
     "BacksolveAdjoint",
@@ -84,6 +85,17 @@ class JacVJP(VJPChoice):
 @dataclass(frozen=True)
 class PallasVJP(VJPChoice):
     """Pallas-fused pullback matvecs for large flat states."""
+
+
+@dataclass(frozen=True)
+class FiniteDiffVJP(VJPChoice):
+    """Central-finite-difference Jacobians contracted with λ — the
+    numerical fallback at the end of the reference's backend chain
+    (concrete_solve.jl:39-143, sensitivity_interface.jl:409-420). For RHS
+    functions that JAX cannot differentiate (external calls via pure_callback,
+    lookup tables, ...)."""
+
+    eps: float = 1e-6
 
 
 # ---------------------------------------------------------------------------

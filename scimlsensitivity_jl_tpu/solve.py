@@ -69,6 +69,7 @@ def solve(
     save_idxs=None,
     adaptive: bool = True,
     unroll: bool = False,
+    verbose: bool = False,
 ):
     """Solve a problem; gradients through the result follow `sensealg`.
 
@@ -87,6 +88,7 @@ def solve(
             adj_rtol=adj_rtol, adj_atol=adj_atol, adj_max_steps=adj_max_steps,
             bwd_solver=bwd_solver, callback=callback, max_events=max_events,
             save_idxs=save_idxs, adaptive=adaptive, unroll=unroll,
+            verbose=verbose,
         )
     if isinstance(prob, SDEProblem):
         from .adjoints.sde import solve_sde
@@ -120,7 +122,7 @@ def solve(
 def _solve_ode(prob, solver, *, saveat, rtol, atol, dt0, dt, max_steps,
                tstops, sensealg, dense, adj_rtol, adj_atol, adj_max_steps,
                bwd_solver, callback=None, max_events=32, save_idxs=None,
-               adaptive=True, unroll=False):
+               adaptive=True, unroll=False, verbose=False):
     solver = solver or Tsit5()
     t0, t1 = prob.tspan
     u0vec, unravel_u = ravel_pytree(prob.u0)
@@ -233,6 +235,19 @@ def _solve_ode(prob, solver, *, saveat, rtol, atol, dt0, dt, max_steps,
         ys, aux = fn(prob.u0, prob.p, saveat)
     else:
         raise NotImplementedError(f"sensealg {sensealg!r} not supported for ODEs")
+
+    if verbose:
+        # SciMLLogging-style notice on failed solves (verbose kwarg threaded
+        # as in the reference; jit-safe via debug callback).
+        rc = aux.stats.retcode
+        jax.lax.cond(
+            rc != 0,
+            lambda: jax.debug.print(
+                "solve: non-success retcode {} (1=MaxIters, 2=DtMin); "
+                "gradients through this solution are NaN-poisoned", rc
+            ),
+            lambda: None,
+        )
 
     if save_idxs is not None:
         # Restrict outputs to selected state components (reference save_idxs

@@ -118,3 +118,27 @@ def test_complex_ode_adjoint():
           float(loss(jnp.asarray(om - eps)))) / (2 * eps)
     assert np.isclose(g.real, fd, rtol=1e-6)
     assert abs(g.imag) < 1e-10
+
+
+def test_finite_diff_vjp_backend():
+    # the numerical fallback backend: gradients agree with AD on smooth f
+    from scimlsensitivity_jl_tpu import FiniteDiffVJP
+
+    LV_P = jnp.array([1.5, 1.0, 3.0, 1.0])
+    LV_U0 = jnp.array([1.0, 1.0])
+    ts = jnp.linspace(0.0, 5.0, 6)
+
+    def lv(u, p, t):
+        x, y = u[0], u[1]
+        a, b, c, d = p[0], p[1], p[2], p[3]
+        return jnp.stack([a * x - b * x * y, -c * y + d * x * y])
+
+    def loss(p, sa):
+        s = solve(ODEProblem(lv, LV_U0, (0.0, 5.0), p), Tsit5(), saveat=ts,
+                  rtol=1e-10, atol=1e-12, sensealg=sa)
+        return jnp.sum((s.ys - 1.0) ** 2)
+
+    g_fd = jax.grad(lambda p: loss(p, InterpolatingAdjoint(
+        autojacvec=FiniteDiffVJP(eps=1e-7))))(LV_P)
+    g_ad = jax.grad(lambda p: loss(p, InterpolatingAdjoint()))(LV_P)
+    assert np.allclose(g_fd, g_ad, rtol=1e-4, atol=1e-6)
