@@ -10,6 +10,7 @@ implicit-function-theorem adjoints, and chaotic-shadowing methods — each a
 """
 
 from .problems import (
+    DDEProblem,
     NonlinearProblem,
     ODEProblem,
     RODEProblem,
@@ -79,6 +80,7 @@ __all__ = [
     "RODEProblem",
     "NonlinearProblem",
     "SteadyStateProblem",
+    "DDEProblem",
     "remake",
     "solve",
     "ODEForwardSensitivityProblem",

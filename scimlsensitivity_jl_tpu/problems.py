@@ -35,6 +35,7 @@ __all__ = [
     "RODEProblem",
     "NonlinearProblem",
     "SteadyStateProblem",
+    "DDEProblem",
     "remake",
 ]
 
@@ -119,6 +120,25 @@ class RODEProblem(AbstractProblem):
 
 
 @dataclass(frozen=True)
+class DDEProblem(AbstractProblem):
+    """Constant-lag delay differential equation
+    u'(t) = f(u(t), (u(t-τ₁), ...), p, t)  (the reference's neural-DDE
+    surface, test/Core4/layers_dde.jl; reference delegates to DelayDiffEq).
+
+    f: (u, hist, p, t) -> du where hist is a tuple of delayed states.
+    lags: tuple of positive floats (static).
+    history: callable t -> u for t <= t0 (defaults to constant u0).
+    """
+
+    f: Callable
+    u0: Any
+    tspan: tuple
+    p: Any = None
+    lags: tuple = ()
+    history: Optional[Callable] = None
+
+
+@dataclass(frozen=True)
 class NonlinearProblem(AbstractProblem):
     """Root-finding problem f(u, p) = 0 (reference: steadystate_adjoint.jl)."""
 
@@ -143,6 +163,7 @@ class SteadyStateProblem(AbstractProblem):
 
 for _cls, _data, _meta in [
     (ODEProblem, ("u0", "tspan", "p", "mass_matrix"), ("f", "jac", "vjp", "paramjac")),
+    (DDEProblem, ("u0", "tspan", "p"), ("f", "lags", "history")),
     (SDEProblem, ("u0", "tspan", "p"), ("f", "g", "noise", "interpretation", "noise_dim")),
     (RODEProblem, ("u0", "tspan", "p"), ("f", "noise_dim")),
     (NonlinearProblem, ("u0", "p"), ("f",)),

@@ -97,7 +97,14 @@ def solve(
             prob, solver, saveat=saveat, dt=dt, sensealg=sensealg,
             max_steps=max_steps, key=key,
         )
-    from .problems import NonlinearProblem, RODEProblem, SteadyStateProblem
+    from .problems import DDEProblem, NonlinearProblem, RODEProblem, SteadyStateProblem
+
+    if isinstance(prob, DDEProblem):
+        from .adjoints.dde import solve_dde
+
+        if dt is None:
+            raise ValueError("DDE solves are fixed-grid: pass dt=...")
+        return solve_dde(prob, dt=dt, saveat=saveat, sensealg=sensealg)
 
     if isinstance(prob, RODEProblem):
         from .adjoints.sde import solve_rode
