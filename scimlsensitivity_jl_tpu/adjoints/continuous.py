@@ -184,9 +184,14 @@ def make_ode_solve_fn(f, solver, sensealg, opts: SolveOptions, t0, t1, *,
     bwd_stepper = bwd_solver or solver
     vjp_choice = getattr(sensealg, "autojacvec", None)
 
-    needs_dense = isinstance(
-        sensealg, (QuadratureAdjoint, GaussAdjoint, GaussKronrodAdjoint)
-    ) or (isinstance(sensealg, InterpolatingAdjoint) and not sensealg.checkpointing)
+    gauss_ckpt = isinstance(
+        sensealg, (GaussAdjoint, GaussKronrodAdjoint)
+    ) and getattr(sensealg, "checkpointing", False)
+    needs_dense = (
+        isinstance(sensealg, QuadratureAdjoint)
+        or (isinstance(sensealg, (GaussAdjoint, GaussKronrodAdjoint)) and not gauss_ckpt)
+        or (isinstance(sensealg, InterpolatingAdjoint) and not sensealg.checkpointing)
+    )
     store_dense = bool(needs_dense or opts.dense)
 
     adj_rtol = opts.adj_rtol if opts.adj_rtol is not None else opts.rtol
@@ -296,7 +301,7 @@ def make_ode_solve_fn(f, solver, sensealg, opts: SolveOptions, t0, t1, *,
         (u0, p, saveat, fwd, u0vec, unravel_u, unravel_p, kern,
          n, npf, times, jumps, event_set) = _common_bwd_setup(res, cot)
 
-        if not sensealg.checkpointing:
+        if isinstance(sensealg, InterpolatingAdjoint) and not sensealg.checkpointing:
             dense = fwd.dense
 
             def aug_rhs(z, t):
@@ -363,10 +368,13 @@ def make_ode_solve_fn(f, solver, sensealg, opts: SolveOptions, t0, t1, *,
                 _, ubar, pbar = kern.f_and_vjp(y, p, t, lam)
                 return jnp.concatenate([-ubar, -ravel_pytree(pbar)[0]])
 
+            wts = jnp.concatenate(
+                [jnp.ones(n, u0vec.dtype), jnp.zeros(npf, u0vec.dtype)]
+            )
             resr = integrate(
                 bwd_stepper, aug_rhs, t_hi, t_lo, z,
                 rtol=adj_rtol, atol=adj_atol, max_steps=adj_max_steps,
-                store_dense=False,
+                store_dense=False, err_weights=wts,
             )
             worst = jnp.maximum(worst, jnp.maximum(local.stats.retcode, resr.stats.retcode))
             return (resr.u_final, worst), None
@@ -576,7 +584,11 @@ def make_ode_solve_fn(f, solver, sensealg, opts: SolveOptions, t0, t1, *,
         dp = jnp.einsum("ti,tij->j", lam, Jp)
         return unravel_u(du0), unravel_p(dp), jnp.zeros_like(saveat)
 
-    if isinstance(sensealg, InterpolatingAdjoint):
+    if isinstance(sensealg, InterpolatingAdjoint) or gauss_ckpt:
+        # GaussAdjoint(checkpointing=True) shares the interval-re-solve
+        # reverse (reference GaussCheckpointSolution, gauss_adjoint.jl:40-46):
+        # q rides in the state with zero error weight, so the λ error control
+        # matches the non-checkpointed Gauss behavior.
         bwd_rule = _bwd_interpolating
     elif isinstance(sensealg, BacksolveAdjoint):
         bwd_rule = _bwd_backsolve

@@ -162,3 +162,11 @@ def test_saveat_not_spanning_tspan():
         )(LV_U0, LV_P)
         assert np.allclose(du0, du0_f, rtol=1e-5, atol=1e-8), repr(sa)
         assert np.allclose(dp, dp_f, rtol=1e-5, atol=1e-8), repr(sa)
+
+
+def test_gauss_checkpointing_matches():
+    loss_ck = make_loss(GaussAdjoint(checkpointing=True))
+    loss_g = make_loss(GaussAdjoint())
+    g1 = jax.grad(loss_ck, argnums=1)(LV_U0, LV_P)
+    g2 = jax.grad(loss_g, argnums=1)(LV_U0, LV_P)
+    assert np.allclose(g1, g2, rtol=1e-6, atol=1e-9)

@@ -67,3 +67,35 @@ def test_gradient_through_sharded_ensemble():
     assert np.allclose(g_vmap, g_shard, rtol=1e-10)
     # optimum at p = 1.3: gradient should be negative at p=1 (decay too slow)
     assert float(g_vmap) < 0
+
+
+def test_sharded_state_adjoint():
+    # PDE-scale sharded-state adjoint (SURVEY §2 parallelism table: sharded
+    # u for single giant systems): 1-D heat equation, state sharded over the
+    # 8-device mesh; XLA propagates the sharding through the solver loops
+    # and inserts the halo-exchange collectives for the rolled Laplacian.
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from scimlsensitivity_jl_tpu import solve as _solve
+
+    n = 1024
+    mesh = make_mesh(8, axis="x")
+    xs = jnp.linspace(0.0, 1.0, n, endpoint=False)
+    u0 = jnp.sin(2 * jnp.pi * xs) + 0.5 * jnp.sin(6 * jnp.pi * xs)
+    scale = float(n * n) / 400.0
+
+    def heat(u, p, t):
+        return p * scale * (jnp.roll(u, 1) + jnp.roll(u, -1) - 2.0 * u)
+
+    def loss(p, u0_):
+        prob = ODEProblem(heat, u0_, (0.0, 0.1), p)
+        sol = _solve(prob, Tsit5(), rtol=1e-8, atol=1e-10,
+                     sensealg=GaussAdjoint(), max_steps=1024)
+        return jnp.sum(sol.ys[-1] ** 2)
+
+    g_plain = jax.grad(loss)(jnp.asarray(1.3), u0)
+
+    shard = NamedSharding(mesh, P("x"))
+    g_shard = jax.jit(
+        jax.grad(loss), in_shardings=(None, shard)
+    )(jnp.asarray(1.3), jax.device_put(u0, shard))
+    assert np.allclose(float(g_shard), float(g_plain), rtol=1e-10)
