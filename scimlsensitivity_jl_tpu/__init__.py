@@ -70,7 +70,7 @@ from .parallel.ensemble import EnsembleProblem, make_mesh, solve_ensemble
 from .solvers.explicit import BS3, Dopri5, Euler, Heun, Midpoint, Tsit5
 from .solvers.rosenbrock import Rosenbrock23
 from .solvers.sde import EulerHeun, EulerMaruyama, Milstein
-from .solvers.sdirk import TRBDF2, Kvaerno3
+from .solvers.sdirk import SDIRK4, TRBDF2, Kvaerno3
 
 __version__ = "0.1.0"
 
@@ -106,6 +106,7 @@ __all__ = [
     "Rosenbrock23",
     "TRBDF2",
     "Kvaerno3",
+    "SDIRK4",
     "EulerMaruyama",
     "EulerHeun",
     "Milstein",

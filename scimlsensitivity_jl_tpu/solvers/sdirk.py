@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 from jax.scipy.linalg import lu_factor, lu_solve
 
-__all__ = ["ESDIRK", "TRBDF2", "Kvaerno3"]
+__all__ = ["ESDIRK", "TRBDF2", "Kvaerno3", "SDIRK4"]
 
 
 class ESDIRKTableau(NamedTuple):
@@ -34,6 +34,7 @@ class ESDIRKTableau(NamedTuple):
     c: Tuple[float, ...]
     gamma: float
     order: int
+    first_explicit: bool = True  # ESDIRK: k1 = f0; SDIRK: stage 1 implicit
 
 
 _SQRT2 = math.sqrt(2.0)
@@ -84,6 +85,29 @@ KVAERNO3_TAB = ESDIRKTableau(
 )
 
 
+# Hairer-Wanner SDIRK4 (Solving ODEs II, Table 6.5): 5-stage, L-stable,
+# order 4 with embedded order-3 estimate; gamma = 1/4, all stages implicit,
+# stiffly accurate (b = last row). Order conditions Σb·c^k = 1/(k+1) for
+# k=0..3 verified numerically in tests.
+_B_S4 = (25 / 24, -49 / 48, 125 / 16, -85 / 12, 1 / 4)
+_BH_S4 = (59 / 48, -17 / 96, 225 / 32, -85 / 12, 0.0)
+
+SDIRK4_TAB = ESDIRKTableau(
+    a=(
+        (1 / 4,),
+        (1 / 2, 1 / 4),
+        (17 / 50, -1 / 25, 1 / 4),
+        (371 / 1360, -137 / 2720, 15 / 544, 1 / 4),
+        _B_S4,
+    ),
+    b_err=tuple(b - bh for b, bh in zip(_B_S4, _BH_S4)),
+    c=(1 / 4, 3 / 4, 11 / 20, 1 / 2, 1.0),
+    gamma=1 / 4,
+    order=4,
+    first_explicit=False,
+)
+
+
 class ESDIRK:
     def __init__(self, tableau: ESDIRKTableau, name: str, newton_iters: int = 8,
                  newton_tol: float = 1e-12):
@@ -107,9 +131,10 @@ class ESDIRK:
         W = jnp.eye(n, dtype=u.dtype) - dt * gam * J
         lu = lu_factor(W)
 
-        ks = [f0]
+        ks = [f0] if tab.first_explicit else []
+        c_off = 1 if tab.first_explicit else 0
         for i, row in enumerate(tab.a):
-            ti = t + tab.c[i + 1] * dt
+            ti = t + tab.c[i + c_off] * dt
             base = u
             for aij, k in zip(row[:-1], ks):
                 base = base + (dt * aij) * k
@@ -120,7 +145,8 @@ class ESDIRK:
                 g = k - fvec(base + (dt * gam) * k, ti)
                 return k - lu_solve(lu, g)
 
-            k = jax.lax.fori_loop(0, self.newton_iters, newton_body, ks[-1])
+            k = jax.lax.fori_loop(0, self.newton_iters, newton_body,
+                                  ks[-1] if ks else f0)
             ks.append(k)
 
         # Stiffly accurate: u1 = base of a virtual next stage = u + h·Σ b k.
@@ -144,3 +170,7 @@ def TRBDF2(**kw):
 
 def Kvaerno3(**kw):
     return ESDIRK(KVAERNO3_TAB, "Kvaerno3", **kw)
+
+
+def SDIRK4(**kw):
+    return ESDIRK(SDIRK4_TAB, "SDIRK4", **kw)

@@ -18,6 +18,7 @@ from scimlsensitivity_jl_tpu import (
     ODEProblem,
     QuadratureAdjoint,
     Rosenbrock23,
+    SDIRK4,
     TRBDF2,
     solve,
 )
@@ -45,7 +46,7 @@ def scipy_rober(ts, p=ROBER_P, u0=ROBER_U0):
     return r.y.T
 
 
-@pytest.mark.parametrize("make_solver", [Rosenbrock23, TRBDF2, Kvaerno3])
+@pytest.mark.parametrize("make_solver", [Rosenbrock23, TRBDF2, Kvaerno3, SDIRK4])
 def test_robertson_forward(make_solver):
     ts = jnp.array([0.0, 1e-2, 1.0, 10.0, 100.0])
     prob = ODEProblem(rober, ROBER_U0, (0.0, 100.0), ROBER_P)
@@ -56,7 +57,7 @@ def test_robertson_forward(make_solver):
     assert np.allclose(sol.ys, ref, rtol=1e-5, atol=1e-8), make_solver.__name__
 
 
-@pytest.mark.parametrize("make_solver", [Rosenbrock23, TRBDF2, Kvaerno3])
+@pytest.mark.parametrize("make_solver", [Rosenbrock23, TRBDF2, Kvaerno3, SDIRK4])
 def test_stiff_vanderpol(make_solver):
     # Van der Pol with mu=1e3 over a short window — genuinely stiff.
     def vdp(u, p, t):
@@ -121,3 +122,15 @@ def test_robertson_adjoint_gradient(sensealg):
     grad_oracle = jax.grad(loss_fds)(logp)
     assert np.allclose(grad, grad_oracle, rtol=2e-4, atol=1e-8), (
         np.asarray(grad), np.asarray(grad_oracle))
+
+
+def test_sdirk4_order_conditions():
+    from scimlsensitivity_jl_tpu.solvers.sdirk import SDIRK4_TAB
+
+    b = np.asarray(SDIRK4_TAB.a[-1], np.float64)
+    c = np.asarray(SDIRK4_TAB.c, np.float64)
+    for k in range(4):
+        assert np.isclose((b * c ** k).sum(), 1.0 / (k + 1), atol=1e-14), k
+    bh = b - np.asarray(SDIRK4_TAB.b_err, np.float64)
+    assert np.isclose(bh.sum(), 1.0, atol=1e-14)
+    assert np.isclose((bh * c).sum(), 0.5, atol=1e-14)
