@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.interp import DenseOutput
-from ..solvers.integrate import IntegrateResult, Stats, integrate
+from ..solvers.integrate import Stats, integrate
 
 __all__ = [
     "ForwardResult",

@@ -40,7 +40,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.interp import DenseOutput, dense_eval, hermite_eval
+from ..ops.interp import dense_eval, hermite_eval
 from ..ops.vjp import make_vjp_kernels
 from ..sensealg import (
     BacksolveAdjoint,
@@ -579,9 +579,30 @@ def make_ode_solve_fn(f, solver, sensealg, opts: SolveOptions, t0, t1, *,
             )
             return fr.ys_save  # (nt, n)
 
-        Ju0, Jp = jax.jacfwd(ys_of, argnums=(0, 1))(u0vec, pflat)
-        du0 = jnp.einsum("ti,tij->j", lam, Ju0)
-        dp = jnp.einsum("ti,tij->j", lam, Jp)
+        n = u0vec.shape[0]
+        npf = pflat.shape[0]
+        chunk = getattr(sensealg, "chunk_size", 0) or (n + npf)
+
+        def jvp_dir(seed):
+            du0v, dpv = seed[:n], seed[n:]
+            _, dys = jax.jvp(ys_of, (u0vec, pflat), (du0v, dpv))
+            return jnp.einsum("ti,ti->", lam, dys)
+
+        # Chunked forward sweeps (reference: 12-wide Dual chunks,
+        # concrete_solve.jl:1306-1345): lax.map over seed chunks bounds the
+        # tangent-batch memory; each chunk is one vmapped jvp re-solve.
+        eye = jnp.eye(n + npf, dtype=u0vec.dtype)
+        n_dirs = n + npf
+        n_chunks = -(-n_dirs // chunk)
+        pad = n_chunks * chunk - n_dirs
+        seeds = jnp.concatenate(
+            [eye, jnp.zeros((pad, n_dirs), u0vec.dtype)]
+        ).reshape(n_chunks, chunk, n_dirs)
+        contracted = jax.lax.map(
+            lambda block: jax.vmap(jvp_dir)(block), seeds
+        ).reshape(-1)[:n_dirs]
+        du0 = contracted[:n]
+        dp = contracted[n:]
         return unravel_u(du0), unravel_p(dp), jnp.zeros_like(saveat)
 
     if isinstance(sensealg, InterpolatingAdjoint) or gauss_ckpt:

@@ -18,8 +18,6 @@ Two surfaces:
 
 from __future__ import annotations
 
-from typing import Any, NamedTuple
-
 import jax
 import jax.numpy as jnp
 

@@ -164,6 +164,11 @@ def adjoint_sensitivities(
         solver, aug_rhs, times, jumps, z0, n,
         rtol=rtol, atol=atol, max_steps=max_steps, err_weights=wts,
     )
-    du0 = unravel_u(z[:n])
-    dp = unravel_p(z[n:n + npf] + dp_disc)
+    # NaN-poison on reverse failure (same alarm as the solve adjoints).
+    bad = worst != 0
+    lam0 = jnp.where(bad, jnp.full_like(z[:n], jnp.nan), z[:n])
+    qv = jnp.where(bad, jnp.full_like(z[n:n + npf], jnp.nan),
+                   z[n:n + npf] + dp_disc)
+    du0 = unravel_u(lam0)
+    dp = unravel_p(qv)
     return du0, dp

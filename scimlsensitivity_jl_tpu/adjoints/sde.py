@@ -26,8 +26,6 @@ NoiseProcess-reversal):
 
 from __future__ import annotations
 
-from typing import Any, NamedTuple, Optional
-
 import jax
 import jax.numpy as jnp
 

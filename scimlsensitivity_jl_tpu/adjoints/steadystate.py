@@ -20,7 +20,7 @@ concrete_solve.jl:2679-2826) is this same rule applied to ∇φ(u, p) = 0 —
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Any, Callable, NamedTuple
+from typing import Any, Callable
 
 import jax
 import jax.numpy as jnp

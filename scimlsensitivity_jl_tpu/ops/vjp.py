@@ -15,7 +15,7 @@ the AD route, mirroring the f.vjp/f.paramjac/f.jac hooks
 
 from __future__ import annotations
 
-from typing import Any, Callable, NamedTuple, Optional
+from typing import Callable, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp

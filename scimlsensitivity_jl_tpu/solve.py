@@ -11,7 +11,7 @@ unnecessary.
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -168,22 +168,46 @@ def _solve_ode(prob, solver, *, saveat, rtol, atol, dt0, dt, max_steps,
         M = jnp.asarray(prob.mass_matrix, dtype)
         import numpy as _np
 
-        if abs(float(_np.linalg.det(_np.asarray(M)))) < 1e-300:
-            raise NotImplementedError(
-                "singular mass matrices (DAEs) are not supported yet; "
-                "only invertible M in M·u' = f(u,p,t)"
-            )
-        Minv = jnp.linalg.inv(M)
-        f_orig = prob.f
-
-        def f_mass(u, p_, t):
-            du = f_orig(u, p_, t)
-            duvec, unrav = ravel_pytree(du)
-            return unrav(Minv @ duvec)
-
         from .problems import remake as _remake
 
-        prob = _remake(prob, f=f_mass, mass_matrix=None)
+        if abs(float(_np.linalg.det(_np.asarray(M)))) < 1e-300:
+            # Semi-explicit index-1 DAE: keep M in the implicit stages
+            # (W = M - hγJ). Requires an all-implicit SDIRK solver, an
+            # explicit dt0 (the automatic-dt heuristic assumes u' = f), and
+            # a discrete-mode sensealg (continuous DAE adjoints with the
+            # algebraic λ-projection, reference adjoint_common.jl:790-817,
+            # are future work).
+            if not hasattr(solver, "with_mass_matrix"):
+                raise NotImplementedError(
+                    "singular mass matrices need an implicit solver with "
+                    "mass-matrix stages (SDIRK4)"
+                )
+            solver = solver.with_mass_matrix(M)
+            if dt0 is None and dt is None:
+                raise ValueError(
+                    "singular-mass-matrix solves need an explicit dt0"
+                )
+            from .sensealg import DirectAdjoint as _DA
+            from .sensealg import ForwardDiffSensitivity as _FDS
+
+            if sensealg is None:
+                sensealg = _FDS()
+            elif not isinstance(sensealg, (_FDS, _DA)):
+                raise NotImplementedError(
+                    "DAE gradients: use ForwardDiffSensitivity or "
+                    "DirectAdjoint (continuous DAE adjoints are future work)"
+                )
+            prob = _remake(prob, mass_matrix=None)
+        else:
+            Minv = jnp.linalg.inv(M)
+            f_orig = prob.f
+
+            def f_mass(u, p_, t):
+                du = f_orig(u, p_, t)
+                duvec, unrav = ravel_pytree(du)
+                return unrav(Minv @ duvec)
+
+            prob = _remake(prob, f=f_mass, mass_matrix=None)
 
     from .callbacks import as_callback_set
 

@@ -14,7 +14,6 @@ flow; the loop carry is a flat NamedTuple of arrays.
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Callable, NamedTuple, Optional
 
 import jax

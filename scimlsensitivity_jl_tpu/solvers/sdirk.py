@@ -109,8 +109,15 @@ SDIRK4_TAB = ESDIRKTableau(
 
 
 class ESDIRK:
+    """mass_matrix: optional constant M for M·u' = f — stages solve
+    M·kᵢ = f(·) by modified Newton on g(k) = M·k - f(base + h·γ·k) with the
+    step-frozen W = M - h·γ·J (index-1 semi-explicit DAEs supported; the
+    reference's mass-matrix solver surface, adjoint_common.jl:110-139).
+    The first stage must then be implicit, so ESDIRK tableaus (explicit first
+    stage) reject singular M."""
+
     def __init__(self, tableau: ESDIRKTableau, name: str, newton_iters: int = 8,
-                 newton_tol: float = 1e-12):
+                 newton_tol: float = 1e-12, mass_matrix=None):
         self.tableau = tableau
         self.order = tableau.order
         self.fsal = True
@@ -118,6 +125,16 @@ class ESDIRK:
         self.name = name
         self.newton_iters = newton_iters
         self.newton_tol = newton_tol
+        self.mass_matrix = mass_matrix
+
+    def with_mass_matrix(self, M):
+        if self.tableau.first_explicit:
+            raise NotImplementedError(
+                f"{self.name} has an explicit first stage: singular mass "
+                "matrices need an all-implicit SDIRK (use SDIRK4)"
+            )
+        return ESDIRK(self.tableau, self.name, self.newton_iters,
+                      self.newton_tol, mass_matrix=M)
 
     def __repr__(self):
         return f"{self.name}()"
@@ -126,27 +143,45 @@ class ESDIRK:
         tab = self.tableau
         n = u.shape[0]
         gam = tab.gamma
+        M = self.mass_matrix
 
         J = jax.jacfwd(lambda uu: fvec(uu, t))(u)
-        W = jnp.eye(n, dtype=u.dtype) - dt * gam * J
+        eyeM = jnp.eye(n, dtype=u.dtype) if M is None else jnp.asarray(M, u.dtype)
+        W = eyeM - dt * gam * J
         lu = lu_factor(W)
 
         ks = [f0] if tab.first_explicit else []
         c_off = 1 if tab.first_explicit else 0
+        bad_stage = jnp.asarray(False)
+        alphas = jnp.asarray([1.0, 0.5, 0.25], u.real.dtype)
         for i, row in enumerate(tab.a):
             ti = t + tab.c[i + c_off] * dt
             base = u
             for aij, k in zip(row[:-1], ks):
                 base = base + (dt * aij) * k
 
-            # Modified Newton on g(k) = k - f(ti, base + h·γ·k), warm-started
-            # from the previous stage derivative.
+            # Damped modified Newton on g(k) = M·k - f(ti, base + h·γ·k),
+            # warm-started from the previous stage derivative; the residual
+            # is checked afterwards so diverged stages force step rejection
+            # instead of silently passing the error test.
+            def resid(k):
+                Mk = k if M is None else eyeM @ k
+                return Mk - fvec(base + (dt * gam) * k, ti)
+
             def newton_body(_, k):
-                g = k - fvec(base + (dt * gam) * k, ti)
-                return k - lu_solve(lu, g)
+                g = resid(k)
+                delta = lu_solve(lu, g)
+                cand = k[None, :] - alphas[:, None] * delta[None, :]
+                gn = jax.vmap(lambda kk: jnp.linalg.norm(resid(kk)))(cand)
+                gn = jnp.where(jnp.isnan(gn), jnp.inf, gn)
+                return cand[jnp.argmin(gn)]
 
             k = jax.lax.fori_loop(0, self.newton_iters, newton_body,
                                   ks[-1] if ks else f0)
+            rfin = jnp.linalg.norm(resid(k))
+            kn = jnp.linalg.norm(k)
+            bad_stage = bad_stage | ~(rfin <= 1e-6 * (1.0 + kn)) \
+                | ~jnp.all(jnp.isfinite(k))
             ks.append(k)
 
         # Stiffly accurate: u1 = base of a virtual next stage = u + h·Σ b k.
@@ -161,6 +196,14 @@ class ESDIRK:
         # Hosea-Shampine filtered estimate: the embedded method is not
         # L-stable, so damp the stiff components through W⁻¹.
         err = lu_solve(lu, err)
+        if M is not None:
+            # Index-1 DAE: algebraic components are slaved to the constraint
+            # — their raw embedded error is O(1/h) noise, so exclude them
+            # from the error norm (standard practice, Hairer-Wanner VII.1).
+            alg = jnp.sum(jnp.abs(eyeM), axis=1) == 0
+            err = jnp.where(alg, 0.0, err)
+        # Non-converged Newton => reject the step (inf error).
+        err = jnp.where(bad_stage, jnp.full_like(err, jnp.inf), err)
         return u1, f1, err
 
 

@@ -11,7 +11,7 @@ Error weights `b_err` are `b - b̂` so that the embedded-error estimate is
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional, Tuple
+from typing import NamedTuple, Tuple
 
 __all__ = ["ButcherTableau", "TSIT5", "DOPRI5", "BOSH3", "HEUN", "EULER", "MIDPOINT"]
 

@@ -170,3 +170,13 @@ def test_gauss_checkpointing_matches():
     g1 = jax.grad(loss_ck, argnums=1)(LV_U0, LV_P)
     g2 = jax.grad(loss_g, argnums=1)(LV_U0, LV_P)
     assert np.allclose(g1, g2, rtol=1e-6, atol=1e-9)
+
+
+def test_forwarddiff_chunked():
+    g_full = jax.grad(make_loss(ForwardDiffSensitivity()), argnums=(0, 1))(
+        LV_U0, LV_P)
+    g_chunk = jax.grad(
+        make_loss(ForwardDiffSensitivity(chunk_size=2)), argnums=(0, 1)
+    )(LV_U0, LV_P)
+    for a, b in zip(g_full, g_chunk):
+        assert np.allclose(a, b, rtol=1e-10)
