@@ -18,13 +18,17 @@ EnzymeVJP computes: one sweep producing f(u,p,t), λᵀ∂f/∂u, λᵀ∂f/∂p
 derivative_wrappers.jl:982-1145). The remaining genuine execution choices
 are kept:
 
-  * autojacvec=True   — one fused jax.vjp pullback (default; EnzymeVJP analogue)
-  * autojacvec=False  — materialize the full Jacobian then λᵀJ
-                        (the reference's `Bool` path, derivative_wrappers.jl:435-554;
-                        wins when the adjoint solver reuses J, e.g. stiff)
-  * PallasVJP         — Pallas-fused pullback kernel for large flat states
-  * user override     — prob.vjp / prob.paramjac fast paths
-                        (derivative_wrappers.jl:284-433)
+  * AutoVJP()        — one fused jax.vjp pullback (default; EnzymeVJP analogue)
+  * JacVJP()         — materialize the full Jacobian then λᵀJ
+                       (the reference's `Bool` path, derivative_wrappers.jl:435-554;
+                       wins when the adjoint solver reuses J, e.g. stiff)
+  * FiniteDiffVJP()  — central differences (the numerical fallback at the end
+                       of the reference's probe chain, concrete_solve.jl:39-143)
+  * PallasVJP        — reserved marker; Pallas-fused pullbacks compose at the
+                       model level (ops/pallas_mlp.fused_mlp2 carries its own
+                       fused backward kernel through any adjoint)
+  * user override    — prob.vjp / prob.paramjac fast paths
+                       (derivative_wrappers.jl:284-433)
 """
 
 from __future__ import annotations
@@ -186,11 +190,14 @@ class GaussAdjoint(AbstractAdjointSensealg):
 
 @dataclass(frozen=True)
 class GaussKronrodAdjoint(AbstractAdjointSensealg):
-    """GaussAdjoint with embedded Kronrod error accounting (reference:
-    src/sensitivity_algorithms.jl:689)."""
+    """GaussAdjoint at higher per-step quadrature order (the reference's
+    Gauss-Kronrod integrating-callback variant,
+    src/sensitivity_algorithms.jl:689): 15 nodes per accepted reverse step
+    instead of 7."""
 
     autojacvec: VJPChoice = AutoVJP()
     checkpointing: bool = False
+    n_nodes: int = 15
 
 
 @dataclass(frozen=True)

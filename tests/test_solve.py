@@ -150,3 +150,38 @@ def test_fixed_grid_unrolled_matches_adaptive():
     g1 = jax.grad(loss_fixed)(u0)
     g2 = jax.grad(loss_adj)(u0)
     assert np.allclose(g1, g2, rtol=1e-5, atol=1e-8)
+
+
+def test_user_tstops_hit_exactly():
+    # discontinuous forcing at t*=0.6180339887...: without a tstop the
+    # controller steps over it; with the tstop the solver lands on it exactly
+    tstar = 0.6180339887
+
+    def f(u, p, t):
+        return jnp.where(t < tstar, -u, 2.0 * u)
+
+    prob = ODEProblem(f, jnp.array([1.0]), (0.0, 1.0), None)
+    sol = solve(prob, Tsit5(), rtol=1e-10, atol=1e-12,
+                tstops=jnp.array([tstar]), sensealg=GaussAdjoint())
+    expect = np.exp(-tstar) * np.exp(2.0 * (1.0 - tstar))
+    assert np.allclose(sol.ys[-1, 0], expect, rtol=1e-8)
+
+
+def test_virtual_brownian_tree():
+    from scimlsensitivity_jl_tpu.ops.brownian import VirtualBrownianTree
+
+    key = jax.random.PRNGKey(11)
+    vbt = VirtualBrownianTree.create(key, 0.0, 1.0, shape=(), depth=24,
+                                     dtype=jnp.float64)
+    # deterministic: same query twice is bit-identical
+    a = vbt(jnp.asarray(0.37))
+    b = vbt(jnp.asarray(0.37))
+    assert float(a) == float(b)
+    # endpoints
+    assert abs(float(vbt(jnp.asarray(0.0)))) < 1e-12
+    # increments over disjoint intervals have Brownian scaling statistics
+    ts = jnp.linspace(0.0, 1.0, 65)
+    w = jax.vmap(vbt)(ts)
+    incs = np.diff(np.asarray(w))
+    # variance of increments ~ dt = 1/64 (loose statistical check)
+    assert 0.2 / 64 < incs.var() < 5.0 / 64
