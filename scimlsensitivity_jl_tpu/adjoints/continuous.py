@@ -584,7 +584,8 @@ def make_ode_solve_fn(f, solver, sensealg, opts: SolveOptions, t0, t1, *,
         chunk = getattr(sensealg, "chunk_size", 0) or (n + npf)
 
         def jvp_dir(seed):
-            du0v, dpv = seed[:n], seed[n:]
+            du0v = seed[:n].astype(u0vec.dtype)
+            dpv = seed[n:].astype(pflat.dtype)
             _, dys = jax.jvp(ys_of, (u0vec, pflat), (du0v, dpv))
             return jnp.einsum("ti,ti->", lam, dys)
 

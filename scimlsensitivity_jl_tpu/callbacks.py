@@ -42,15 +42,22 @@ __all__ = [
 @dataclass(frozen=True)
 class ContinuousCallback:
     condition: Callable  # (u, p, t) -> scalar, event at zero crossing
-    affect: Callable     # (u, p, t) -> u_new
-    # direction: 0 = any crossing, +1 only -, -> +, -1 only + -> -
+    affect: Callable     # (u, p, t) -> u_new ; with modifies_p=True:
+    #                      (u, p, t) -> (u_new, p_new) (the reference's
+    #                      parameter-swapping events, callback_tracking.jl
+    #                      :395-421 — implemented by lifting p into the
+    #                      integration state, so every adjoint differentiates
+    #                      through the swap with no extra machinery)
     direction: int = 0
+    modifies_p: bool = False
 
 
 @dataclass(frozen=True)
 class DiscreteCallback:
     condition: Callable  # (u, p, t) -> bool
-    affect: Callable     # (u, p, t) -> u_new
+    affect: Callable     # (u, p, t) -> u_new ; modifies_p as for
+    #                      ContinuousCallback
+    modifies_p: bool = False
 
 
 @dataclass(frozen=True)
@@ -141,3 +148,62 @@ def build_event_set(cbs: CallbackSet, p, unravel_u, max_events: int) -> EventSet
     return EventSet(cond=cond, affect=affect, disc_cond=disc_cond,
                     n_cont=n_cont, n_disc=n_disc, max_events=max_events,
                     directions=directions, affect_p=affect_p)
+
+
+def any_modifies_p(cbs: CallbackSet) -> bool:
+    return any(getattr(c, "modifies_p", False)
+               for c in tuple(cbs.continuous) + tuple(cbs.discrete))
+
+
+def lift_p_into_state(prob, cbs: CallbackSet):
+    """Rewrite (prob, callbacks) so that p becomes part of the integration
+    state: z = (u, p), f_z = (f(u,p,t), 0), conditions/affects read p from
+    the state, and p-modifying affects write it. Returns (prob_z, cbs_z).
+
+    Gradients wrt the original p emerge as the p-part of du0 on the lifted
+    problem — the state-extension formulation of the reference's
+    param-swap event tracking (callback_tracking.jl reset_p / PSwap)."""
+    import jax.tree_util as jtu
+
+    from .problems import ODEProblem
+
+    f = prob.f
+
+    def f_z(z, _p, t):
+        u, pp = z
+        du = f(u, pp, t)
+        return (du, jtu.tree_map(jnp.zeros_like, pp))
+
+    def lift_cont(cb: ContinuousCallback) -> ContinuousCallback:
+        cond = cb.condition
+        aff = cb.affect
+        if cb.modifies_p:
+            def affect_z(z, _p, t):
+                return aff(z[0], z[1], t)  # returns (u_new, p_new)
+        else:
+            def affect_z(z, _p, t):
+                return (aff(z[0], z[1], t), z[1])
+        return ContinuousCallback(
+            condition=lambda z, _p, t: cond(z[0], z[1], t),
+            affect=affect_z, direction=cb.direction,
+        )
+
+    def lift_disc(cb: DiscreteCallback) -> DiscreteCallback:
+        cond = cb.condition
+        aff = cb.affect
+        if cb.modifies_p:
+            def affect_z(z, _p, t):
+                return aff(z[0], z[1], t)
+        else:
+            def affect_z(z, _p, t):
+                return (aff(z[0], z[1], t), z[1])
+        return DiscreteCallback(
+            condition=lambda z, _p, t: cond(z[0], z[1], t), affect=affect_z
+        )
+
+    cbs_z = CallbackSet(
+        continuous=tuple(lift_cont(c) for c in cbs.continuous),
+        discrete=tuple(lift_disc(c) for c in cbs.discrete),
+    )
+    prob_z = ODEProblem(f_z, (prob.u0, prob.p), prob.tspan, None)
+    return prob_z, cbs_z

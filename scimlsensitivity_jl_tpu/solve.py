@@ -209,9 +209,21 @@ def _solve_ode(prob, solver, *, saveat, rtol, atol, dt0, dt, max_steps,
 
             prob = _remake(prob, f=f_mass, mass_matrix=None)
 
-    from .callbacks import as_callback_set
+    from .callbacks import any_modifies_p, as_callback_set, lift_p_into_state
 
     cbs = as_callback_set(callback)
+
+    lifted = False
+    if cbs is not None and any_modifies_p(cbs):
+        # Parameter-modifying events: lift p into the integration state so
+        # conditions/affects can read and write it and every adjoint
+        # differentiates through the swap (reference param-swap events,
+        # callback_tracking.jl:395-421).
+        prob, cbs = lift_p_into_state(prob, cbs)
+        lifted = True
+        u0vec, unravel_u = ravel_pytree(prob.u0)
+        n = u0vec.shape[0]
+        np_ = 0
 
     if sensealg is None:
         sensealg = default_sensealg(
@@ -279,6 +291,12 @@ def _solve_ode(prob, solver, *, saveat, rtol, atol, dt0, dt, max_steps,
             ),
             lambda: None,
         )
+
+    if lifted:
+        # expose only the u-part of the lifted state (ys rows are (u, p)
+        # tuples); cotangents on it flow back to both u0 and p through the
+        # lifted initial state.
+        ys = ys[0]
 
     if save_idxs is not None:
         # Restrict outputs to selected state components (reference save_idxs

@@ -281,6 +281,15 @@ def integrate(
                     g_smp = jax.vmap(g_at)(th_grid)  # (NSMP+1, k_cont)
                     gl, gr = g_smp[:-1], g_smp[1:]
                     pair = (gl * gr < 0) | ((gr == 0) & (gl != 0))
+                    # Refractory guard: right after an event whose affect
+                    # leaves the condition at ~0 (e.g. parameter swaps), the
+                    # θ=0 sample sits at polish-residual level — don't count
+                    # a "crossing" out of that numerical zero.
+                    g_scale = jnp.max(jnp.abs(g_smp), axis=0)
+                    tol_g = jnp.sqrt(jnp.finfo(tdtype).eps) * (g_scale + 1e-300)
+                    pair = pair.at[0].set(
+                        pair[0] & (jnp.abs(g_smp[0]) > tol_g)
+                    )
                     if event_set.directions is not None:
                         dirs = event_set.directions[None, :]
                         pair = pair & (

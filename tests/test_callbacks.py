@@ -111,3 +111,45 @@ def test_discrete_callback():
     # impulse fires at the first accepted step past 0.5 and then at each
     # subsequent step end — at minimum velocity increased by >= 1
     assert float(sol.ys[-1, 1]) >= 2.0 - 1e-8
+
+
+def test_parameter_modifying_event():
+    # Dosing-style event: when u crosses below a threshold, the decay-rate
+    # parameter is halved (reference param-swap events,
+    # callback_tracking.jl:395-421). Gradient vs the discrete-forward oracle.
+    from scimlsensitivity_jl_tpu.callbacks import ContinuousCallback as CC
+
+    cb = CC(
+        condition=lambda u, p, t: u[0] - 0.5,
+        affect=lambda u, p, t: (u, p * 0.5),
+        direction=-1,
+        modifies_p=True,
+    )
+
+    def loss(p0, sensealg):
+        prob = ODEProblem(lambda u, p, t: -p * u, jnp.array([1.0]),
+                          (0.0, 2.0), p0)
+        sol = solve(prob, Tsit5(), saveat=jnp.linspace(0.0, 2.0, 5),
+                    rtol=1e-10, atol=1e-12, callback=cb, sensealg=sensealg)
+        return jnp.sum(sol.ys ** 2)
+
+    p0 = jnp.asarray(1.3)
+    # analytic sanity: event at t* = ln(2)/p0; afterwards rate p0/2
+    tstar = float(jnp.log(2.0) / p0)
+    prob = ODEProblem(lambda u, p, t: -p * u, jnp.array([1.0]), (0.0, 2.0), p0)
+    sol = solve(prob, Tsit5(), saveat=jnp.array([2.0]), rtol=1e-10,
+                atol=1e-12, callback=cb, sensealg=GaussAdjoint())
+    expect = 0.5 * np.exp(-float(p0) / 2 * (2.0 - tstar))
+    assert np.allclose(sol.ys[-1, 0], expect, rtol=1e-8)
+
+    g_ref = jax.grad(lambda p: loss(p, ForwardDiffSensitivity()))(p0)
+    eps = 1e-6
+    fd = (float(loss(p0 + eps, ForwardDiffSensitivity()))
+          - float(loss(p0 - eps, ForwardDiffSensitivity()))) / (2 * eps)
+    assert np.isclose(float(g_ref), fd, rtol=1e-5)
+
+    for sa in [InterpolatingAdjoint(), GaussAdjoint(), BacksolveAdjoint(),
+               QuadratureAdjoint()]:
+        g = jax.grad(lambda p: loss(p, sa))(p0)
+        assert np.isclose(float(g), float(g_ref), rtol=1e-5), (
+            type(sa).__name__, float(g), float(g_ref))
