@@ -68,6 +68,7 @@ from .adjoints.second_order import (
 from .callbacks import CallbackSet, ContinuousCallback, DiscreteCallback
 from .parallel.ensemble import EnsembleProblem, make_mesh, solve_ensemble
 from .solvers.explicit import BS3, Dopri5, Euler, Heun, Midpoint, Tsit5
+from .solvers.extrapolation import GBS, Vern9Like
 from .solvers.rosenbrock import Rosenbrock23
 from .solvers.sde import EulerHeun, EulerMaruyama, Milstein
 from .solvers.sdirk import SDIRK4, TRBDF2, Kvaerno3
@@ -103,6 +104,8 @@ __all__ = [
     "Heun",
     "Midpoint",
     "Euler",
+    "GBS",
+    "Vern9Like",
     "Rosenbrock23",
     "TRBDF2",
     "Kvaerno3",

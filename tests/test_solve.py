@@ -185,3 +185,37 @@ def test_virtual_brownian_tree():
     incs = np.diff(np.asarray(w))
     # variance of increments ~ dt = 1/64 (loose statistical check)
     assert 0.2 / 64 < incs.var() < 5.0 / 64
+
+
+def test_gbs_extrapolation_order():
+    # observed convergence order of the K=3 GBS solver should be ~6
+    import math
+
+    def f(u, p, t):
+        return jnp.stack([u[1], -u[0]])
+
+    from scimlsensitivity_jl_tpu import GBS
+
+    prob = ODEProblem(f, jnp.array([1.0, 0.0]), (0.0, 1.0), None)
+    exact = np.array([np.cos(1.0), -np.sin(1.0)])
+    errs = []
+    for nst in [2, 4]:
+        sol = solve(prob, GBS(levels=3), dt=1.0 / nst, adaptive=False)
+        errs.append(float(jnp.max(jnp.abs(sol.ys[-1] - exact))))
+    order = math.log(errs[0] / errs[1], 2)
+    assert order > 5.0, (errs, order)
+
+
+def test_gbs_high_accuracy_adjoint():
+    from scimlsensitivity_jl_tpu import GBS
+    from scimlsensitivity_jl_tpu.sensealg import InterpolatingAdjoint
+
+    def loss(p):
+        prob = ODEProblem(lambda u, pp, t: -pp * u, jnp.array([1.0]),
+                          (0.0, 2.0), p)
+        s = solve(prob, GBS(levels=4), rtol=1e-12, atol=1e-14,
+                  sensealg=InterpolatingAdjoint())
+        return s.ys[-1, 0]
+
+    g = jax.grad(loss)(jnp.asarray(0.7))
+    assert np.isclose(float(g), -2 * np.exp(-1.4), rtol=1e-9)
