@@ -19,10 +19,14 @@ import jax.numpy as jnp
 from .adjoints.continuous import AuxOut, SolveOptions, make_ode_solve_fn
 from .problems import ODEProblem, SDEProblem
 from .sensealg import (
+    NILSAS as _NILSAS,
+    NILSS as _NILSS,
     AbstractSensealg,
+    AdjointLSS as _ALSS,
     BacksolveAdjoint,
     DirectAdjoint,
     ForwardDiffSensitivity,
+    ForwardLSS as _FLSS,
     ForwardSensitivity,
     GaussAdjoint,
     GaussKronrodAdjoint,
@@ -276,6 +280,18 @@ def _solve_ode(prob, solver, *, saveat, rtol, atol, dt0, dt, max_steps,
 
         fn = make_direct_solve_fn(prob.f, solver, sensealg, opts, t0, t1)
         ys, aux = fn(prob.u0, prob.p, saveat)
+    elif isinstance(sensealg, (_FLSS, _ALSS, _NILSS, _NILSAS)):
+        # Shadowing rrule (reference concrete_solve.jl:2416-2565): forward is
+        # a plain solve; the pullback builds dgdu_discrete directly from the
+        # cotangent rows and runs the shadowing problem; u0 gets no gradient
+        # (NoTangent in the reference).
+        if cbs is not None:
+            raise NotImplementedError(
+                "shadowing sensealgs are incompatible with callbacks "
+                "(as in the reference)"
+            )
+        fn = _make_shadowing_solve_fn(prob, solver, sensealg, opts, t0, t1)
+        ys, aux = fn(prob.u0, prob.p, saveat)
     else:
         raise NotImplementedError(f"sensealg {sensealg!r} not supported for ODEs")
 
@@ -322,3 +338,73 @@ def _solve_ode(prob, solver, *, saveat, rtol, atol, dt0, dt, max_steps,
         events=getattr(aux, "events", None),
     )
     return sol
+
+
+def _make_shadowing_solve_fn(prob, solver, sensealg, opts, t0, t1):
+    """solve + shadowing-gradient custom_vjp (reference shadowing rrule,
+    concrete_solve.jl:2416-2565). Requires a uniform-ish saveat grid spanning
+    the (chaotic, long) trajectory; gradients flow to p only."""
+    from .adjoints.continuous import AuxOut, make_ode_solve_fn
+
+    base_opts = opts._replace(callback=None)
+    fwd_fn = make_ode_solve_fn(
+        prob.f, solver, GaussAdjoint(), base_opts, t0, t1,
+        user_jac=prob.jac, user_vjp=prob.vjp, user_paramjac=prob.paramjac,
+    )
+
+    @jax.custom_vjp
+    def run(u0, p, saveat):
+        return fwd_fn(u0, p, saveat)
+
+    def run_fwd(u0, p, saveat):
+        out = fwd_fn(u0, p, saveat)
+        ys, aux = out
+        return out, (u0, p, saveat, ys)
+
+    def run_bwd(res, cot):
+        from .adjoints.shadowing import (
+            AdjointLSSProblem,
+            ForwardLSSProblem,
+            shadow_adjoint,
+            shadow_forward,
+        )
+        from .solution import ODESolution
+        from .solvers.integrate import Stats
+        from .utils.pytree import ravel_pytree
+
+        u0, p, saveat, ys = res
+        d_ys, _ = cot
+        pflat, unravel_p = ravel_pytree(p)
+        delta = jax.vmap(lambda r: ravel_pytree(r)[0])(d_ys)  # (nt, n)
+
+        from .problems import remake as _remake
+
+        sol = ODESolution(
+            ts=saveat, ys=ys,
+            stats=Stats(jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32),
+                        jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32)),
+            retcode=jnp.asarray(0, jnp.int32),
+            prob=_remake(prob, u0=u0, p=p),
+        )
+
+        def dgdu(u, pp, t, i):
+            return delta[i]
+
+        if isinstance(sensealg, _FLSS):
+            dp = shadow_forward(ForwardLSSProblem(sol, sensealg,
+                                                  dgdu_discrete=dgdu))
+        elif isinstance(sensealg, _ALSS):
+            dp = shadow_adjoint(AdjointLSSProblem(sol, sensealg,
+                                                  dgdu_discrete=dgdu))
+        else:
+            raise NotImplementedError(
+                "grad-over-solve is wired for ForwardLSS/AdjointLSS; for "
+                "NILSS/NILSAS use NILSSProblem/NILSASProblem + "
+                "shadow_forward/shadow_adjoint directly (their internal "
+                "segment grids are independent of saveat)"
+            )
+        du0 = jax.tree_util.tree_map(jnp.zeros_like, u0)
+        return du0, unravel_p(dp), jnp.zeros_like(saveat)
+
+    run.defvjp(run_fwd, run_bwd)
+    return run

@@ -107,3 +107,26 @@ def test_nilsas_lorenz():
                                 max_steps=32768)
     assert res.shape == (1,)
     assert np.isclose(float(res[0]), RHO_SENS, atol=0.25), float(res[0])
+
+
+def test_grad_over_solve_shadowing(attractor_sol):
+    # the shadowing rrule surface (reference concrete_solve.jl:2416-2565):
+    # jax.grad over solve with a shadowing sensealg; loss = windowed mean of
+    # z over the trajectory -> d<z>/drho ~ 1.01
+    ts = jnp.arange(0.0, 10.0 + 1e-9, 0.01) + 30.0
+    u0 = jnp.array([-2.259143724332269, -2.47457604992522, 18.939914218990612])
+
+    # reference convention (test/Shadowing/shadowing.jl:176-186): the loss is
+    # the plain SUM over save points; the windowed-average normalization
+    # inside LSS yields the d<z>/drho sensitivity directly.
+    def loss(p, sensealg):
+        prob = ODEProblem(lorenz_rho, u0, (30.0, 40.0), p)
+        sol = solve(prob, Tsit5(), saveat=ts, rtol=1e-11, atol=1e-13,
+                    sensealg=sensealg, max_steps=16384)
+        return jnp.sum(sol.ys[:, 2])
+
+    for sa in [ForwardLSS(LSSregularizer=CosWindowing()),
+               AdjointLSS(LSSregularizer=TimeDilation(10.0), g=g)]:
+        grad = jax.grad(lambda p: loss(p, sa))(jnp.array([28.0]))
+        assert np.isclose(float(grad[0]), RHO_SENS, atol=0.15), (
+            type(sa).__name__, float(grad[0]))
