@@ -25,6 +25,7 @@ __all__ = [
     "EulerMaruyama",
     "EulerHeun",
     "Milstein",
+    "ImplicitEM",
     "ito_to_stratonovich_drift",
     "stratonovich_to_ito_drift",
 ]
@@ -135,3 +136,34 @@ def stratonovich_to_ito_drift(fvec, gvec):
         return fvec(u, t) + corr
 
     return f_corr
+
+
+class ImplicitEM:
+    """Drift-implicit Euler-Maruyama (stiff SDEs, reference ImplicitEM slot):
+    u1 = u + dt·f(u1) + g(u)·ΔW, solved by a fixed-iteration Newton with the
+    step-frozen W = I - dt·J."""
+
+    name = "ImplicitEM"
+    interpretation = "ito"
+    order = 1
+
+    def __init__(self, newton_iters: int = 6):
+        self.newton_iters = newton_iters
+
+    def __repr__(self):
+        return "ImplicitEM()"
+
+    def step(self, fvec, gvec, t, dt, u, dw):
+        from jax.scipy.linalg import lu_factor, lu_solve
+
+        n = u.shape[0]
+        rhs_expl = u + _diffusion_term(gvec(u, t), dw)
+        J = jax.jacfwd(lambda uu: fvec(uu, t + dt))(u)
+        lu = lu_factor(jnp.eye(n, dtype=u.dtype) - dt * J)
+
+        def body(_, u1):
+            r = u1 - dt * fvec(u1, t + dt) - rhs_expl
+            return u1 - lu_solve(lu, r)
+
+        u0_guess = u + dt * fvec(u, t) + _diffusion_term(gvec(u, t), dw)
+        return jax.lax.fori_loop(0, self.newton_iters, body, u0_guess)

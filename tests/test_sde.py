@@ -171,3 +171,43 @@ def test_scalar_and_general_noise():
 
     g = jax.grad(loss)(jnp.array([1.0, 2.0]))
     assert np.all(np.isfinite(g))
+
+
+def test_implicit_em_stiff_sde():
+    # stiff linear SDE: dX = -50 X dt + 0.1 dW. Explicit EM at dt=0.05 is
+    # unstable (|1 - 50*0.05| = 1.5 > 1); drift-implicit EM is stable.
+    from scimlsensitivity_jl_tpu.solvers.sde import ImplicitEM
+
+    prob = SDEProblem(
+        lambda u, p, t: -50.0 * u,
+        lambda u, p, t: 0.1 * jnp.ones_like(u),
+        jnp.array([1.0]), (0.0, 2.0), None,
+    )
+    sol_exp = solve(prob, EulerMaruyama(), dt=0.05, key=KEY)
+    sol_imp = solve(prob, ImplicitEM(), dt=0.05, key=KEY)
+    assert not np.all(np.abs(np.asarray(sol_exp.ys[-1])) < 1.0)  # blew up
+    assert np.all(np.abs(np.asarray(sol_imp.ys[-1])) < 0.5)      # stable
+
+    # gradient flows through the implicit step (Direct)
+    def loss(u0):
+        pr = SDEProblem(lambda u, p, t: -50.0 * u,
+                        lambda u, p, t: 0.1 * jnp.ones_like(u),
+                        u0, (0.0, 0.2), None)
+        return jnp.sum(solve(pr, ImplicitEM(), dt=0.01, key=KEY).ys ** 2)
+
+    g = jax.grad(loss)(jnp.array([1.0]))
+    assert np.all(np.isfinite(g))
+
+
+def test_bfloat16_forward():
+    # bf16 neural-ODE forward runs and stays finite (TPU-native dtype)
+    from scimlsensitivity_jl_tpu.models.neural_ode import mlp_apply, mlp_init
+    from scimlsensitivity_jl_tpu import ODEProblem, Tsit5
+
+    params = mlp_init(jax.random.PRNGKey(0), (2, 16, 2), jnp.bfloat16)
+    u0 = jnp.array([1.0, 0.5], jnp.bfloat16)
+    prob = ODEProblem(lambda u, p, t: mlp_apply(p, jnp.tanh(u)), u0,
+                      (0.0, 1.0), params)
+    sol = solve(prob, Tsit5(), dt=1.0 / 32, adaptive=False)
+    assert sol.ys.dtype == jnp.bfloat16
+    assert np.all(np.isfinite(np.asarray(sol.ys, np.float32)))
