@@ -20,7 +20,7 @@ from typing import Callable, NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
-from ..sensealg import AutoVJP, FiniteDiffVJP, JacVJP, PallasVJP, VJPChoice
+from ..sensealg import AutoVJP, FiniteDiffVJP, JacVJP, VJPChoice
 from ..utils.pytree import ravel_pytree, tree_zeros_like
 
 __all__ = ["VJPKernels", "make_vjp_kernels", "make_flat_field"]

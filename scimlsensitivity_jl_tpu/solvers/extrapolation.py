@@ -19,8 +19,6 @@ Hairer-Norsett-Wanner, Solving ODEs I, §II.9.
 
 from __future__ import annotations
 
-import jax.numpy as jnp
-
 __all__ = ["GBS", "Vern9Like"]
 
 
