@@ -199,6 +199,7 @@ def forward_saveat_solve(
     extra_hook: Optional[Callable] = None,
     extra_hook_carry: Any = None,
     event_set=None,
+    dtmax=None,
 ) -> Tuple[ForwardResult, Any]:
     """Forward solve capturing saveat states exactly; optionally composes a
     second per-step hook (event tracking, Gauss accumulation)."""
@@ -245,6 +246,7 @@ def forward_saveat_solve(
         hook_carry=carry0,
         store_dense=store_dense,
         event_set=event_set,
+        dtmax=dtmax,
     )
     (save_buf, _k), extra_carry = res.hook_carry
     fwd = ForwardResult(

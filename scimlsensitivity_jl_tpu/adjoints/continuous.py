@@ -73,6 +73,7 @@ class SolveOptions(NamedTuple):
     quad_order: int = 7
     callback: Any = None     # CallbackSet (events)
     max_events: int = 32
+    dtmax: Any = None
 
 
 class AuxOut(NamedTuple):
@@ -225,6 +226,7 @@ def make_ode_solve_fn(f, solver, sensealg, opts: SolveOptions, t0, t1, *,
             max_steps=opts.max_steps, tstops=opts.tstops,
             store_dense=store_dense,
             event_set=event_set,
+            dtmax=opts.dtmax,
         )
         return fwd, unravel_u, kern, event_set
 

@@ -74,6 +74,7 @@ def solve(
     adaptive: bool = True,
     unroll: bool = False,
     verbose: bool = False,
+    dtmax=None,
 ):
     """Solve a problem; gradients through the result follow `sensealg`.
 
@@ -92,7 +93,7 @@ def solve(
             adj_rtol=adj_rtol, adj_atol=adj_atol, adj_max_steps=adj_max_steps,
             bwd_solver=bwd_solver, callback=callback, max_events=max_events,
             save_idxs=save_idxs, adaptive=adaptive, unroll=unroll,
-            verbose=verbose,
+            verbose=verbose, dtmax=dtmax,
         )
     if isinstance(prob, SDEProblem):
         from .adjoints.sde import solve_sde
@@ -133,7 +134,7 @@ def solve(
 def _solve_ode(prob, solver, *, saveat, rtol, atol, dt0, dt, max_steps,
                tstops, sensealg, dense, adj_rtol, adj_atol, adj_max_steps,
                bwd_solver, callback=None, max_events=32, save_idxs=None,
-               adaptive=True, unroll=False, verbose=False):
+               adaptive=True, unroll=False, verbose=False, dtmax=None):
     solver = solver or Tsit5()
     t0, t1 = prob.tspan
     u0vec, unravel_u = ravel_pytree(prob.u0)
@@ -241,6 +242,7 @@ def _solve_ode(prob, solver, *, saveat, rtol, atol, dt0, dt, max_steps,
         rtol=rtol, atol=atol, dt0=dt0, max_steps=max_steps, tstops=tstops,
         dense=dense, adj_rtol=adj_rtol, adj_atol=adj_atol,
         adj_max_steps=adj_max_steps, callback=cbs, max_events=max_events,
+        dtmax=dtmax,
     )
     if cbs is not None and isinstance(sensealg, DirectAdjoint):
         raise NotImplementedError(

@@ -130,6 +130,7 @@ def integrate(
     err_weights: Optional[jnp.ndarray] = None,
     stop_transform: Optional[Callable] = None,
     event_set=None,
+    dtmax=None,
 ) -> IntegrateResult:
     """Adaptively integrate du/dt = fvec(u, t) from t0 to t1 (t1 < t0 allowed).
 
@@ -241,6 +242,8 @@ def integrate(
         # integrate_scan — controller coupling contaminates gradients on
         # stiff problems).
         dt_next = jax.lax.stop_gradient(dt_eff * factor)
+        if dtmax is not None:
+            dt_next = jnp.clip(dt_next, -abs(dtmax), abs(dtmax))
 
         t_new = jnp.where(accept, c.t + dt_eff, c.t)
         u_new = jnp.where(accept, u1, c.u)

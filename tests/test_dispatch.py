@@ -142,3 +142,12 @@ def test_finite_diff_vjp_backend():
         autojacvec=FiniteDiffVJP(eps=1e-7))))(LV_P)
     g_ad = jax.grad(lambda p: loss(p, InterpolatingAdjoint()))(LV_P)
     assert np.allclose(g_fd, g_ad, rtol=1e-4, atol=1e-6)
+
+
+def test_dtmax():
+    prob = ODEProblem(lambda u, p, t: -u, jnp.array([1.0]), (0.0, 1.0), None)
+    s1 = solve(prob, Tsit5(), rtol=1e-6, atol=1e-8, sensealg=GaussAdjoint())
+    s2 = solve(prob, Tsit5(), rtol=1e-6, atol=1e-8, dtmax=0.01,
+               sensealg=GaussAdjoint())
+    assert int(s2.stats.n_accepted) >= 95
+    assert np.allclose(s2.ys[-1], np.exp(-1.0), rtol=1e-5)
