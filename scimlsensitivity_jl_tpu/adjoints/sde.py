@@ -149,9 +149,17 @@ def solve_sde(
     key=None,
     sensealg=None,
     max_steps=None,
+    rtol=1e-3,
+    atol=1e-6,
 ) -> ODESolution:
     if dt is None:
-        raise ValueError("SDE solves are fixed-grid: pass dt=...")
+        # Adaptive path: step-doubling Euler-Maruyama on a
+        # VirtualBrownianTree (consistent noise across retries); gradients
+        # via reverse AD through the masked fixed-trip scan.
+        return _solve_sde_adaptive(
+            prob, saveat=saveat, key=key, sensealg=sensealg,
+            max_steps=max_steps or 1024, rtol=rtol, atol=atol,
+        )
     if solver is None:
         solver = EulerMaruyama() if prob.interpretation == "ito" else EulerHeun()
     if key is None:
@@ -320,4 +328,78 @@ def solve_sde(
     return ODESolution(
         ts=saveat, ys=ys, stats=stats, retcode=stats.retcode, prob=prob,
         solver=solver, sensealg=sensealg, dense=None, unravel_u=unravel_u,
+    )
+
+
+def _solve_sde_adaptive(prob, *, saveat, key, sensealg, max_steps, rtol, atol):
+    from ..ops.brownian import VirtualBrownianTree
+    from ..sensealg import DirectAdjoint
+    from ..solvers.integrate import integrate_scan
+    from ..solvers.sde import AdaptiveEM
+    from .common import save_hook_factory
+
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    if sensealg is not None and not isinstance(sensealg, DirectAdjoint):
+        raise NotImplementedError(
+            "adaptive SDE gradients flow via DirectAdjoint (reverse AD "
+            "through the masked scan); fixed-grid solves support the full "
+            "adjoint menu"
+        )
+    t0, t1 = float(prob.tspan[0]), float(prob.tspan[1])
+    u0vec, unravel_u = ravel_pytree(prob.u0)
+    dtype = u0vec.dtype
+    n = u0vec.shape[0]
+    if prob.noise == "general":
+        if prob.noise_dim is None:
+            raise ValueError("general noise needs noise_dim=m")
+        w_shape = (prob.noise_dim,)
+    elif prob.noise == "scalar":
+        w_shape = ()
+    else:
+        w_shape = (n,)
+    vbt = VirtualBrownianTree.create(key, t0, t1, shape=w_shape, depth=28,
+                                     dtype=dtype)
+
+    saveat = jnp.asarray([t0, t1] if saveat is None else saveat, dtype)
+    nt = saveat.shape[0]
+
+    def run(u0, p):
+        u0v, _ = ravel_pytree(u0)
+
+        def fvec(uv, t):
+            return ravel_pytree(prob.f(unravel_u(uv), p, t))[0]
+
+        if prob.noise == "general":
+            def gvec(uv, t):
+                return jnp.asarray(prob.g(unravel_u(uv), p, t))
+        else:
+            def gvec(uv, t):
+                return ravel_pytree(prob.g(unravel_u(uv), p, t))[0]
+
+        stepper = AdaptiveEM(gvec, vbt)
+        tdir = jnp.asarray(1.0 if t1 >= t0 else -1.0, dtype)
+        eps = jnp.finfo(dtype).eps
+        tol0 = 64.0 * eps * jnp.maximum(abs(t0), 1.0)
+        pre = (saveat - t0) * tdir <= tol0
+        k0 = jnp.sum(pre).astype(jnp.int32)
+        buf0 = jnp.where(pre[:, None], u0v[None, :], jnp.zeros((nt, n), dtype))
+        hook = save_hook_factory(saveat, tdir, dtype)
+        # always_accept => previsible step sizes (h_n from past errors
+        # only): rejecting on the realized ΔW would bias the accepted
+        # increments (Gaines & Lyons 1997).
+        res = integrate_scan(
+            stepper, fvec, t0, t1, u0v, rtol=rtol, atol=atol,
+            max_steps=max_steps, tstops=saveat, hook=hook,
+            hook_carry=(buf0, k0), always_accept=True,
+        )
+        buf, _ = res.hook_carry
+        return buf, res.stats
+
+    ys_flat, stats = run(prob.u0, prob.p)
+    ys = jax.vmap(unravel_u)(ys_flat)
+    return ODESolution(
+        ts=saveat, ys=ys, stats=stats, retcode=stats.retcode, prob=prob,
+        solver="AdaptiveEM(VBT)", sensealg=sensealg, dense=None,
+        unravel_u=unravel_u,
     )

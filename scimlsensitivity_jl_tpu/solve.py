@@ -100,7 +100,7 @@ def solve(
 
         return solve_sde(
             prob, solver, saveat=saveat, dt=dt, sensealg=sensealg,
-            max_steps=max_steps, key=key,
+            max_steps=max_steps, key=key, rtol=rtol, atol=atol,
         )
     from .problems import DDEProblem, NonlinearProblem, RODEProblem, SteadyStateProblem
 

@@ -533,9 +533,15 @@ def integrate_scan(
     safety=0.9,
     factor_min=0.2,
     factor_max=10.0,
+    always_accept: bool = False,
 ) -> IntegrateResult:
     """Adaptive integration with a *fixed* trip count (`lax.scan` with
     masking) — reverse-mode differentiable, unlike the while_loop driver.
+
+    always_accept=True makes the controller PREVISIBLE: every step is taken
+    and the error only steers the NEXT step's size (Gaines-Lyons-compatible
+    adaptivity for SDE paths — rejecting on the realized ΔW would bias the
+    accepted increments' quadratic variation).
 
     This is the execution engine of DirectAdjoint, the
     discretize-then-optimize reverse path standing in for the reference's
@@ -580,7 +586,10 @@ def integrate_scan(
         err_norm = hairer_norm(err / sc)
         bad = ~jnp.isfinite(err_norm)
         err_norm = jnp.where(bad, jnp.asarray(2.0, dtype), err_norm)
-        accept = (err_norm <= 1.0) & ~bad & running
+        if always_accept:
+            accept = running & ~bad
+        else:
+            accept = (err_norm <= 1.0) & ~bad & running
 
         err_cl = jnp.maximum(err_norm, jnp.asarray(1e-10, dtype))
         factor = safety * err_cl ** (-beta1) * err_prev ** (beta2)

@@ -26,6 +26,7 @@ __all__ = [
     "EulerHeun",
     "Milstein",
     "ImplicitEM",
+    "AdaptiveEM",
     "ito_to_stratonovich_drift",
     "stratonovich_to_ito_drift",
 ]
@@ -167,3 +168,46 @@ class ImplicitEM:
 
         u0_guess = u + dt * fvec(u, t) + _diffusion_term(gvec(u, t), dw)
         return jax.lax.fori_loop(0, self.newton_iters, body, u0_guess)
+
+
+class AdaptiveEM:
+    """Adaptive Euler-Maruyama on a VirtualBrownianTree.
+
+    The payoff of counter-based noise (ops/brownian.py): step-doubling error
+    control with CONSISTENT Brownian increments — the full step and the two
+    half steps all read W from the same tree, so rejections and re-steps see
+    the same path (torchsde-style adaptivity; impossible with stored
+    per-step increments). Conforms to the ODE-stepper interface so the
+    adaptive drivers can run it: drift fvec comes through `step`, diffusion
+    and the tree are held by the stepper.
+
+    err = |u_two_halves - u_full| (strong step-doubling estimate); the
+    propagated state is the two-half-step solution.
+    """
+
+    name = "AdaptiveEM"
+    interpretation = "ito"
+    order = 1
+    n_stages = 3
+
+    def __init__(self, gvec, vbt):
+        self.gvec = gvec
+        self.vbt = vbt
+
+    def step(self, fvec, t, dt, u, f0):
+        g = self.gvec
+        w0 = self.vbt(t)
+        wm = self.vbt(t + 0.5 * dt)
+        w1 = self.vbt(t + dt)
+        dW = w1 - w0
+        dW1 = wm - w0
+        dW2 = w1 - wm
+
+        u_full = u + dt * f0 + _diffusion_term(g(u, t), dW)
+        uh = u + 0.5 * dt * f0 + _diffusion_term(g(u, t), dW1)
+        u_two = uh + 0.5 * dt * fvec(uh, t + 0.5 * dt) + _diffusion_term(
+            g(uh, t + 0.5 * dt), dW2
+        )
+        err = u_two - u_full
+        f1 = fvec(u_two, t + dt)
+        return u_two, f1, err

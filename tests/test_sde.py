@@ -211,3 +211,40 @@ def test_bfloat16_forward():
     sol = solve(prob, Tsit5(), dt=1.0 / 32, adaptive=False)
     assert sol.ys.dtype == jnp.bfloat16
     assert np.all(np.isfinite(np.asarray(sol.ys, np.float32)))
+
+
+def test_adaptive_sde_vbt():
+    # adaptive EM on the VirtualBrownianTree: GBM vs its exact solution
+    # under the SAME W_T read from the same tree.
+    from scimlsensitivity_jl_tpu.ops.brownian import VirtualBrownianTree
+
+    mu, sigma = 0.2, 0.3
+    p = jnp.array([mu, sigma])
+    key = jax.random.PRNGKey(9)
+    prob = SDEProblem(
+        lambda u, pp, t: pp[0] * u, lambda u, pp, t: pp[1] * u,
+        jnp.array([1.0]), (0.0, 1.0), p,
+    )
+    sol = solve(prob, saveat=jnp.array([0.0, 1.0]), key=key,
+                rtol=1e-5, atol=1e-8, max_steps=8192)
+    assert int(sol.retcode) == 0
+    vbt = VirtualBrownianTree.create(key, 0.0, 1.0, shape=(1,), depth=28,
+                                     dtype=jnp.float64)
+    WT = vbt(jnp.asarray(1.0))[0]
+    exact = float(jnp.exp((mu - 0.5 * sigma ** 2) * 1.0 + sigma * WT))
+    # strong pathwise convergence (previsible controller => unbiased)
+    assert np.isclose(float(sol.ys[-1, 0]), exact, rtol=3e-3), (
+        float(sol.ys[-1, 0]), exact)
+
+    # gradients through the adaptive path (reverse AD through the scan)
+    def loss(pp):
+        pr = SDEProblem(lambda u, q, t: q[0] * u, lambda u, q, t: q[1] * u,
+                        jnp.array([1.0]), (0.0, 1.0), pp)
+        s = solve(pr, key=key, rtol=1e-4, atol=1e-7, max_steps=4096)
+        return s.ys[-1, 0]
+
+    g = jax.grad(loss)(p)
+    eps = 1e-6
+    fd0 = (float(loss(p + jnp.array([eps, 0.]))) -
+           float(loss(p - jnp.array([eps, 0.])))) / (2 * eps)
+    assert np.isclose(float(g[0]), fd0, rtol=1e-4), (float(g[0]), fd0)
