@@ -163,7 +163,10 @@ def integrate(
 
     f0 = fvec(u0, t0)
     if dt0 is None:
-        dt = initial_step_size(fvec, t0, u0, f0, order, rtol, atol, tdir)
+        # frozen like the controller: the realized grid is not differentiated
+        dt = jax.lax.stop_gradient(
+            initial_step_size(fvec, t0, u0, f0, order, rtol, atol, tdir)
+        )
     else:
         dt = tdir * jnp.abs(jnp.asarray(dt0, tdtype))
 
@@ -566,7 +569,10 @@ def integrate_scan(
 
     f0 = fvec(u0, t0)
     if dt0 is None:
-        dt = initial_step_size(fvec, t0, u0, f0, order, rtol, atol, tdir)
+        # frozen like the controller: the realized grid is not differentiated
+        dt = jax.lax.stop_gradient(
+            initial_step_size(fvec, t0, u0, f0, order, rtol, atol, tdir)
+        )
     else:
         dt = tdir * jnp.abs(jnp.asarray(dt0, dtype))
 

@@ -244,7 +244,10 @@ def test_adaptive_sde_vbt():
         return s.ys[-1, 0]
 
     g = jax.grad(loss)(p)
-    eps = 1e-6
-    fd0 = (float(loss(p + jnp.array([eps, 0.]))) -
-           float(loss(p - jnp.array([eps, 0.])))) / (2 * eps)
-    assert np.isclose(float(g[0]), fd0, rtol=1e-4), (float(g[0]), fd0)
+    # plain FD is noise-dominated here (the step grid changes with p while
+    # the pathwise solution error is O(strong error)); compare against the
+    # exact pathwise gradients of GBM instead:
+    #   dL/dmu = u_T * T,  dL/dsigma = u_T * (W_T - sigma*T)
+    uT = float(loss(p))
+    assert np.isclose(float(g[0]), uT * 1.0, rtol=2e-2), (float(g[0]), uT)
+    assert np.isclose(float(g[1]), uT * (float(WT) - sigma), rtol=2e-2)
