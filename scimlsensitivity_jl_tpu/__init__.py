@@ -70,7 +70,7 @@ from .parallel.ensemble import EnsembleProblem, make_mesh, solve_ensemble
 from .solvers.explicit import BS3, Dopri5, Euler, Heun, Midpoint, Tsit5
 from .solvers.extrapolation import GBS, Vern9Like
 from .solvers.rosenbrock import Rosenbrock23
-from .solvers.sde import EulerHeun, EulerMaruyama, ImplicitEM, Milstein
+from .solvers.sde import SRA1, EulerHeun, EulerMaruyama, ImplicitEM, Milstein
 from .solvers.sdirk import SDIRK4, TRBDF2, Kvaerno3
 
 __version__ = "0.1.0"
@@ -113,6 +113,7 @@ __all__ = [
     "EulerMaruyama",
     "EulerHeun",
     "Milstein",
+    "SRA1",
     "ImplicitEM",
     "ContinuousCallback",
     "DiscreteCallback",

@@ -29,7 +29,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ..ops.brownian import grid_increment
+from ..ops.brownian import grid_increment, grid_iterated
 from ..problems import SDEProblem
 from ..sensealg import (
     BacksolveAdjoint,
@@ -39,6 +39,7 @@ from ..sensealg import (
 from ..solution import ODESolution
 from ..solvers.integrate import Stats
 from ..solvers.sde import (
+    AdaptiveEM,
     EulerHeun,
     EulerMaruyama,
     ito_to_stratonovich_drift,
@@ -156,6 +157,14 @@ def solve_sde(
         # Adaptive path: step-doubling Euler-Maruyama on a
         # VirtualBrownianTree (consistent noise across retries); gradients
         # via reverse AD through the masked fixed-trip scan.
+        if solver is not None and not isinstance(
+            solver, (EulerMaruyama, AdaptiveEM)
+        ):
+            raise NotImplementedError(
+                f"adaptive SDE stepping (no dt=...) uses step-doubling "
+                f"Euler-Maruyama on the VirtualBrownianTree; {solver!r} is "
+                f"only available on the fixed grid — pass dt=..."
+            )
         return _solve_sde_adaptive(
             prob, saveat=saveat, key=key, sensealg=sensealg,
             max_steps=max_steps or 1024, rtol=rtol, atol=atol,
@@ -216,11 +225,16 @@ def solve_sde(
     else:
         w_shape = (n,)
 
+    needs_dz = bool(getattr(solver, "needs_dz", False))
+
     def step_map(uv, p, i):
         """One scheme step from node i to i+1 — the unit of adjoint vjp."""
         fvec, gvec = make_field(p)
         t = ts_nodes[i]
         dw = grid_increment(key, i, w_shape, dt_a).astype(dtype)
+        if needs_dz:
+            dz = grid_iterated(key, i, w_shape, dt_a, dw).astype(dtype)
+            return solver.step(fvec, gvec, t, dt_a, uv, dw, dz)
         return solver.step(fvec, gvec, t, dt_a, uv, dw)
 
     def capture(buf, i_next, u_next):

@@ -23,13 +23,33 @@ from typing import NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 
-__all__ = ["grid_increment", "grid_path", "VirtualBrownianTree"]
+__all__ = [
+    "grid_increment",
+    "grid_iterated",
+    "grid_path",
+    "VirtualBrownianTree",
+]
 
 
 def grid_increment(key, i, shape, dt):
     """ΔW_i ~ N(0, dt) for step i of a fixed grid — pure in (key, i)."""
     k = jax.random.fold_in(key, i)
     return jax.random.normal(k, shape) * jnp.sqrt(jnp.abs(dt))
+
+
+def grid_iterated(key, i, shape, dt, dw):
+    """ΔZ_i = ∫ₜ^{t+h} (W(s) − W(t)) ds for step i, conditioned on ΔW_i = dw.
+
+    (ΔW, ΔZ) is jointly Gaussian with Var ΔZ = h³/3, Cov(ΔW, ΔZ) = h²/2, so
+    ΔZ | ΔW = (h/2)(ΔW + √(h/3)·ζ), ζ ~ N(0, I) independent of ΔW. The ζ
+    stream is fold_in-tagged off the same per-step key, so it is pure in
+    (key, i) and bit-identical across forward/reverse passes (same property
+    the reference gets by storing NoiseProcess levels — DiffEqNoiseProcess
+    SRA path; SURVEY §2 item 7)."""
+    k = jax.random.fold_in(jax.random.fold_in(key, i), 0x5A1)
+    zeta = jax.random.normal(k, shape)
+    h = jnp.abs(dt)
+    return 0.5 * dt * (dw + jnp.sqrt(h / 3.0) * zeta)
 
 
 def grid_path(key, n_steps: int, shape, dt):

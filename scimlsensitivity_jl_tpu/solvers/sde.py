@@ -25,6 +25,7 @@ __all__ = [
     "EulerMaruyama",
     "EulerHeun",
     "Milstein",
+    "SRA1",
     "ImplicitEM",
     "AdaptiveEM",
     "ito_to_stratonovich_drift",
@@ -93,6 +94,50 @@ class Milstein:
         dg = _gg_jvp(gvec, u, t, g0)  # (∂g/∂u)·g ; diagonal: g·g'
         return (
             u + dt * fvec(u, t) + g0 * dw + 0.5 * dg * (dw ** 2 - dt)
+        )
+
+
+class SRA1:
+    """Rößler SRA1 for additive noise: strong order 1.5, weak order 2.0
+    (the scheme StochasticDiffEq reaches for on additive-noise problems —
+    reference SDE test matrix uses SOSRA/SRA1-class methods for its
+    additive-noise adjoint tests). Needs the iterated integral
+    ΔZ = ∫(W(s) − W(t))ds, generated counter-based alongside ΔW
+    (ops/brownian.py grid_iterated); the driver supplies it when
+    `needs_dz` is set.
+
+    Tableau (Rößler 2010, SIAM J. Numer. Anal. 48(3), SRA1):
+        c0 = (0, 3/4),  c1 = (1, 0)
+        A0 = [[0,0],[3/4,0]],  B0 = [[0,0],[3/2,0]]
+        α  = (1/3, 2/3),  β1 = (1, 0),  β2 = (−1, 1)
+    with stage diffusion argument χ = ΔZ/h:
+        H2 = u + (3/4)h f(u,t) + (3/2)·g(t+h)·χ
+        u1 = u + h[f(u,t)/3 + 2f(H2, t+3h/4)/3]
+               + g(t+h)·(ΔW − χ) + g(t)·χ
+
+    g may depend on t (and formally on u — the order claims hold for
+    additive noise, ∂g/∂u = 0)."""
+
+    name = "SRA1"
+    interpretation = "ito"
+    order = 2
+    needs_dz = True
+
+    def __repr__(self):
+        return "SRA1()"
+
+    def step(self, fvec, gvec, t, dt, u, dw, dz):
+        chi = dz / dt
+        f1 = fvec(u, t)
+        g_end = gvec(u, t + dt)
+        g_start = gvec(u, t)
+        H2 = u + 0.75 * dt * f1 + 1.5 * _diffusion_term(g_end, chi)
+        f2 = fvec(H2, t + 0.75 * dt)
+        return (
+            u
+            + dt * (f1 / 3.0 + 2.0 * f2 / 3.0)
+            + _diffusion_term(g_end, dw - chi)
+            + _diffusion_term(g_start, chi)
         )
 
 

@@ -251,3 +251,106 @@ def test_adaptive_sde_vbt():
     uT = float(loss(p))
     assert np.isclose(float(g[0]), uT * 1.0, rtol=2e-2), (float(g[0]), uT)
     assert np.isclose(float(g[1]), uT * (float(WT) - sigma), rtol=2e-2)
+
+
+def test_sra1_weak_order2_ou():
+    # OU: dX = -theta X dt + sigma dW. SRA1 (additive noise, weak order 2)
+    # must nail both moments at a coarse dt where EM's O(h) bias is visible.
+    # Exact: E = u0 e^{-theta T};  Var = sigma^2 (1 - e^{-2 theta T})/(2 theta).
+    from scimlsensitivity_jl_tpu.solvers.sde import SRA1
+
+    theta, sigma, T, dt = 3.0, 1.0, 1.0, 1.0 / 16
+
+    def run(solver, key):
+        prob = SDEProblem(
+            lambda u, p, t: -p[0] * u,
+            lambda u, p, t: p[1] * jnp.ones_like(u),
+            jnp.array([1.0]), (0.0, T), jnp.array([theta, sigma]),
+        )
+        return solve(prob, solver, dt=dt, key=key).ys[-1, 0]
+
+    keys = jax.random.split(jax.random.PRNGKey(7), 16384)
+    xs_sra = jax.vmap(lambda k: run(SRA1(), k))(keys)
+    xs_em = jax.vmap(lambda k: run(EulerMaruyama(), k))(keys)
+
+    mean_exact = float(np.exp(-theta * T))
+    var_exact = sigma ** 2 * (1 - np.exp(-2 * theta * T)) / (2 * theta)
+
+    m_sra, v_sra = float(xs_sra.mean()), float(xs_sra.var())
+    m_em, v_em = float(xs_em.mean()), float(xs_em.var())
+
+    # SRA1 bias ~1e-3 on both moments at this dt (MC 3sigma ~ 8e-3 on var)
+    assert abs(m_sra - mean_exact) < 8e-3, (m_sra, mean_exact)
+    assert abs(v_sra - var_exact) < 1e-2, (v_sra, var_exact)
+    # EM bias at dt=1/16: mean ~ -0.014, var ~ +0.017 — strictly worse
+    assert abs(m_em - mean_exact) > abs(m_sra - mean_exact)
+    assert abs(v_em - var_exact) > abs(v_sra - var_exact)
+
+
+def test_sra1_time_dependent_g():
+    # dX = -theta X dt + sigma (1+t) dW: exercises the beta-weighted
+    # g(t) / g(t+h) combination.  Var(X_T) = sigma^2 int_0^T e^{-2 theta (T-s)}
+    # (1+s)^2 ds (computed numerically).
+    from scimlsensitivity_jl_tpu.solvers.sde import SRA1
+
+    theta, sigma, T = 2.0, 0.5, 1.0
+
+    def run(key):
+        prob = SDEProblem(
+            lambda u, p, t: -p[0] * u,
+            lambda u, p, t: p[1] * (1.0 + t) * jnp.ones_like(u),
+            jnp.array([0.0]), (0.0, T), jnp.array([theta, sigma]),
+        )
+        return solve(prob, SRA1(), dt=1.0 / 16, key=key).ys[-1, 0]
+
+    keys = jax.random.split(jax.random.PRNGKey(11), 16384)
+    xs = jax.vmap(run)(keys)
+    s = np.linspace(0.0, T, 100001)
+    var_exact = sigma ** 2 * np.trapezoid(
+        np.exp(-2 * theta * (T - s)) * (1 + s) ** 2, s
+    )
+    assert abs(float(xs.mean())) < 8e-3
+    assert abs(float(xs.var()) - var_exact) < 1.5e-2, (float(xs.var()), var_exact)
+
+
+def test_sra1_deterministic_drift_order2():
+    # With g == 0 SRA1 reduces to Ralston RK2 on the drift: halving dt must
+    # cut the error ~4x (order 2) on a nonlinear ODE.
+    from scimlsensitivity_jl_tpu.solvers.sde import SRA1
+
+    def run(dt):
+        prob = SDEProblem(
+            lambda u, p, t: u * (1.0 - u),
+            lambda u, p, t: jnp.zeros_like(u),
+            jnp.array([0.1]), (0.0, 2.0), None,
+        )
+        return float(solve(prob, SRA1(), dt=dt, key=KEY).ys[-1, 0])
+
+    exact = 0.1 * np.exp(2.0) / (1 - 0.1 + 0.1 * np.exp(2.0))
+    e1 = abs(run(1.0 / 8) - exact)
+    e2 = abs(run(1.0 / 16) - exact)
+    assert e1 / e2 > 3.4, (e1, e2)
+
+
+def test_sra1_gradient_vs_fd():
+    # Pathwise gradient through the SRA1 scheme (DirectAdjoint) against
+    # same-key central finite differences.
+    from scimlsensitivity_jl_tpu.solvers.sde import SRA1
+
+    p0 = jnp.array([1.5, 0.3])
+
+    def loss(p):
+        prob = SDEProblem(
+            lambda u, q, t: -q[0] * u,
+            lambda u, q, t: q[1] * (1.0 + 0.5 * t) * jnp.ones_like(u),
+            jnp.array([1.0]), (0.0, 1.0), p,
+        )
+        return jnp.sum(solve(prob, SRA1(), dt=1.0 / 32, key=KEY,
+                             sensealg=DirectAdjoint()).ys[-1] ** 2)
+
+    g = jax.grad(loss)(p0)
+    eps = 1e-6
+    for i in range(2):
+        e = jnp.zeros(2).at[i].set(eps)
+        fd = (loss(p0 + e) - loss(p0 - e)) / (2 * eps)
+        assert np.isclose(float(g[i]), float(fd), rtol=1e-5), (i, g[i], fd)
