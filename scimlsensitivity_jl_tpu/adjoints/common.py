@@ -42,6 +42,7 @@ def reverse_joined_solve(
     rtol,
     atol,
     max_steps: int,
+    dt0=None,
     hook: Optional[Callable] = None,
     hook_carry: Any = None,
     snap_values: Optional[jnp.ndarray] = None,
@@ -138,6 +139,7 @@ def reverse_joined_solve(
         z0,
         rtol=rtol,
         atol=atol,
+        dt0=dt0,
         max_steps=max_steps + m + 4,
         tstops=all_stops,
         hook=wrapped_hook,

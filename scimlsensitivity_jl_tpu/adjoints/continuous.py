@@ -312,6 +312,79 @@ def make_ode_solve_fn(f, solver, sensealg, opts: SolveOptions, t0, t1, *,
                 _, ubar, pbar = kern.f_and_vjp(y, p, t, lam)
                 return jnp.concatenate([-ubar, -ravel_pytree(pbar)[0]])
 
+            M_fwd = getattr(solver, "mass_matrix", None)
+            if M_fwd is not None:
+                # Continuous adjoint for index-1 DAEs (diagonal singular
+                # mass matrix, reference adjoint_common.jl:790-817 /
+                # Cao-Li-Petzold 2003): the adjoint DAE
+                #     Mᵀ λ' = -Jᵀ λ,   q' = -f_pᵀ λ
+                # is integrated backward by the SAME mass-matrix SDIRK with
+                # the augmented mass blockdiag(Mᵀ, I); stiffly-accurate
+                # all-implicit stages enforce the algebraic adjoint
+                # constraint 0 = (Jᵀλ)_alg pointwise. Discrete loss
+                # cotangents v at save times are projected onto the
+                # differential adjoint (the jump lives on μ = Mᵀλ):
+                #     w  = J_aa⁻ᵀ v_a
+                #     λ_d += (v_d - (Jᵀ ŵ)_d) / m_d ,  λ_a := 0
+                #     dp += -f_pᵀ ŵ          (ŵ = w embedded in alg rows)
+                # which routes cost on algebraic components through the
+                # implicit function u_a(u_d, p) defined by 0 = f_a.
+                if event_set is not None:
+                    raise NotImplementedError(
+                        "callbacks + continuous DAE adjoints are not "
+                        "supported; use ForwardDiffSensitivity"
+                    )
+                import numpy as _onp
+
+                Mnp = _onp.asarray(M_fwd, dtype=float)
+                if not _onp.allclose(Mnp, _onp.diag(_onp.diag(Mnp))):
+                    raise NotImplementedError(
+                        "continuous DAE adjoints support diagonal mass "
+                        "matrices (semi-explicit index-1 form)"
+                    )
+                mdiag = _onp.diag(Mnp)
+                alg_np = mdiag == 0.0
+                a_idx = _onp.where(alg_np)[0]
+                alg_j = jnp.asarray(alg_np)
+                mdiag_j = jnp.asarray(mdiag, u0vec.dtype)
+                m_safe = jnp.where(alg_j, 1.0, mdiag_j)
+
+                def project_jump(tk, v):
+                    y = dense_eval(dense, tk)
+                    J = jax.jacfwd(lambda uu: kern.fvec(uu, p, tk))(y)
+                    Jaa = J[a_idx][:, a_idx]
+                    w = jnp.linalg.solve(Jaa.T, v[a_idx])
+                    cot = jnp.zeros_like(v).at[a_idx].set(w)
+                    _, ubar, pbar = kern.f_and_vjp(y, p, tk, cot)
+                    lamj = jnp.where(alg_j, 0.0, (v - ubar) / m_safe)
+                    return lamj, -ravel_pytree(pbar)[0]
+
+                lamjs, qjs = jax.vmap(project_jump)(times, jumps)
+                jumps_aug = jnp.concatenate([lamjs, qjs], axis=1)
+
+                M_aug = _onp.eye(n + npf)
+                M_aug[:n, :n] = Mnp.T
+                dae_stepper = bwd_stepper.with_mass_matrix(
+                    jnp.asarray(M_aug, u0vec.dtype)
+                )
+                z0 = jnp.zeros(n + npf, u0vec.dtype)
+                wts = jnp.concatenate(
+                    [jnp.ones(n, u0vec.dtype), jnp.zeros(npf, u0vec.dtype)]
+                )
+                z, _, worst, _ = reverse_joined_solve(
+                    dae_stepper, aug_rhs, times, jumps_aug, z0, n + npf,
+                    rtol=adj_rtol, atol=adj_atol,
+                    max_steps=adj_max_steps, dt0=opts.dt0,
+                    err_weights=wts,
+                )
+                # dG/du0 pairs through μ = Mᵀλ; algebraic initial values are
+                # slaved to the constraint (consistent-initialization
+                # adjoints, concrete_solve.jl:611-687, are future work) so
+                # their cotangent is 0 by convention.
+                du0vec = jnp.where(alg_j, 0.0, mdiag_j * z[:n])
+                return _returns(unravel_u, unravel_p, du0vec, z[n:], saveat,
+                                jnp.maximum(fwd.stats.retcode, worst))
+
             z0 = jnp.zeros(n + npf, u0vec.dtype)
             # q rows are pure quadrature (no feedback into λ): exclude them
             # from error control or their atol-relative error forces

@@ -194,13 +194,21 @@ def _solve_ode(prob, solver, *, saveat, rtol, atol, dt0, dt, max_steps,
                 )
             from .sensealg import DirectAdjoint as _DA
             from .sensealg import ForwardDiffSensitivity as _FDS
+            from .sensealg import InterpolatingAdjoint as _IA
 
             if sensealg is None:
                 sensealg = _FDS()
+            elif isinstance(sensealg, _IA):
+                if sensealg.checkpointing:
+                    raise NotImplementedError(
+                        "continuous DAE adjoints need the dense (non-"
+                        "checkpointed) InterpolatingAdjoint"
+                    )
             elif not isinstance(sensealg, (_FDS, _DA)):
                 raise NotImplementedError(
-                    "DAE gradients: use ForwardDiffSensitivity or "
-                    "DirectAdjoint (continuous DAE adjoints are future work)"
+                    "DAE gradients: ForwardDiffSensitivity, DirectAdjoint, "
+                    "or InterpolatingAdjoint (continuous adjoint with "
+                    "algebraic-λ projection, index-1 diagonal mass)"
                 )
             prob = _remake(prob, mass_matrix=None)
         else:

@@ -193,14 +193,19 @@ class ESDIRK:
         err = jnp.zeros_like(u)
         for ei, k in zip(tab.b_err, ks):
             err = err + (dt * ei) * k
+        if M is not None:
+            # Index-1 DAE: algebraic components are slaved to the constraint
+            # — their raw embedded error is O(1/h) noise (and O(Δ/γ) right
+            # after a state jump restores consistency, e.g. adjoint-λ jumps
+            # at save times), so exclude them BEFORE the W⁻¹ filter or the
+            # filter smears them into the differential rows and every dt
+            # rejects (standard practice, Hairer-Wanner VII.1).
+            alg = jnp.sum(jnp.abs(eyeM), axis=1) == 0
+            err = jnp.where(alg, 0.0, err)
         # Hosea-Shampine filtered estimate: the embedded method is not
         # L-stable, so damp the stiff components through W⁻¹.
         err = lu_solve(lu, err)
         if M is not None:
-            # Index-1 DAE: algebraic components are slaved to the constraint
-            # — their raw embedded error is O(1/h) noise, so exclude them
-            # from the error norm (standard practice, Hairer-Wanner VII.1).
-            alg = jnp.sum(jnp.abs(eyeM), axis=1) == 0
             err = jnp.where(alg, 0.0, err)
         # Non-converged Newton => reject the step (inf error).
         err = jnp.where(bad_stage, jnp.full_like(err, jnp.inf), err)

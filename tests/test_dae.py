@@ -97,3 +97,50 @@ def test_singular_mass_requires_sdirk():
                       mass_matrix=M)
     with pytest.raises(NotImplementedError):
         solve(prob, Tsit5(), dt0=1e-6)
+
+
+def test_robertson_dae_continuous_adjoint():
+    # Continuous adjoint with algebraic-λ projection (InterpolatingAdjoint
+    # over the mass-matrix SDIRK) vs the discrete forward-mode oracle.
+    # Loss touches BOTH a differential state (y2) and the algebraic one (y3)
+    # to exercise the implicit-function jump projection.
+    from scimlsensitivity_jl_tpu import InterpolatingAdjoint
+
+    ts = jnp.array([1e-1, 1.0, 10.0])
+
+    def loss(logp, sensealg, rt, at):
+        p = jnp.exp(logp)
+        prob = ODEProblem(rober_dae, jnp.array([1.0, 0.0, 0.0]), (0.0, 10.0),
+                          p, mass_matrix=M)
+        s = solve(prob, SDIRK4(), saveat=ts, rtol=rt, atol=at, dt0=1e-6,
+                  sensealg=sensealg, max_steps=16384,
+                  adj_rtol=1e-7, adj_atol=1e-10)
+        return jnp.sum(s.ys[:, 1]) * 1e4 + jnp.sum(s.ys[:, 2])
+
+    logp = jnp.log(P)
+    g_adj = jax.grad(lambda lp: loss(lp, InterpolatingAdjoint(), 1e-8, 1e-10))(logp)
+    g_fds = jax.grad(lambda lp: loss(lp, ForwardDiffSensitivity(), 1e-9, 1e-12))(logp)
+    assert np.all(np.isfinite(np.asarray(g_adj)))
+    assert np.allclose(g_adj, g_fds, rtol=2e-3, atol=1e-7), (
+        np.asarray(g_adj), np.asarray(g_fds))
+
+
+def test_dae_continuous_adjoint_u0_gradient():
+    # du0 on the differential states through the continuous DAE adjoint.
+    from scimlsensitivity_jl_tpu import InterpolatingAdjoint
+
+    ts = jnp.array([0.5, 1.0])
+
+    def loss(u0d, sensealg):
+        u0 = jnp.stack([u0d[0], u0d[1], 1.0 - u0d[0] - u0d[1]])
+        prob = ODEProblem(rober_dae, u0, (0.0, 1.0), P, mass_matrix=M)
+        s = solve(prob, SDIRK4(), saveat=ts, rtol=1e-8, atol=1e-10, dt0=1e-6,
+                  sensealg=sensealg, max_steps=16384,
+                  adj_rtol=1e-7, adj_atol=1e-10)
+        return jnp.sum(s.ys[:, 0]) + 1e3 * jnp.sum(s.ys[:, 1])
+
+    u0d = jnp.array([1.0, 0.0])
+    g_adj = jax.grad(lambda u: loss(u, InterpolatingAdjoint()))(u0d)
+    g_fds = jax.grad(lambda u: loss(u, ForwardDiffSensitivity()))(u0d)
+    assert np.allclose(g_adj, g_fds, rtol=2e-3, atol=1e-7), (
+        np.asarray(g_adj), np.asarray(g_fds))
