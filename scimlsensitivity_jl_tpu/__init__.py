@@ -70,6 +70,7 @@ from .parallel.ensemble import EnsembleProblem, make_mesh, solve_ensemble
 from .solvers.explicit import BS3, Dopri5, Euler, Heun, Midpoint, Tsit5
 from .solvers.extrapolation import GBS, Vern9Like
 from .solvers.rosenbrock import Rosenbrock23
+from .solvers.seulex import Rodas4Like, Seulex
 from .solvers.sde import SRA1, EulerHeun, EulerMaruyama, ImplicitEM, Milstein
 from .solvers.sdirk import SDIRK4, TRBDF2, Kvaerno3
 
@@ -106,6 +107,8 @@ __all__ = [
     "Euler",
     "GBS",
     "Vern9Like",
+    "Seulex",
+    "Rodas4Like",
     "Rosenbrock23",
     "TRBDF2",
     "Kvaerno3",

@@ -364,7 +364,20 @@ def make_ode_solve_fn(f, solver, sensealg, opts: SolveOptions, t0, t1, *,
 
                 M_aug = _onp.eye(n + npf)
                 M_aug[:n, :n] = Mnp.T
-                dae_stepper = bwd_stepper.with_mass_matrix(
+                # Reverse stepper: honor an explicit bwd_solver; otherwise
+                # prefer stiffly-accurate SDIRK stages, which enforce the
+                # algebraic adjoint constraint pointwise and re-consistify λ
+                # within one step after each jump. Extrapolation (Seulex)
+                # works forward but its stiff-transient error estimate makes
+                # the post-jump reverse layers pathologically slow.
+                from ..solvers.sdirk import ESDIRK as _ESDIRK
+                from ..solvers.sdirk import SDIRK4 as _SDIRK4
+
+                rev = bwd_solver if bwd_solver is not None else (
+                    bwd_stepper if isinstance(bwd_stepper, _ESDIRK)
+                    else _SDIRK4()
+                )
+                dae_stepper = rev.with_mass_matrix(
                     jnp.asarray(M_aug, u0vec.dtype)
                 )
                 z0 = jnp.zeros(n + npf, u0vec.dtype)

@@ -144,3 +144,36 @@ def test_dae_continuous_adjoint_u0_gradient():
     g_fds = jax.grad(lambda u: loss(u, ForwardDiffSensitivity()))(u0d)
     assert np.allclose(g_adj, g_fds, rtol=2e-3, atol=1e-7), (
         np.asarray(g_adj), np.asarray(g_fds))
+
+
+def test_robertson_dae_seulex():
+    # Seulex (linearly-implicit Euler extrapolation) on the DAE form, both
+    # forward accuracy and the continuous adjoint (Seulex is mass-matrix
+    # capable: W = M - hJ).
+    from scimlsensitivity_jl_tpu import InterpolatingAdjoint, Rodas4Like
+
+    ts = jnp.array([1e-1, 1.0, 10.0])
+    prob = ODEProblem(rober_dae, jnp.array([1.0, 0.0, 0.0]), (0.0, 10.0), P,
+                      mass_matrix=M)
+    sol = solve(prob, Rodas4Like(), saveat=ts, rtol=1e-8, atol=1e-10,
+                dt0=1e-6, max_steps=16384)
+    r = solve_ivp(lambda t, y: rober_ode(y, np.asarray(P), t), (0, 10),
+                  [1., 0., 0.], method="Radau", rtol=1e-10, atol=1e-12,
+                  t_eval=np.asarray(ts))
+    assert int(sol.retcode) == 0
+    assert np.allclose(sol.ys, r.y.T, rtol=1e-5, atol=1e-8)
+
+    def loss(logp, sensealg, rt, at):
+        p = jnp.exp(logp)
+        pr = ODEProblem(rober_dae, jnp.array([1.0, 0.0, 0.0]), (0.0, 10.0),
+                        p, mass_matrix=M)
+        s = solve(pr, Rodas4Like(), saveat=ts, rtol=rt, atol=at, dt0=1e-6,
+                  sensealg=sensealg, max_steps=16384,
+                  adj_rtol=1e-7, adj_atol=1e-10)
+        return jnp.sum(s.ys[:, 1]) * 1e4
+
+    logp = jnp.log(P)
+    g_adj = jax.grad(lambda lp: loss(lp, InterpolatingAdjoint(), 1e-8, 1e-10))(logp)
+    g_fds = jax.grad(lambda lp: loss(lp, ForwardDiffSensitivity(), 1e-9, 1e-12))(logp)
+    assert np.allclose(g_adj, g_fds, rtol=2e-3, atol=1e-7), (
+        np.asarray(g_adj), np.asarray(g_fds))

@@ -12,6 +12,7 @@ import pytest
 from scipy.integrate import solve_ivp
 
 from scimlsensitivity_jl_tpu import (
+    ForwardDiffSensitivity,
     GaussAdjoint,
     InterpolatingAdjoint,
     Kvaerno3,
@@ -134,3 +135,76 @@ def test_sdirk4_order_conditions():
     bh = b - np.asarray(SDIRK4_TAB.b_err, np.float64)
     assert np.isclose(bh.sum(), 1.0, atol=1e-14)
     assert np.isclose((bh * c).sum(), 0.5, atol=1e-14)
+
+
+def test_seulex_order():
+    # Extrapolated linearly-implicit Euler: K levels => order K. Single-step
+    # convergence on a nonlinear problem, u' = u^2, u(0)=1 => u(t)=1/(1-t).
+    from scimlsensitivity_jl_tpu.solvers.seulex import Seulex
+
+    st = Seulex(levels=4)
+    f = lambda u, t: u ** 2
+
+    def one_step(dt):
+        u0 = jnp.array([1.0])
+        u1, _, _ = st.step(f, jnp.asarray(0.0), jnp.asarray(dt), u0, f(u0, 0.0))
+        return float(abs(u1[0] - 1.0 / (1.0 - dt)))
+
+    e1, e2 = one_step(0.1), one_step(0.05)
+    # local order K+1 = 5: ratio ~ 32
+    assert e1 / e2 > 20.0, (e1, e2)
+
+
+def test_seulex_robertson():
+    # Stiff accuracy end-to-end vs scipy Radau on Robertson (ODE form).
+    from scipy.integrate import solve_ivp
+
+    from scimlsensitivity_jl_tpu.solvers.seulex import Rodas4Like
+
+    p = np.array([0.04, 3e7, 1e4])
+
+    def rob(u, q, t):
+        y1, y2, y3 = u[0], u[1], u[2]
+        return jnp.stack([
+            -q[0] * y1 + q[2] * y2 * y3,
+            q[0] * y1 - q[1] * y2 ** 2 - q[2] * y2 * y3,
+            q[1] * y2 ** 2,
+        ])
+
+    ts = jnp.array([1.0, 10.0, 100.0])
+    prob = ODEProblem(rob, jnp.array([1.0, 0.0, 0.0]), (0.0, 100.0), jnp.asarray(p))
+    sol = solve(prob, Rodas4Like(), saveat=ts, rtol=1e-8, atol=1e-10,
+                max_steps=8192)
+    r = solve_ivp(lambda t, y: np.array([
+        -p[0]*y[0] + p[2]*y[1]*y[2],
+        p[0]*y[0] - p[1]*y[1]**2 - p[2]*y[1]*y[2],
+        p[1]*y[1]**2]), (0, 100), [1., 0., 0.], method="Radau",
+        rtol=1e-10, atol=1e-12, t_eval=np.asarray(ts))
+    assert int(sol.retcode) == 0
+    assert np.allclose(sol.ys, r.y.T, rtol=1e-5, atol=1e-9)
+
+
+def test_seulex_adjoint_gradient():
+    # Seulex as forward AND reverse stepper of a continuous adjoint on a
+    # stiff linear system; oracle: discrete forward mode.
+    from scimlsensitivity_jl_tpu import InterpolatingAdjoint
+    from scimlsensitivity_jl_tpu.solvers.seulex import Rodas4Like
+
+    A = jnp.array([[-1.0, 1.0], [0.0, -1000.0]])
+
+    def f(u, p, t):
+        return A @ u + p
+
+    ts = jnp.array([0.5, 1.0])
+
+    def loss(p, sa, rt):
+        prob = ODEProblem(f, jnp.array([1.0, 1.0]), (0.0, 1.0), p)
+        s = solve(prob, Rodas4Like(), saveat=ts, rtol=rt, atol=rt * 1e-3,
+                  sensealg=sa, max_steps=8192, adj_rtol=1e-7, adj_atol=1e-10)
+        return jnp.sum(s.ys ** 2)
+
+    p0 = jnp.array([0.3, 0.7])
+    g_adj = jax.grad(lambda q: loss(q, InterpolatingAdjoint(), 1e-8))(p0)
+    g_fds = jax.grad(lambda q: loss(q, ForwardDiffSensitivity(), 1e-9))(p0)
+    assert np.allclose(g_adj, g_fds, rtol=1e-4), (np.asarray(g_adj),
+                                                  np.asarray(g_fds))
