@@ -75,6 +75,7 @@ def solve(
     unroll: bool = False,
     verbose: bool = False,
     dtmax=None,
+    dae_init=None,
 ):
     """Solve a problem; gradients through the result follow `sensealg`.
 
@@ -93,7 +94,7 @@ def solve(
             adj_rtol=adj_rtol, adj_atol=adj_atol, adj_max_steps=adj_max_steps,
             bwd_solver=bwd_solver, callback=callback, max_events=max_events,
             save_idxs=save_idxs, adaptive=adaptive, unroll=unroll,
-            verbose=verbose, dtmax=dtmax,
+            verbose=verbose, dtmax=dtmax, dae_init=dae_init,
         )
     if isinstance(prob, SDEProblem):
         from .adjoints.sde import solve_sde
@@ -134,7 +135,8 @@ def solve(
 def _solve_ode(prob, solver, *, saveat, rtol, atol, dt0, dt, max_steps,
                tstops, sensealg, dense, adj_rtol, adj_atol, adj_max_steps,
                bwd_solver, callback=None, max_events=32, save_idxs=None,
-               adaptive=True, unroll=False, verbose=False, dtmax=None):
+               adaptive=True, unroll=False, verbose=False, dtmax=None,
+               dae_init=None):
     solver = solver or Tsit5()
     t0, t1 = prob.tspan
     u0vec, unravel_u = ravel_pytree(prob.u0)
@@ -168,8 +170,8 @@ def _solve_ode(prob, solver, *, saveat, rtol, atol, dt0, dt, max_steps,
         # Invertible mass matrix M u' = f: solved as u' = M⁻¹f (M constant,
         # folded in once — the adjoint equations transform consistently
         # because the rule differentiates the transformed RHS). Singular M
-        # (semi-explicit DAE index handling, reference
-        # adjoint_common.jl:110-139) is not implemented yet.
+        # is handled below as a semi-explicit index-1 DAE (reference
+        # adjoint_common.jl:110-139).
         M = jnp.asarray(prob.mass_matrix, dtype)
         import numpy as _np
 
@@ -209,6 +211,36 @@ def _solve_ode(prob, solver, *, saveat, rtol, atol, dt0, dt, max_steps,
                     "DAE gradients: ForwardDiffSensitivity, DirectAdjoint, "
                     "or InterpolatingAdjoint (continuous adjoint with "
                     "algebraic-λ projection, index-1 diagonal mass)"
+                )
+            if dae_init == "newton":
+                # Consistent initialization: solve the algebraic residual
+                # rows 0 = f_a(u0_d, u0_a, p) for u0_a by damped Newton;
+                # gradients flow through solve_nonlinear's IFT adjoint, so
+                # the initialization map u0_a(u0_d, p) is differentiated
+                # exactly (reference DAE/MTK initialization adjoint,
+                # concrete_solve.jl:611-687).
+                mdiag = _np.diag(_np.asarray(M))
+                if not _np.allclose(_np.asarray(M), _np.diag(mdiag)):
+                    raise NotImplementedError(
+                        "dae_init='newton' needs a diagonal mass matrix"
+                    )
+                a_idx = _np.where(mdiag == 0.0)[0]
+                from .adjoints.steadystate import solve_nonlinear as _nls
+                from .problems import NonlinearProblem as _NLP
+
+                f_dae = prob.f
+
+                def _alg_res(ua, pp):
+                    u0v, pr = pp
+                    uv = u0v.at[a_idx].set(ua)
+                    return ravel_pytree(f_dae(unravel_u(uv), pr, t0))[0][a_idx]
+
+                ns = _nls(_NLP(_alg_res, u0vec[a_idx], (u0vec, prob.p)))
+                u0_new = unravel_u(u0vec.at[a_idx].set(ns.u))
+                prob = _remake(prob, u0=u0_new)
+            elif dae_init not in (None, "none"):
+                raise ValueError(
+                    f"dae_init: None or 'newton', got {dae_init!r}"
                 )
             prob = _remake(prob, mass_matrix=None)
         else:

@@ -177,3 +177,46 @@ def test_robertson_dae_seulex():
     g_fds = jax.grad(lambda lp: loss(lp, ForwardDiffSensitivity(), 1e-9, 1e-12))(logp)
     assert np.allclose(g_adj, g_fds, rtol=2e-3, atol=1e-7), (
         np.asarray(g_adj), np.asarray(g_fds))
+
+
+def test_dae_consistent_initialization_adjoint():
+    # dae_init="newton": inconsistent algebraic u0 is projected onto the
+    # constraint before solving, and gradients flow through the
+    # initialization map via the IFT (reference DAE-initialization adjoint,
+    # concrete_solve.jl:611-687).
+    # System: y' = -y, 0 = z - p z_coupling... use 0 = z - p*y^2:
+    #   y(t) = y0 e^{-t},  z(t) = p y(t)^2
+    #   G = y(T) + z(T):  dG/dy0 = e^{-T} + 2 p y0 e^{-2T},  dG/dp = y0^2 e^{-2T}
+    from scimlsensitivity_jl_tpu import ForwardDiffSensitivity, InterpolatingAdjoint
+
+    Mz = jnp.diag(jnp.array([1.0, 0.0]))
+    T = 1.0
+
+    def f(u, p, t):
+        return jnp.stack([-u[0], u[1] - p[0] * u[0] ** 2])
+
+    def G(args, sensealg):
+        y0, p = args[0], args[1:]
+        # deliberately inconsistent algebraic guess z0 = 0
+        prob = ODEProblem(f, jnp.stack([y0, 0.0]), (0.0, T), p, mass_matrix=Mz)
+        s = solve(prob, SDIRK4(), saveat=jnp.array([T]), rtol=1e-10,
+                  atol=1e-12, dt0=1e-3, dae_init="newton", sensealg=sensealg,
+                  adj_rtol=1e-8, adj_atol=1e-11, max_steps=8192)
+        return s.ys[0, 0] + s.ys[0, 1]
+
+    args = jnp.array([1.3, 0.8])
+    y0, p0 = 1.3, 0.8
+    exact = np.array([np.exp(-T) + 2 * p0 * y0 * np.exp(-2 * T),
+                      y0 ** 2 * np.exp(-2 * T)])
+    for sa in (ForwardDiffSensitivity(), InterpolatingAdjoint()):
+        g = jax.grad(lambda a: G(a, sa))(args)
+        assert np.allclose(np.asarray(g), exact, rtol=1e-5), (
+            type(sa).__name__, np.asarray(g), exact)
+
+    # forward value: z(T) equals p y(T)^2 even though z0 guess was wrong
+    prob = ODEProblem(f, jnp.array([y0, 0.0]), (0.0, T), jnp.array([p0]),
+                      mass_matrix=Mz)
+    s = solve(prob, SDIRK4(), saveat=jnp.array([0.0, T]), rtol=1e-10,
+              atol=1e-12, dt0=1e-3, dae_init="newton")
+    assert np.isclose(float(s.ys[0, 1]), p0 * y0 ** 2, rtol=1e-8)   # projected u0
+    assert np.isclose(float(s.ys[1, 1]), p0 * (y0 * np.exp(-T)) ** 2, rtol=1e-6)
