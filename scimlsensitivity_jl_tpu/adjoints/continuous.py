@@ -112,6 +112,56 @@ def _extend_times(t0, t1, saveat, lam_jumps):
 
 
 
+def _dae_project_jumps(M_fwd, kern, p, dense, times, jumps, dtype):
+    """Project discrete loss cotangents onto the differential adjoint of an
+    index-1 diagonal-mass DAE (see the DAE branch of _bwd_interpolating):
+        w  = J_aa⁻ᵀ v_a ;  λ-jump_d = (v_d − (Jᵀŵ)_d)/m_d ;  λ-jump_a = 0
+        q-jump = −f_pᵀ ŵ      (ŵ = w embedded in the algebraic rows)
+    Returns (alg mask, mass diagonal, λ-jumps (m,n), q-jumps (m,np))."""
+    import numpy as _onp
+
+    Mnp = _onp.asarray(M_fwd, dtype=float)
+    if not _onp.allclose(Mnp, _onp.diag(_onp.diag(Mnp))):
+        raise NotImplementedError(
+            "continuous DAE adjoints support diagonal mass matrices "
+            "(semi-explicit index-1 form)"
+        )
+    mdiag = _onp.diag(Mnp)
+    alg_np = mdiag == 0.0
+    a_idx = _onp.where(alg_np)[0]
+    alg_j = jnp.asarray(alg_np)
+    mdiag_j = jnp.asarray(mdiag, dtype)
+    m_safe = jnp.where(alg_j, 1.0, mdiag_j)
+
+    def project_jump(tk, v):
+        y = dense_eval(dense, tk)
+        J = jax.jacfwd(lambda uu: kern.fvec(uu, p, tk))(y)
+        Jaa = J[a_idx][:, a_idx]
+        w = jnp.linalg.solve(Jaa.T, v[a_idx])
+        cot = jnp.zeros_like(v).at[a_idx].set(w)
+        _, ubar, pbar = kern.f_and_vjp(y, p, tk, cot)
+        lamj = jnp.where(alg_j, 0.0, (v - ubar) / m_safe)
+        return lamj, -ravel_pytree(pbar)[0]
+
+    lamjs, qjs = jax.vmap(project_jump)(times, jumps)
+    return alg_j, mdiag_j, lamjs, qjs
+
+
+def _dae_reverse_stepper(bwd_solver, bwd_stepper):
+    """Reverse stepper for DAE adjoints: honor an explicit bwd_solver;
+    otherwise prefer stiffly-accurate SDIRK stages, which enforce the
+    algebraic adjoint constraint pointwise and re-consistify λ within one
+    step after each jump. Extrapolation (Seulex) works forward but its
+    stiff-transient error estimate makes the post-jump reverse layers
+    pathologically slow."""
+    from ..solvers.sdirk import ESDIRK as _ESDIRK
+    from ..solvers.sdirk import SDIRK4 as _SDIRK4
+
+    if bwd_solver is not None:
+        return bwd_solver
+    return bwd_stepper if isinstance(bwd_stepper, _ESDIRK) else _SDIRK4()
+
+
 def _make_event_apply(kern, p, event_set, fwd_events, n, npf,
                       q_slice=None, u_snap_start=None, q_in_hc=False):
     """Reverse event-jump transform (reference: callback_tracking.jl reverse
@@ -334,52 +384,18 @@ def make_ode_solve_fn(f, solver, sensealg, opts: SolveOptions, t0, t1, *,
                         "callbacks + continuous DAE adjoints are not "
                         "supported; use ForwardDiffSensitivity"
                     )
-                import numpy as _onp
-
-                Mnp = _onp.asarray(M_fwd, dtype=float)
-                if not _onp.allclose(Mnp, _onp.diag(_onp.diag(Mnp))):
-                    raise NotImplementedError(
-                        "continuous DAE adjoints support diagonal mass "
-                        "matrices (semi-explicit index-1 form)"
-                    )
-                mdiag = _onp.diag(Mnp)
-                alg_np = mdiag == 0.0
-                a_idx = _onp.where(alg_np)[0]
-                alg_j = jnp.asarray(alg_np)
-                mdiag_j = jnp.asarray(mdiag, u0vec.dtype)
-                m_safe = jnp.where(alg_j, 1.0, mdiag_j)
-
-                def project_jump(tk, v):
-                    y = dense_eval(dense, tk)
-                    J = jax.jacfwd(lambda uu: kern.fvec(uu, p, tk))(y)
-                    Jaa = J[a_idx][:, a_idx]
-                    w = jnp.linalg.solve(Jaa.T, v[a_idx])
-                    cot = jnp.zeros_like(v).at[a_idx].set(w)
-                    _, ubar, pbar = kern.f_and_vjp(y, p, tk, cot)
-                    lamj = jnp.where(alg_j, 0.0, (v - ubar) / m_safe)
-                    return lamj, -ravel_pytree(pbar)[0]
-
-                lamjs, qjs = jax.vmap(project_jump)(times, jumps)
+                alg_j, mdiag_j, lamjs, qjs = _dae_project_jumps(
+                    M_fwd, kern, p, dense, times, jumps, u0vec.dtype
+                )
                 jumps_aug = jnp.concatenate([lamjs, qjs], axis=1)
 
-                M_aug = _onp.eye(n + npf)
-                M_aug[:n, :n] = Mnp.T
-                # Reverse stepper: honor an explicit bwd_solver; otherwise
-                # prefer stiffly-accurate SDIRK stages, which enforce the
-                # algebraic adjoint constraint pointwise and re-consistify λ
-                # within one step after each jump. Extrapolation (Seulex)
-                # works forward but its stiff-transient error estimate makes
-                # the post-jump reverse layers pathologically slow.
-                from ..solvers.sdirk import ESDIRK as _ESDIRK
-                from ..solvers.sdirk import SDIRK4 as _SDIRK4
+                import numpy as _onp
 
-                rev = bwd_solver if bwd_solver is not None else (
-                    bwd_stepper if isinstance(bwd_stepper, _ESDIRK)
-                    else _SDIRK4()
-                )
-                dae_stepper = rev.with_mass_matrix(
-                    jnp.asarray(M_aug, u0vec.dtype)
-                )
+                M_aug = _onp.eye(n + npf)
+                M_aug[:n, :n] = _onp.asarray(M_fwd, dtype=float).T
+                dae_stepper = _dae_reverse_stepper(
+                    bwd_solver, bwd_stepper
+                ).with_mass_matrix(jnp.asarray(M_aug, u0vec.dtype))
                 z0 = jnp.zeros(n + npf, u0vec.dtype)
                 wts = jnp.concatenate(
                     [jnp.ones(n, u0vec.dtype), jnp.zeros(npf, u0vec.dtype)]
@@ -555,6 +571,36 @@ def make_ode_solve_fn(f, solver, sensealg, opts: SolveOptions, t0, t1, *,
 
         lam0 = jnp.zeros(n, u0vec.dtype)
         q0 = jnp.zeros(npf, u0vec.dtype)
+
+        M_fwd = getattr(solver, "mass_matrix", None)
+        if M_fwd is not None:
+            # Index-1 DAE: λ-only reverse solve with mass Mᵀ; projected λ
+            # jumps; the save-time quadrature corrections −f_pᵀŵ don't live
+            # in the reverse state (q is in the hook carry), so they are
+            # summed directly into the result. See _bwd_interpolating's DAE
+            # branch for the projection math (adjoint_common.jl:790-817).
+            if event_set is not None:
+                raise NotImplementedError(
+                    "callbacks + continuous DAE adjoints are not supported; "
+                    "use ForwardDiffSensitivity"
+                )
+            alg_j, mdiag_j, lamjs, qjs = _dae_project_jumps(
+                M_fwd, kern, p, dense, times, jumps, u0vec.dtype
+            )
+            dae_stepper = _dae_reverse_stepper(
+                bwd_solver, bwd_stepper
+            ).with_mass_matrix(jnp.asarray(M_fwd, u0vec.dtype).T)
+            lam, qflat, worst, _ = reverse_joined_solve(
+                dae_stepper, aug_rhs, times, lamjs, lam0, n,
+                rtol=adj_rtol, atol=adj_atol,
+                max_steps=adj_max_steps, dt0=opts.dt0,
+                hook=gauss_hook, hook_carry=q0,
+            )
+            qflat = qflat + jnp.sum(qjs, axis=0)
+            du0vec = jnp.where(alg_j, 0.0, mdiag_j * lam)
+            return _returns(unravel_u, unravel_p, du0vec, qflat, saveat,
+                            jnp.maximum(fwd.stats.retcode, worst))
+
         ev_kwargs = {}
         if event_set is not None:
             ev_kwargs = dict(

@@ -196,21 +196,23 @@ def _solve_ode(prob, solver, *, saveat, rtol, atol, dt0, dt, max_steps,
                 )
             from .sensealg import DirectAdjoint as _DA
             from .sensealg import ForwardDiffSensitivity as _FDS
+            from .sensealg import GaussAdjoint as _GA
+            from .sensealg import GaussKronrodAdjoint as _GKA
             from .sensealg import InterpolatingAdjoint as _IA
 
             if sensealg is None:
                 sensealg = _FDS()
-            elif isinstance(sensealg, _IA):
-                if sensealg.checkpointing:
+            elif isinstance(sensealg, (_IA, _GA, _GKA)):
+                if getattr(sensealg, "checkpointing", False):
                     raise NotImplementedError(
                         "continuous DAE adjoints need the dense (non-"
-                        "checkpointed) InterpolatingAdjoint"
+                        "checkpointed) variant"
                     )
             elif not isinstance(sensealg, (_FDS, _DA)):
                 raise NotImplementedError(
                     "DAE gradients: ForwardDiffSensitivity, DirectAdjoint, "
-                    "or InterpolatingAdjoint (continuous adjoint with "
-                    "algebraic-λ projection, index-1 diagonal mass)"
+                    "or the continuous InterpolatingAdjoint / GaussAdjoint "
+                    "(algebraic-λ projection, index-1 diagonal mass)"
                 )
             if dae_init == "newton":
                 # Consistent initialization: solve the algebraic residual

@@ -124,6 +124,14 @@ def test_robertson_dae_continuous_adjoint():
     assert np.allclose(g_adj, g_fds, rtol=2e-3, atol=1e-7), (
         np.asarray(g_adj), np.asarray(g_fds))
 
+    # GaussAdjoint: lambda-only reverse with mass M^T + hook quadrature;
+    # save-time q-corrections summed directly
+    from scimlsensitivity_jl_tpu import GaussAdjoint
+
+    g_gauss = jax.grad(lambda lp: loss(lp, GaussAdjoint(), 1e-8, 1e-10))(logp)
+    assert np.allclose(g_gauss, g_fds, rtol=2e-3, atol=1e-7), (
+        np.asarray(g_gauss), np.asarray(g_fds))
+
 
 def test_dae_continuous_adjoint_u0_gradient():
     # du0 on the differential states through the continuous DAE adjoint.
