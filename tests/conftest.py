@@ -21,3 +21,20 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+
+import pytest
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Free compiled executables between test modules.
+
+    The full suite makes ~120 compilation-heavy tests in one process; the
+    XLA CPU compiler deterministically segfaults near the end of the run
+    under the accumulated state (reproduced at tests/test_solve.py when run
+    after everything else; any subset of modules passes). Dropping the
+    executable/tracing caches at module boundaries keeps compiler state
+    bounded. Costs nothing across modules (different programs anyway)."""
+    yield
+    jax.clear_caches()
