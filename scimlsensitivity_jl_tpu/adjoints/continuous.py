@@ -633,17 +633,34 @@ def make_ode_solve_fn(f, solver, sensealg, opts: SolveOptions, t0, t1, *,
         lam0 = jnp.zeros(n, u0vec.dtype)
         ev_kwargs = {}
         q_ev0 = jnp.zeros(npf, u0vec.dtype)
-        if event_set is not None:
-            ev_kwargs = dict(
-                event_times=fwd.events[0], event_count=fwd.events[3],
-                event_apply=_make_event_apply(
-                    kern, p, event_set, fwd.events, n, npf, q_in_hc=True
-                ),
+        M_fwd = getattr(solver, "mass_matrix", None)
+        if M_fwd is not None:
+            # Index-1 DAE (see _bwd_interpolating's DAE branch): λ-only
+            # reverse with mass Mᵀ, projected jumps; the λ dense rows carry
+            # the stepper's consistent u̇ estimates so the Hermite nodes
+            # below interpolate the algebraic λ components correctly.
+            if event_set is not None:
+                raise NotImplementedError(
+                    "callbacks + continuous DAE adjoints are not supported; "
+                    "use ForwardDiffSensitivity"
+                )
+            alg_j, mdiag_j, lamjs, dae_qjs = _dae_project_jumps(
+                M_fwd, kern, p, dense, times, jumps, u0vec.dtype
             )
+            rev_stepper = _dae_reverse_stepper(
+                bwd_solver, bwd_stepper
+            ).with_mass_matrix(jnp.asarray(M_fwd, u0vec.dtype).T)
+            jumps_use = lamjs
+            dt0_use = opts.dt0
+        else:
+            alg_j = mdiag_j = dae_qjs = None
+            rev_stepper = bwd_stepper
+            jumps_use = jumps
+            dt0_use = None
         lam, q_ev, worst, lam_dense = reverse_joined_solve(
-            bwd_stepper, aug_rhs, times, jumps, lam0, n,
+            rev_stepper, aug_rhs, times, jumps_use, lam0, n,
             rtol=adj_rtol, atol=adj_atol,
-            max_steps=adj_max_steps,
+            max_steps=adj_max_steps, dt0=dt0_use,
             collect_dense=True,
             hook_carry=q_ev0,
             **ev_kwargs,
@@ -680,6 +697,9 @@ def make_ode_solve_fn(f, solver, sensealg, opts: SolveOptions, t0, t1, *,
 
         msub = lam_dense.ts.shape[0] - 1
         q = jnp.sum(jax.vmap(row)(jnp.arange(msub)), axis=0) + q_ev
+        if M_fwd is not None:
+            q = q + jnp.sum(dae_qjs, axis=0)
+            lam = jnp.where(alg_j, 0.0, mdiag_j * lam)
         return _returns(unravel_u, unravel_p, lam, q, saveat,
                         jnp.maximum(fwd.stats.retcode, worst))
 

@@ -179,11 +179,11 @@ def _solve_ode(prob, solver, *, saveat, rtol, atol, dt0, dt, max_steps,
 
         if abs(float(_np.linalg.det(_np.asarray(M)))) < 1e-300:
             # Semi-explicit index-1 DAE: keep M in the implicit stages
-            # (W = M - hγJ). Requires an all-implicit SDIRK solver, an
-            # explicit dt0 (the automatic-dt heuristic assumes u' = f), and
-            # a discrete-mode sensealg (continuous DAE adjoints with the
-            # algebraic λ-projection, reference adjoint_common.jl:790-817,
-            # are future work).
+            # (W = M - hγJ). Requires a mass-matrix-capable implicit solver
+            # and an explicit dt0 (the automatic-dt heuristic assumes
+            # u' = f). Gradients: discrete (FDS/Direct) or the continuous
+            # adjoints with algebraic-λ projection (Interp/Gauss/Quadrature,
+            # reference adjoint_common.jl:790-817).
             if not hasattr(solver, "with_mass_matrix"):
                 raise NotImplementedError(
                     "singular mass matrices need an implicit solver with "
@@ -199,10 +199,11 @@ def _solve_ode(prob, solver, *, saveat, rtol, atol, dt0, dt, max_steps,
             from .sensealg import GaussAdjoint as _GA
             from .sensealg import GaussKronrodAdjoint as _GKA
             from .sensealg import InterpolatingAdjoint as _IA
+            from .sensealg import QuadratureAdjoint as _QA
 
             if sensealg is None:
                 sensealg = _FDS()
-            elif isinstance(sensealg, (_IA, _GA, _GKA)):
+            elif isinstance(sensealg, (_IA, _GA, _GKA, _QA)):
                 if getattr(sensealg, "checkpointing", False):
                     raise NotImplementedError(
                         "continuous DAE adjoints need the dense (non-"
@@ -212,7 +213,8 @@ def _solve_ode(prob, solver, *, saveat, rtol, atol, dt0, dt, max_steps,
                 raise NotImplementedError(
                     "DAE gradients: ForwardDiffSensitivity, DirectAdjoint, "
                     "or the continuous InterpolatingAdjoint / GaussAdjoint "
-                    "(algebraic-λ projection, index-1 diagonal mass)"
+                    "/ QuadratureAdjoint (algebraic-λ projection, index-1 "
+                    "diagonal mass)"
                 )
             if dae_init == "newton":
                 # Consistent initialization: solve the algebraic residual

@@ -132,6 +132,13 @@ def test_robertson_dae_continuous_adjoint():
     assert np.allclose(g_gauss, g_fds, rtol=2e-3, atol=1e-7), (
         np.asarray(g_gauss), np.asarray(g_fds))
 
+    # QuadratureAdjoint: lambda-only dense reverse + step-grid GL panels
+    from scimlsensitivity_jl_tpu import QuadratureAdjoint
+
+    g_quad = jax.grad(lambda lp: loss(lp, QuadratureAdjoint(), 1e-8, 1e-10))(logp)
+    assert np.allclose(g_quad, g_fds, rtol=2e-3, atol=1e-7), (
+        np.asarray(g_quad), np.asarray(g_fds))
+
 
 def test_dae_continuous_adjoint_u0_gradient():
     # du0 on the differential states through the continuous DAE adjoint.
