@@ -657,6 +657,13 @@ def make_ode_solve_fn(f, solver, sensealg, opts: SolveOptions, t0, t1, *,
             rev_stepper = bwd_stepper
             jumps_use = jumps
             dt0_use = None
+            if event_set is not None:
+                ev_kwargs = dict(
+                    event_times=fwd.events[0], event_count=fwd.events[3],
+                    event_apply=_make_event_apply(
+                        kern, p, event_set, fwd.events, n, npf, q_in_hc=True
+                    ),
+                )
         lam, q_ev, worst, lam_dense = reverse_joined_solve(
             rev_stepper, aug_rhs, times, jumps_use, lam0, n,
             rtol=adj_rtol, atol=adj_atol,
