@@ -247,6 +247,7 @@ def _solve_ode(prob, solver, *, saveat, rtol, atol, dt0, dt, max_steps,
                     f"dae_init: None or 'newton', got {dae_init!r}"
                 )
             prob = _remake(prob, mass_matrix=None)
+            dae_init = None  # consumed
         else:
             Minv = jnp.linalg.inv(M)
             f_orig = prob.f
@@ -257,6 +258,11 @@ def _solve_ode(prob, solver, *, saveat, rtol, atol, dt0, dt, max_steps,
                 return unrav(Minv @ duvec)
 
             prob = _remake(prob, f=f_mass, mass_matrix=None)
+
+    if dae_init not in (None, "none"):
+        raise ValueError(
+            "dae_init applies only to singular-mass-matrix (DAE) problems"
+        )
 
     from .callbacks import any_modifies_p, as_callback_set, lift_p_into_state
 

@@ -151,3 +151,13 @@ def test_dtmax():
                sensealg=GaussAdjoint())
     assert int(s2.stats.n_accepted) >= 95
     assert np.allclose(s2.ys[-1], np.exp(-1.0), rtol=1e-5)
+
+
+def test_dae_init_requires_dae():
+    import pytest
+
+    from scimlsensitivity_jl_tpu import ODEProblem, Tsit5, solve
+
+    prob = ODEProblem(lambda u, p, t: -u, jnp.ones(2), (0.0, 1.0), None)
+    with pytest.raises(ValueError, match="singular-mass-matrix"):
+        solve(prob, Tsit5(), dae_init="newton")
