@@ -485,12 +485,12 @@ def make_ode_solve_fn(f, solver, sensealg, opts: SolveOptions, t0, t1, *,
 
         nt_ext = times.shape[0]
         z0 = jnp.zeros(n + npf, u0vec.dtype)
-        (z, _), _ = jax.lax.scan(
+        (z, worst), _ = jax.lax.scan(
             body, (z0, jnp.asarray(0, jnp.int32)), jnp.arange(nt_ext - 1, 0, -1)
         )
         z = z.at[:n].add(jumps[0])
         return _returns(unravel_u, unravel_p, z[:n], z[n:], saveat,
-                        fwd.stats.retcode)
+                        jnp.maximum(fwd.stats.retcode, worst))
 
     # -- BacksolveAdjoint ------------------------------------------------
 

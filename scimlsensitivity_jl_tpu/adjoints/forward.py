@@ -91,11 +91,19 @@ def make_forward_sensitivity_solve_fn(f, solver, sensealg, opts: SolveOptions, t
         )
         return fwd, unravel_u, n, npf
 
+    def _u_dense(fwd, n):
+        # The dense buffer holds the augmented [u; S] state; slice the
+        # interpolation nodes down to the u block so sol(t) returns u(t).
+        if fwd.dense is None:
+            return None
+        d = fwd.dense
+        return d._replace(ys=d.ys[:, :n], fs=d.fs[:, :n])
+
     def _primal(u0, p, saveat):
         fwd, unravel_u, n, npf = _run(u0, p, saveat)
         ys = jax.vmap(unravel_u)(fwd.ys_save[:, :n])
         aux = AuxOut(
-            dense=None,
+            dense=_u_dense(fwd, n),
             t_final=fwd.t_final,
             u_final=fwd.u_final[:n],
             stats=fwd.stats,
@@ -107,8 +115,8 @@ def make_forward_sensitivity_solve_fn(f, solver, sensealg, opts: SolveOptions, t
     def _fwd(u0, p, saveat):
         fwd, unravel_u, n, npf = _run(u0, p, saveat)
         ys = jax.vmap(unravel_u)(fwd.ys_save[:, :n])
-        aux = AuxOut(dense=None, t_final=fwd.t_final, u_final=fwd.u_final[:n],
-                     stats=fwd.stats)
+        aux = AuxOut(dense=_u_dense(fwd, n), t_final=fwd.t_final,
+                     u_final=fwd.u_final[:n], stats=fwd.stats)
         S_save = fwd.ys_save[:, n:].reshape(fwd.ys_save.shape[0], n + npf, n)
         return (ys, aux), (u0, p, saveat, S_save, n, npf)
 

@@ -51,8 +51,14 @@ class NILSSProblem:
     def __post_init__(self):
         if self.g is None:
             self.g = getattr(self.sensealg, "g", None)
-        if self.g is None and self.dgdu_continuous is None:
-            raise ValueError("NILSS needs the objective g (or dgdu_continuous)")
+        if self.g is None:
+            # The time-dilation terms (⟨g⟩ average and segment-end ξ·(⟨g⟩-g))
+            # need g itself, not just its gradient — the reference's
+            # check_for_g makes the same demand (nilss.jl:565-589).
+            raise ValueError(
+                "NILSS needs the objective g itself (dgdu_continuous alone "
+                "is insufficient: the time-dilation terms evaluate g)"
+            )
 
 
 def nilss_shadow_forward(nprob: NILSSProblem, solver=None, *, rtol=1e-8,
