@@ -41,6 +41,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.interp import dense_eval, hermite_eval
+from ..ops.quadrature import gauss_kronrod_01
 from ..ops.vjp import make_vjp_kernels
 from ..sensealg import (
     BacksolveAdjoint,
@@ -69,8 +70,6 @@ class SolveOptions(NamedTuple):
     adj_rtol: Any = None
     adj_atol: Any = None
     adj_max_steps: Any = None
-    quad_panels: int = 8  # composite-GL panels per segment (QuadratureAdjoint)
-    quad_order: int = 7
     callback: Any = None     # CallbackSet (events)
     max_events: int = 32
     dtmax: Any = None
@@ -217,7 +216,12 @@ def _make_event_apply(kern, p, event_set, fwd_events, n, npf,
         if u_snap_start is not None:
             z = jax.lax.dynamic_update_slice(z, u_pre, (u_snap_start,))
         if q_in_hc:
-            hc = hc + pbar_flat
+            # hc is the q accumulator, or (q, quadrature_error) for the
+            # GaussKronrod hook carry.
+            if isinstance(hc, tuple):
+                hc = (hc[0] + pbar_flat,) + hc[1:]
+            else:
+                hc = hc + pbar_flat
         return z, hc
 
     return apply
@@ -547,30 +551,106 @@ def make_ode_solve_fn(f, solver, sensealg, opts: SolveOptions, t0, t1, *,
         (u0, p, saveat, fwd, u0vec, unravel_u, unravel_p, kern,
          n, npf, times, jumps, event_set) = _common_bwd_setup(res, cot)
         dense = fwd.dense
-        n_nodes = getattr(sensealg, "n_nodes", 7)
-        xg, wg = _gl_nodes(n_nodes, u0vec.dtype)
+        is_gk = isinstance(sensealg, GaussKronrodAdjoint)
 
         def aug_rhs(lam, t):
             y = dense_eval(dense, t)
             return -kern.vjp_u(y, p, t, lam)
 
-        def gauss_hook(rec, qflat):
-            ta, tb, lam_a, fa, lam_b, fb = rec  # step from ta to tb (tb "<" ta)
-            width = tb - ta
-
-            def node(xj):
-                tj = ta + width * xj
+        def _node_fn(ta, tb, lam_a, fa, lam_b, fb):
+            # λᵀ∂f/∂p at a quadrature node inside the accepted step [ta, tb]
+            # (λ from the step's own Hermite, y from the forward interpolant).
+            def node(tj):
                 lam_j = hermite_eval(tj, ta, tb, lam_a, fa, lam_b, fb)
                 yj = dense_eval(dense, tj)
-                pbar = kern.vjp_p(yj, p, tj, lam_j)
-                return ravel_pytree(pbar)[0]
+                return ravel_pytree(kern.vjp_p(yj, p, tj, lam_j))[0]
 
-            contribs = jax.vmap(node)(xg)  # (n_nodes, npf)
-            # q += ∫_{ta}^{tb} (-λᵀ∂f/∂p) dt ; width < 0 going backwards.
-            return qflat - width * jnp.einsum("j,jk->k", wg, contribs)
+            return node
+
+        if is_gk:
+            # True Gauss–Kronrod (7,15) pair per accepted reverse step — the
+            # IntegratingGKSumCallback design (gauss_adjoint.jl:815-825) with
+            # a real embedded error estimate and conditional in-place
+            # bisection (lax.cond in the sequential reverse loop: refinement
+            # only executes on steps whose pair disagrees).
+            xk, wk, wg_emb = gauss_kronrod_01(7, u0vec.dtype)
+            T_total = jnp.abs(
+                jnp.asarray(t1, u0vec.dtype) - jnp.asarray(t0, u0vec.dtype)
+            )
+
+            def gk_step(ta, tb, lam_a, fa, lam_b, fb):
+                node = _node_fn(ta, tb, lam_a, fa, lam_b, fb)
+
+                def panel(pa, pb):
+                    width = pb - pa  # negative walking backwards
+                    vals = jax.vmap(lambda xj: node(pa + width * xj))(xk)
+                    # q += ∫ (-λᵀ∂f/∂p) dt in forward orientation
+                    est = -width * jnp.einsum("j,jk->k", wk, vals)
+                    err = jnp.abs(width) * jnp.linalg.norm(
+                        jnp.einsum("j,jk->k", wk - wg_emb, vals)
+                    )
+                    return est, err
+
+                def refine(pa, pb, depth):
+                    est, err = panel(pa, pb)
+                    if depth <= 0:
+                        return est, err
+                    tol = jnp.maximum(
+                        sensealg.abstol * jnp.abs(pb - pa) / T_total,
+                        sensealg.reltol * jnp.linalg.norm(est),
+                    )
+
+                    def split(_):
+                        pm = 0.5 * (pa + pb)
+                        eL, rL = refine(pa, pm, depth - 1)
+                        eR, rR = refine(pm, pb, depth - 1)
+                        return eL + eR, rL + rR
+
+                    return jax.lax.cond(
+                        err > tol, split, lambda _: (est, err), None
+                    )
+
+                return refine(ta, tb, sensealg.max_depth)
+
+            def gauss_hook(rec, carry):
+                qflat, errsum = carry
+                ta, tb, lam_a, fa, lam_b, fb = rec
+                est, err = gk_step(ta, tb, lam_a, fa, lam_b, fb)
+                return (qflat + est, errsum + err)
+
+            q0 = (jnp.zeros(npf, u0vec.dtype), jnp.zeros((), u0vec.dtype))
+
+            def finish_q(qcarry):
+                qflat, errsum = qcarry
+                tol = jnp.maximum(
+                    sensealg.abstol,
+                    sensealg.reltol * jnp.linalg.norm(qflat),
+                )
+                jax.lax.cond(
+                    errsum > tol,
+                    lambda: jax.debug.print(
+                        "GaussKronrodAdjoint: accumulated quadrature error "
+                        "estimate {e} exceeds tolerance {t}; tighten "
+                        "adj_rtol/adj_atol or raise max_depth", e=errsum, t=tol
+                    ),
+                    lambda: None,
+                )
+                return qflat
+        else:
+            xg, wgl = _gl_nodes(getattr(sensealg, "n_nodes", 7), u0vec.dtype)
+
+            def gauss_hook(rec, qflat):
+                ta, tb, lam_a, fa, lam_b, fb = rec  # tb "<" ta going backwards
+                node = _node_fn(ta, tb, lam_a, fa, lam_b, fb)
+                width = tb - ta
+                contribs = jax.vmap(lambda xj: node(ta + width * xj))(xg)
+                # q += ∫_{ta}^{tb} (-λᵀ∂f/∂p) dt ; width < 0 going backwards.
+                return qflat - width * jnp.einsum("j,jk->k", wgl, contribs)
+
+            q0 = jnp.zeros(npf, u0vec.dtype)
+            finish_q = lambda qcarry: qcarry
 
         lam0 = jnp.zeros(n, u0vec.dtype)
-        q0 = jnp.zeros(npf, u0vec.dtype)
 
         M_fwd = getattr(solver, "mass_matrix", None)
         if M_fwd is not None:
@@ -590,13 +670,13 @@ def make_ode_solve_fn(f, solver, sensealg, opts: SolveOptions, t0, t1, *,
             dae_stepper = _dae_reverse_stepper(
                 bwd_solver, bwd_stepper
             ).with_mass_matrix(jnp.asarray(M_fwd, u0vec.dtype).T)
-            lam, qflat, worst, _ = reverse_joined_solve(
+            lam, qcarry, worst, _ = reverse_joined_solve(
                 dae_stepper, aug_rhs, times, lamjs, lam0, n,
                 rtol=adj_rtol, atol=adj_atol,
                 max_steps=adj_max_steps, dt0=opts.dt0,
                 hook=gauss_hook, hook_carry=q0,
             )
-            qflat = qflat + jnp.sum(qjs, axis=0)
+            qflat = finish_q(qcarry) + jnp.sum(qjs, axis=0)
             du0vec = jnp.where(alg_j, 0.0, mdiag_j * lam)
             return _returns(unravel_u, unravel_p, du0vec, qflat, saveat,
                             jnp.maximum(fwd.stats.retcode, worst))
@@ -609,14 +689,14 @@ def make_ode_solve_fn(f, solver, sensealg, opts: SolveOptions, t0, t1, *,
                     kern, p, event_set, fwd.events, n, npf, q_in_hc=True
                 ),
             )
-        lam, qflat, worst, _ = reverse_joined_solve(
+        lam, qcarry, worst, _ = reverse_joined_solve(
             bwd_stepper, aug_rhs, times, jumps, lam0, n,
             rtol=adj_rtol, atol=adj_atol,
             max_steps=adj_max_steps,
             hook=gauss_hook, hook_carry=q0,
             **ev_kwargs,
         )
-        return _returns(unravel_u, unravel_p, lam, qflat, saveat,
+        return _returns(unravel_u, unravel_p, lam, finish_q(qcarry), saveat,
                         jnp.maximum(fwd.stats.retcode, worst))
 
     # -- QuadratureAdjoint ----------------------------------------------
@@ -673,37 +753,87 @@ def make_ode_solve_fn(f, solver, sensealg, opts: SolveOptions, t0, t1, *,
             **ev_kwargs,
         )
 
-        # dG/dp = ∫ λᵀ∂f/∂p dt over the whole reverse span. Nodes are placed
-        # on the recorded reverse step grid (one GL panel per accepted
-        # λ-step): where λ has a boundary layer the solver's own steps
-        # cluster, so the quadrature is adaptive for free — the fixed-shape
-        # replacement for quadgk's h-adaptivity
-        # (quadrature_adjoint.jl:536-615). λ-jump discontinuities sit on
-        # zero-width dense rows, and padding rows also have zero width, so
-        # both contribute nothing. All (step, node) evals in one vmapped sweep.
-        order = opts.quad_order
-        xg, wg = _gl_nodes(order, u0vec.dtype)
+        # dG/dp = ∫ λᵀ∂f/∂p dt over the whole reverse span, by h-adaptive
+        # Gauss–Kronrod (the TPU formulation of quadgk,
+        # quadrature_adjoint.jl:536-633). Base partition: one GK(7,15) panel
+        # per recorded reverse step — where λ has a boundary layer the
+        # solver's own steps cluster, so the base grid is already adapted;
+        # λ-jump discontinuities and padding sit on zero-width rows and
+        # contribute nothing. All (step, node) evals in one vmapped sweep.
+        xk15, wk15, wg7 = gauss_kronrod_01(7, u0vec.dtype)
 
-        def row(k):
-            ta = lam_dense.ts[k]
-            tb = lam_dense.ts[k + 1]
-            w_t = tb - ta  # negative walking backwards; 0 on padding/jumps
+        def integrand(tj):
+            lam_j = dense_eval(lam_dense, tj)
+            yj = dense_eval(dense, tj)
+            return ravel_pytree(kern.vjp_p(yj, p, tj, lam_j))[0]
 
-            def node(xj):
-                tj = ta + w_t * xj
-                lam_j = hermite_eval(tj, ta, tb, lam_dense.ys[k],
-                                     lam_dense.fs[k], lam_dense.ys[k + 1],
-                                     lam_dense.fs[k + 1])
-                yj = dense_eval(dense, tj)
-                pbar = kern.vjp_p(yj, p, tj, lam_j)
-                return ravel_pytree(pbar)[0]
-
-            vals = jax.vmap(node)(xg)
-            # forward-orientation integral over the step: -(tb-ta)·Σ w·v
-            return -w_t * jnp.einsum("j,jk->k", wg, vals)
+        def gk_panel(ta, tb):
+            w_t = tb - ta  # negative (reverse orientation); 0 on padding rows
+            vals = jax.vmap(lambda xj: integrand(ta + w_t * xj))(xk15)
+            # forward-orientation integral over the panel: -(tb-ta)·Σ w·v
+            est = -w_t * jnp.einsum("j,jk->k", wk15, vals)
+            err = jnp.abs(w_t) * jnp.linalg.norm(
+                jnp.einsum("j,jk->k", wk15 - wg7, vals)
+            )
+            return est, err
 
         msub = lam_dense.ts.shape[0] - 1
-        q = jnp.sum(jax.vmap(row)(jnp.arange(msub)), axis=0) + q_ev
+        ests, errs = jax.vmap(
+            lambda k: gk_panel(lam_dense.ts[k], lam_dense.ts[k + 1])
+        )(jnp.arange(msub))
+        q = jnp.sum(ests, axis=0) + q_ev
+
+        # Budgeted worklist bisection driven by abstol/reltol/max_depth —
+        # the fixed-shape analogue of quadgk's error heap: repeatedly split
+        # the interval with the largest embedded error until
+        # Σerr ≤ max(abstol, reltol·‖q‖), each interval split at most
+        # max_depth times, total budget R splits. The while_loop exits
+        # immediately when the base partition already meets tolerance.
+        depth_cap = max(int(sensealg.max_depth), 0)
+        R = int(min(4 * (2 ** depth_cap), 512)) if depth_cap > 0 else 0
+        if npf > 0 and R > 0:
+            tsd = lam_dense.ts.dtype
+            a0 = jnp.concatenate([lam_dense.ts[:msub], jnp.zeros(R, tsd)])
+            b0 = jnp.concatenate([lam_dense.ts[1:msub + 1], jnp.zeros(R, tsd)])
+            err0 = jnp.concatenate([errs, jnp.zeros(R, errs.dtype)])
+            dep0 = jnp.zeros(msub + R, jnp.int32).at[msub:].set(depth_cap)
+
+            def _tol(qq):
+                return jnp.maximum(
+                    sensealg.abstol, sensealg.reltol * jnp.linalg.norm(qq)
+                )
+
+            def cond_fn(st):
+                _a, _b, err, dep, qq, _cnt, it = st
+                refinable = jnp.where(dep < depth_cap, err, 0.0)
+                return (
+                    (it < R)
+                    & (jnp.sum(err) > _tol(qq))
+                    & (jnp.max(refinable) > 0.0)
+                )
+
+            def body_fn(st):
+                a, b, err, dep, qq, cnt, it = st
+                i = jnp.argmax(jnp.where(dep < depth_cap, err, -1.0))
+                ai, bi = a[i], b[i]
+                tm = 0.5 * (ai + bi)
+                e_par, _ = gk_panel(ai, bi)
+                e_l, r_l = gk_panel(ai, tm)
+                e_r, r_r = gk_panel(tm, bi)
+                qq = qq + (e_l + e_r - e_par)
+                d_new = dep[i] + 1
+                a = a.at[i].set(ai).at[cnt].set(tm)
+                b = b.at[i].set(tm).at[cnt].set(bi)
+                err = err.at[i].set(r_l).at[cnt].set(r_r)
+                dep = dep.at[i].set(d_new).at[cnt].set(d_new)
+                return a, b, err, dep, qq, cnt + 1, it + 1
+
+            st = jax.lax.while_loop(
+                cond_fn, body_fn,
+                (a0, b0, err0, dep0, q,
+                 jnp.asarray(msub, jnp.int32), jnp.asarray(0, jnp.int32)),
+            )
+            q = st[4]
         if M_fwd is not None:
             q = q + jnp.sum(dae_qjs, axis=0)
             lam = jnp.where(alg_j, 0.0, mdiag_j * lam)

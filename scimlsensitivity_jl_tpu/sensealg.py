@@ -151,7 +151,10 @@ class BacksolveAdjoint(AbstractAdjointSensealg):
 
     autojacvec: VJPChoice = AutoVJP()
     checkpointing: bool = True
-    noisemixing: bool = False
+    # The reference's `noisemixing` knob (sensitivity_algorithms.jl:1679) has
+    # no analogue here: the SDE adjoints replay the exact stored trajectory
+    # (discrete adjoint over the forward grid), which is exact for mixing and
+    # non-mixing diffusions alike, so the flag is intentionally absent.
 
 
 @dataclass(frozen=True)
@@ -166,14 +169,20 @@ class InterpolatingAdjoint(AbstractAdjointSensealg):
 
 @dataclass(frozen=True)
 class QuadratureAdjoint(AbstractAdjointSensealg):
-    """Reverse solve of λ only (dense), then dG/dp by Gauss–Kronrod
-    quadrature of λᵀ∂f/∂p over each inter-save segment (reference:
-    src/quadrature_adjoint.jl; quadgk driver :536-633)."""
+    """Reverse solve of λ only (dense), then dG/dp by h-adaptive
+    Gauss–Kronrod quadrature of λᵀ∂f/∂p (reference:
+    src/quadrature_adjoint.jl; quadgk driver :536-633).
+
+    The base partition is one GK(7,15) panel per recorded reverse step (the
+    solver's own step clustering gives quadgk-like adaptivity for free); on
+    top of that a budgeted worklist bisects the interval with the largest
+    embedded error estimate until Σerr ≤ max(abstol, reltol·‖dG/dp‖) or
+    every refinable interval has reached `max_depth` splits."""
 
     autojacvec: VJPChoice = AutoVJP()
     abstol: float = 1e-6
     reltol: float = 1e-3
-    max_depth: int = 6  # adaptive-GK bisection depth bound (fixed-shape)
+    max_depth: int = 6  # per-interval bisection depth bound
 
 
 @dataclass(frozen=True)
@@ -190,14 +199,20 @@ class GaussAdjoint(AbstractAdjointSensealg):
 
 @dataclass(frozen=True)
 class GaussKronrodAdjoint(AbstractAdjointSensealg):
-    """GaussAdjoint at higher per-step quadrature order (the reference's
-    Gauss-Kronrod integrating-callback variant,
-    src/sensitivity_algorithms.jl:689): 15 nodes per accepted reverse step
-    instead of 7."""
+    """GaussAdjoint with a true Gauss–Kronrod (7,15) pair per accepted
+    reverse step (the reference's IntegratingGKSumCallback variant,
+    src/sensitivity_algorithms.jl:689, gauss_adjoint.jl:815-825): the
+    embedded 7-point Gauss estimate yields a per-step quadrature error; a
+    step whose error exceeds max(abstol·|Δt|/T, reltol·‖contribution‖) is
+    bisected in place up to `max_depth` levels, and the total accumulated
+    error estimate is surfaced as a warning when it exceeds the tolerance
+    (knobs the reference's variant does not expose)."""
 
     autojacvec: VJPChoice = AutoVJP()
     checkpointing: bool = False
-    n_nodes: int = 15
+    abstol: float = 1e-8
+    reltol: float = 1e-6
+    max_depth: int = 2  # per-step conditional bisection depth
 
 
 @dataclass(frozen=True)
