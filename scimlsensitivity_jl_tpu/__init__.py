@@ -69,6 +69,7 @@ from .callbacks import CallbackSet, ContinuousCallback, DiscreteCallback
 from .parallel.ensemble import EnsembleProblem, make_mesh, solve_ensemble
 from .solvers.explicit import BS3, Dopri5, Euler, Heun, Midpoint, Tsit5
 from .solvers.extrapolation import GBS, Vern9Like
+from .solvers.fbdf import FBDF
 from .solvers.rosenbrock import Rosenbrock23
 from .solvers.seulex import Rodas4Like, Seulex
 from .solvers.sde import SRA1, EulerHeun, EulerMaruyama, ImplicitEM, Milstein
@@ -108,6 +109,7 @@ __all__ = [
     "GBS",
     "Vern9Like",
     "Seulex",
+    "FBDF",
     "Rodas4Like",
     "Rosenbrock23",
     "TRBDF2",

@@ -94,6 +94,7 @@ class _Carry(NamedTuple):
     fs: jnp.ndarray
     hook_carry: Any
     events: Any = None  # (ev_ts, ev_upre, ev_idx, ev_count) or None
+    sstate: Any = None  # stateful-stepper state (multistep history)
 
 
 def _next_stop(t, t1, tstops, tdir, dtype):
@@ -139,6 +140,11 @@ def integrate(
         (u1, f1, err)`; `err` is the embedded local-error vector.
     hook: optional `(step_record, carry) -> carry` called on accepted steps,
         step_record = (t_old, t_new, y0, f0, y1, f1).
+    Stateful steppers (multistep methods, e.g. FBDF): a stepper with
+        `stateful = True` provides `init_state(fvec, t0, u0, f0, rtol, atol)`
+        and `step(fvec, t, dt, u, f0, state) -> (u1, f1, err, state')`; the
+        state advances only on accepted steps, and `controller_order(state)`
+        (if present) supplies the dynamic order for the PI exponents.
     stop_transform: optional `(t, u, carry) -> (u', carry', fired)` invoked
         whenever an accepted step lands exactly on a tstop — the
         PresetTimeCallback analogue (reference: src/adjoint_common.jl:824-868).
@@ -193,6 +199,13 @@ def integrate(
     else:
         ev0 = None
 
+    stateful = getattr(stepper, "stateful", False)
+    sstate0 = (
+        stepper.init_state(fvec, t0, u0, f0, rtol, atol) if stateful else None
+    )
+    # Multistep stability: honor the stepper's own growth bound.
+    factor_max = min(factor_max, getattr(stepper, "factor_max", factor_max))
+
     init = _Carry(
         t=t0,
         u=u0,
@@ -208,6 +221,7 @@ def integrate(
         fs=fs_buf,
         hook_carry=hook_carry,
         events=ev0,
+        sstate=sstate0,
     )
 
     def cond(c: _Carry):
@@ -219,7 +233,13 @@ def integrate(
         remaining = stop - c.t
         dt_eff = jnp.where(jnp.abs(c.dt) >= jnp.abs(remaining), remaining, c.dt)
 
-        u1, f1, err = stepper.step(fvec, c.t, dt_eff, c.u, c.f)
+        if stateful:
+            u1, f1, err, sstate_new = stepper.step(
+                fvec, c.t, dt_eff, c.u, c.f, c.sstate
+            )
+        else:
+            u1, f1, err = stepper.step(fvec, c.t, dt_eff, c.u, c.f)
+            sstate_new = None
         sc = atol + rtol * jnp.maximum(jnp.abs(c.u), jnp.abs(u1))
         if err_weights is None:
             err_norm = hairer_norm(err / sc)
@@ -236,7 +256,14 @@ def integrate(
 
         # PI controller on |dt| (Soderlind): factor from this + previous error.
         err_cl = jnp.maximum(err_norm, jnp.asarray(1e-10, tdtype))
-        factor = safety * err_cl ** (-beta1) * c.err_prev ** (beta2)
+        if stateful and hasattr(stepper, "controller_order"):
+            # variable-order methods: exponent follows the current order
+            ordd = stepper.controller_order(sstate_new).astype(tdtype)
+            b1 = controller[0] / (ordd + 1.0)
+            b2 = controller[1] / (ordd + 1.0)
+        else:
+            b1, b2 = beta1, beta2
+        factor = safety * err_cl ** (-b1) * c.err_prev ** (b2)
         factor = jnp.where(bad, jnp.asarray(factor_min, tdtype), factor)
         factor = jnp.clip(factor, factor_min, factor_max)
         # Forward-mode (jvp) flows through this driver (ForwardDiffSensitivity,
@@ -483,6 +510,23 @@ def integrate(
             ),
         ).astype(jnp.int32)
 
+        if stateful:
+            sstate_next = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(accept, new, old),
+                sstate_new, c.sstate,
+            )
+            # Discontinuities (events, stop_transform jumps) invalidate
+            # multistep history: restart from order 1 at the post-jump state.
+            restart = event_fired
+            if stop_transform is not None:
+                restart = restart | wrote
+            reset = stepper.reset_state(sstate_next, t_new, u_new)
+            sstate_next = jax.tree_util.tree_map(
+                lambda r, s: jnp.where(restart, r, s), reset, sstate_next
+            )
+        else:
+            sstate_next = None
+
         return _Carry(
             t=t_new,
             u=u_new,
@@ -498,6 +542,7 @@ def integrate(
             fs=fs,
             hook_carry=hook_carry,
             events=events_carry,
+            sstate=sstate_next,
         )
 
     final = jax.lax.while_loop(cond, body, init)
@@ -556,6 +601,12 @@ def integrate_scan(
     No dense output (it would defeat the O(steps) memory bound) — outputs
     are captured by the hook.
     """
+    if getattr(stepper, "stateful", False):
+        raise NotImplementedError(
+            f"{stepper!r} is a multistep (stateful) stepper; it needs the "
+            "adaptive while_loop driver (integrate). Use a one-step stiff "
+            "solver (Rosenbrock23/TRBDF2/SDIRK4/Seulex) here."
+        )
     u0 = jnp.asarray(u0)
     dtype = u0.dtype
     t0 = jnp.asarray(t0, dtype)
@@ -670,6 +721,11 @@ def integrate_fixed(
     discretizations. Implemented as `lax.scan` — cheaper than a while_loop
     when the trip count is static.
     """
+    if getattr(stepper, "stateful", False):
+        raise NotImplementedError(
+            f"{stepper!r} is a multistep (stateful) stepper; it needs the "
+            "adaptive while_loop driver (integrate)."
+        )
     u0 = jnp.asarray(u0)
     ts_grid = jnp.asarray(ts_grid, u0.dtype)
     f0 = fvec(u0, ts_grid[0])
