@@ -94,18 +94,23 @@ def test_fbdf_adjoint_gradients_cross_validated():
     u0 = jnp.array([1.0, 0.0, 0.0])
     ts = jnp.array([0.0, 10.0, 100.0])
 
-    def loss(pp, solver, alg):
+    def loss(pp, solver, alg, bwd=None):
         sol = solve(ODEProblem(rob, u0, (0.0, 100.0), pp), solver,
                     saveat=ts, rtol=1e-10, atol=1e-14, sensealg=alg,
-                    adj_rtol=1e-8, adj_atol=1e-10, max_steps=16384)
+                    adj_rtol=1e-8, adj_atol=1e-10, max_steps=16384,
+                    bwd_solver=bwd)
         return jnp.sum(sol.ys[:, 0] ** 2) + 1e4 * jnp.sum(sol.ys[:, 1] ** 2)
 
     g_q = np.asarray(jax.grad(
         lambda pp: loss(pp, FBDF(), QuadratureAdjoint()))(p))
     g_g = np.asarray(jax.grad(
         lambda pp: loss(pp, FBDF(), GaussAdjoint()))(p))
+    # Seulex forward / SDIRK4 reverse: Seulex's own reverse stepper is
+    # pathologically slow through the post-jump stiff transient (see
+    # _dae_reverse_stepper's rationale) and times out at this tolerance.
+    from scimlsensitivity_jl_tpu import SDIRK4
     g_s = np.asarray(jax.grad(
-        lambda pp: loss(pp, Seulex(), QuadratureAdjoint()))(p))
+        lambda pp: loss(pp, Seulex(), QuadratureAdjoint(), SDIRK4()))(p))
 
     # finite differences on the FBDF primal, relative step per parameter
     pn = np.asarray(p)
