@@ -111,26 +111,55 @@ def _extend_times(t0, t1, saveat, lam_jumps):
 
 
 
-def _dae_project_jumps(M_fwd, kern, p, dense, times, jumps, dtype):
-    """Project discrete loss cotangents onto the differential adjoint of an
-    index-1 diagonal-mass DAE (see the DAE branch of _bwd_interpolating):
-        w  = J_aa⁻ᵀ v_a ;  λ-jump_d = (v_d − (Jᵀŵ)_d)/m_d ;  λ-jump_a = 0
-        q-jump = −f_pᵀ ŵ      (ŵ = w embedded in the algebraic rows)
-    Returns (alg mask, mass diagonal, λ-jumps (m,n), q-jumps (m,np))."""
+def _semi_explicit_split(M_fwd):
+    """Classify a singular constant mass matrix as semi-explicit index-1:
+    algebraic variables = zero rows of M (the reference's column analysis on
+    Mᵀ, adjoint_common.jl:110-139); requires the differential block M[d,d]
+    nonsingular and no differential-algebraic coupling M[d,a].
+    Returns (a_idx, d_idx) as numpy index arrays."""
     import numpy as _onp
 
     Mnp = _onp.asarray(M_fwd, dtype=float)
-    if not _onp.allclose(Mnp, _onp.diag(_onp.diag(Mnp))):
+    row_zero = _onp.all(Mnp == 0.0, axis=1)
+    a_idx = _onp.where(row_zero)[0]
+    d_idx = _onp.where(~row_zero)[0]
+    if a_idx.size and _onp.any(Mnp[_onp.ix_(d_idx, a_idx)] != 0.0):
         raise NotImplementedError(
-            "continuous DAE adjoints support diagonal mass matrices "
-            "(semi-explicit index-1 form)"
+            "mass matrix couples differential rows to algebraic variables "
+            "(M[d,a] != 0): not semi-explicit index-1 after row "
+            "classification — rewrite the system in semi-explicit form"
         )
-    mdiag = _onp.diag(Mnp)
-    alg_np = mdiag == 0.0
-    a_idx = _onp.where(alg_np)[0]
-    alg_j = jnp.asarray(alg_np)
-    mdiag_j = jnp.asarray(mdiag, dtype)
-    m_safe = jnp.where(alg_j, 1.0, mdiag_j)
+    Mdd = Mnp[_onp.ix_(d_idx, d_idx)]
+    if d_idx.size and abs(float(_onp.linalg.det(Mdd))) < 1e-300:
+        raise ValueError(
+            "the differential block of the mass matrix must be nonsingular "
+            "(reference adjoint_common.jl:131-133)"
+        )
+    return a_idx, d_idx
+
+
+def _dae_project_jumps(M_fwd, kern, p, dense, times, jumps, dtype):
+    """Project discrete loss cotangents onto the differential adjoint of a
+    semi-explicit index-1 DAE with general (possibly non-diagonal)
+    differential mass block (reference ReverseLossCallback projection,
+    adjoint_common.jl:790-817):
+        ŵ        = J_aaᵀ \\ v_a            (embedded in the algebraic rows)
+        λ-jump_d = M_ddᵀ \\ (v_d − (Jᵀŵ)_d) ;  λ-jump_a = 0
+        q-jump   = −f_pᵀ ŵ
+    Returns (alg mask, du0_map λ↦Mᵀλ, λ-jumps (m,n), q-jumps (m,np))."""
+    import numpy as _onp
+
+    Mnp = _onp.asarray(M_fwd, dtype=float)
+    a_idx, d_idx = _semi_explicit_split(Mnp)
+    n = Mnp.shape[0]
+    alg_j = jnp.asarray(_onp.all(Mnp == 0.0, axis=1))
+    MddT = jnp.asarray(Mnp[_onp.ix_(d_idx, d_idx)].T, dtype)
+    MT = jnp.asarray(Mnp.T, dtype)
+
+    def du0_map(lam):
+        # dL/du0 = Mᵀ λ(t0); algebraic columns of M are zero, so the
+        # algebraic rows of the result vanish automatically.
+        return MT @ lam
 
     def project_jump(tk, v):
         y = dense_eval(dense, tk)
@@ -139,11 +168,12 @@ def _dae_project_jumps(M_fwd, kern, p, dense, times, jumps, dtype):
         w = jnp.linalg.solve(Jaa.T, v[a_idx])
         cot = jnp.zeros_like(v).at[a_idx].set(w)
         _, ubar, pbar = kern.f_and_vjp(y, p, tk, cot)
-        lamj = jnp.where(alg_j, 0.0, (v - ubar) / m_safe)
+        lam_d = jnp.linalg.solve(MddT, (v - ubar)[d_idx])
+        lamj = jnp.zeros_like(v).at[d_idx].set(lam_d)
         return lamj, -ravel_pytree(pbar)[0]
 
     lamjs, qjs = jax.vmap(project_jump)(times, jumps)
-    return alg_j, mdiag_j, lamjs, qjs
+    return alg_j, du0_map, lamjs, qjs
 
 
 def _dae_reverse_stepper(bwd_solver, bwd_stepper):
@@ -368,8 +398,9 @@ def make_ode_solve_fn(f, solver, sensealg, opts: SolveOptions, t0, t1, *,
 
             M_fwd = getattr(solver, "mass_matrix", None)
             if M_fwd is not None:
-                # Continuous adjoint for index-1 DAEs (diagonal singular
-                # mass matrix, reference adjoint_common.jl:790-817 /
+                # Continuous adjoint for semi-explicit index-1 DAEs (general
+                # — possibly non-diagonal — differential mass block,
+                # reference adjoint_common.jl:110-139, :790-817 /
                 # Cao-Li-Petzold 2003): the adjoint DAE
                 #     Mᵀ λ' = -Jᵀ λ,   q' = -f_pᵀ λ
                 # is integrated backward by the SAME mass-matrix SDIRK with
@@ -378,9 +409,9 @@ def make_ode_solve_fn(f, solver, sensealg, opts: SolveOptions, t0, t1, *,
                 # constraint 0 = (Jᵀλ)_alg pointwise. Discrete loss
                 # cotangents v at save times are projected onto the
                 # differential adjoint (the jump lives on μ = Mᵀλ):
-                #     w  = J_aa⁻ᵀ v_a
-                #     λ_d += (v_d - (Jᵀ ŵ)_d) / m_d ,  λ_a := 0
-                #     dp += -f_pᵀ ŵ          (ŵ = w embedded in alg rows)
+                #     ŵ    = J_aaᵀ \ v_a    (embedded in alg rows)
+                #     λ_d += M_ddᵀ \ (v_d - (Jᵀ ŵ)_d) ,  λ_a := 0
+                #     dp  += -f_pᵀ ŵ
                 # which routes cost on algebraic components through the
                 # implicit function u_a(u_d, p) defined by 0 = f_a.
                 if event_set is not None:
@@ -388,7 +419,7 @@ def make_ode_solve_fn(f, solver, sensealg, opts: SolveOptions, t0, t1, *,
                         "callbacks + continuous DAE adjoints are not "
                         "supported; use ForwardDiffSensitivity"
                     )
-                alg_j, mdiag_j, lamjs, qjs = _dae_project_jumps(
+                alg_j, du0_map, lamjs, qjs = _dae_project_jumps(
                     M_fwd, kern, p, dense, times, jumps, u0vec.dtype
                 )
                 jumps_aug = jnp.concatenate([lamjs, qjs], axis=1)
@@ -414,7 +445,7 @@ def make_ode_solve_fn(f, solver, sensealg, opts: SolveOptions, t0, t1, *,
                 # slaved to the constraint (consistent-initialization
                 # adjoints, concrete_solve.jl:611-687, are future work) so
                 # their cotangent is 0 by convention.
-                du0vec = jnp.where(alg_j, 0.0, mdiag_j * z[:n])
+                du0vec = du0_map(z[:n])
                 return _returns(unravel_u, unravel_p, du0vec, z[n:], saveat,
                                 jnp.maximum(fwd.stats.retcode, worst))
 
@@ -664,7 +695,7 @@ def make_ode_solve_fn(f, solver, sensealg, opts: SolveOptions, t0, t1, *,
                     "callbacks + continuous DAE adjoints are not supported; "
                     "use ForwardDiffSensitivity"
                 )
-            alg_j, mdiag_j, lamjs, qjs = _dae_project_jumps(
+            alg_j, du0_map, lamjs, qjs = _dae_project_jumps(
                 M_fwd, kern, p, dense, times, jumps, u0vec.dtype
             )
             dae_stepper = _dae_reverse_stepper(
@@ -677,7 +708,7 @@ def make_ode_solve_fn(f, solver, sensealg, opts: SolveOptions, t0, t1, *,
                 hook=gauss_hook, hook_carry=q0,
             )
             qflat = finish_q(qcarry) + jnp.sum(qjs, axis=0)
-            du0vec = jnp.where(alg_j, 0.0, mdiag_j * lam)
+            du0vec = du0_map(lam)
             return _returns(unravel_u, unravel_p, du0vec, qflat, saveat,
                             jnp.maximum(fwd.stats.retcode, worst))
 
@@ -724,7 +755,7 @@ def make_ode_solve_fn(f, solver, sensealg, opts: SolveOptions, t0, t1, *,
                     "callbacks + continuous DAE adjoints are not supported; "
                     "use ForwardDiffSensitivity"
                 )
-            alg_j, mdiag_j, lamjs, dae_qjs = _dae_project_jumps(
+            alg_j, du0_map, lamjs, dae_qjs = _dae_project_jumps(
                 M_fwd, kern, p, dense, times, jumps, u0vec.dtype
             )
             rev_stepper = _dae_reverse_stepper(
@@ -733,7 +764,7 @@ def make_ode_solve_fn(f, solver, sensealg, opts: SolveOptions, t0, t1, *,
             jumps_use = lamjs
             dt0_use = opts.dt0
         else:
-            alg_j = mdiag_j = dae_qjs = None
+            alg_j = du0_map = dae_qjs = None
             rev_stepper = bwd_stepper
             jumps_use = jumps
             dt0_use = None
@@ -836,7 +867,7 @@ def make_ode_solve_fn(f, solver, sensealg, opts: SolveOptions, t0, t1, *,
             q = st[4]
         if M_fwd is not None:
             q = q + jnp.sum(dae_qjs, axis=0)
-            lam = jnp.where(alg_j, 0.0, mdiag_j * lam)
+            lam = du0_map(lam)
         return _returns(unravel_u, unravel_p, lam, q, saveat,
                         jnp.maximum(fwd.stats.retcode, worst))
 

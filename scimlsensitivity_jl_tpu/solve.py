@@ -223,12 +223,11 @@ def _solve_ode(prob, solver, *, saveat, rtol, atol, dt0, dt, max_steps,
                 # the initialization map u0_a(u0_d, p) is differentiated
                 # exactly (reference DAE/MTK initialization adjoint,
                 # concrete_solve.jl:611-687).
-                mdiag = _np.diag(_np.asarray(M))
-                if not _np.allclose(_np.asarray(M), _np.diag(mdiag)):
-                    raise NotImplementedError(
-                        "dae_init='newton' needs a diagonal mass matrix"
-                    )
-                a_idx = _np.where(mdiag == 0.0)[0]
+                # algebraic rows = zero rows of M (semi-explicit index-1
+                # classification, reference adjoint_common.jl:110-139)
+                a_idx = _np.where(
+                    _np.all(_np.asarray(M) == 0.0, axis=1)
+                )[0]
                 from .adjoints.steadystate import solve_nonlinear as _nls
                 from .problems import NonlinearProblem as _NLP
 
