@@ -105,19 +105,23 @@ def reverse_joined_solve(
             tol = 64.0 * eps * jnp.maximum(
                 jnp.maximum(jnp.abs(t), jnp.abs(t_hi)), 1.0
             )
-            # Unrolled: distinct events never share a time (one event per
-            # accepted step in the forward pass).
+            # Unrolled (not a while_loop): up to 3 events may share a time
+            # (e.g. a vector of conditions crossing simultaneously); they are
+            # applied last-recorded-first, the correct reverse composition
+            # order (the reference dedups/duplicates at atol 1e-14,
+            # callback_tracking.jl:126-130, adjoint_common.jl:824-868).
             ke2 = ke
-            kec = jnp.maximum(ke2, 0)
-            match = (ke2 >= 0) & (jnp.abs(event_times[kec] - t) <= tol)
+            for _ in range(3):
+                kec = jnp.maximum(ke2, 0)
+                match = (ke2 >= 0) & (jnp.abs(event_times[kec] - t) <= tol)
 
-            def _apply_ev(args):
-                z_, hc_ = args
-                return event_apply(kec, t, z_, hc_)
+                def _apply_ev(args, kec=kec):
+                    z_, hc_ = args
+                    return event_apply(kec, t, z_, hc_)
 
-            z2, hc = jax.lax.cond(match, _apply_ev, lambda a: a, (z2, hc))
-            ke2 = ke2 - match.astype(ke2.dtype)
-            fired = fired | match
+                z2, hc = jax.lax.cond(match, _apply_ev, lambda a: a, (z2, hc))
+                ke2 = ke2 - match.astype(ke2.dtype)
+                fired = fired | match
         else:
             ke2 = ke
         return z2, (hc, k2, ke2), fired

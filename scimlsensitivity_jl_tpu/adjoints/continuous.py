@@ -191,6 +191,200 @@ def _dae_reverse_stepper(bwd_solver, bwd_stepper):
     return bwd_stepper if isinstance(bwd_stepper, _ESDIRK) else _SDIRK4()
 
 
+def make_gauss_quad_hook(kern, p, dense, sensealg, t0, t1, dtype, npf,
+                         extra_p=None):
+    """Per-accepted-step quadrature hook for a λ-only reverse solve,
+    accumulating dG/dp = ∫ λᵀ∂f/∂p (+ optional ∂g/∂p) dt in the hook carry.
+
+    GaussAdjoint  -> fixed Gauss-Legendre nodes (IntegratingSumCallback
+                     design, reference gauss_adjoint.jl:806-851).
+    GaussKronrodAdjoint -> true GK(7,15) pair with embedded error estimate
+                     and conditional in-place bisection up to max_depth
+                     (IntegratingGKSumCallback, gauss_adjoint.jl:815-825);
+                     refinement only executes on steps whose pair disagrees
+                     (lax.cond in the sequential reverse loop).
+
+    extra_p(yvec, t) -> (npf,): continuous-cost ∂g/∂p integrand term (the
+    direct adjoint_sensitivities API). Returns (hook, carry0, finish) where
+    finish(carry) -> qflat (and, for GK, warns if the accumulated quadrature
+    error exceeds tolerance)."""
+    is_gk = isinstance(sensealg, GaussKronrodAdjoint)
+
+    def _node_fn(ta, tb, lam_a, fa, lam_b, fb):
+        # λᵀ∂f/∂p at a quadrature node inside the accepted step [ta, tb]
+        # (λ from the step's own Hermite, y from the forward interpolant).
+        def node(tj):
+            lam_j = hermite_eval(tj, ta, tb, lam_a, fa, lam_b, fb)
+            yj = dense_eval(dense, tj)
+            out = ravel_pytree(kern.vjp_p(yj, p, tj, lam_j))[0]
+            if extra_p is not None:
+                out = out + extra_p(yj, tj)
+            return out
+
+        return node
+
+    if is_gk:
+        xk, wk, wg_emb = gauss_kronrod_01(7, dtype)
+        T_total = jnp.abs(jnp.asarray(t1, dtype) - jnp.asarray(t0, dtype))
+
+        def gk_step(ta, tb, lam_a, fa, lam_b, fb):
+            node = _node_fn(ta, tb, lam_a, fa, lam_b, fb)
+
+            def panel(pa, pb):
+                width = pb - pa  # negative walking backwards
+                vals = jax.vmap(lambda xj: node(pa + width * xj))(xk)
+                # q += ∫ (-λᵀ∂f/∂p) dt in forward orientation
+                est = -width * jnp.einsum("j,jk->k", wk, vals)
+                err = jnp.abs(width) * jnp.linalg.norm(
+                    jnp.einsum("j,jk->k", wk - wg_emb, vals)
+                )
+                return est, err
+
+            def refine(pa, pb, depth):
+                est, err = panel(pa, pb)
+                if depth <= 0:
+                    return est, err
+                tol = jnp.maximum(
+                    sensealg.abstol * jnp.abs(pb - pa) / T_total,
+                    sensealg.reltol * jnp.linalg.norm(est),
+                )
+
+                def split(_):
+                    pm = 0.5 * (pa + pb)
+                    e_l, r_l = refine(pa, pm, depth - 1)
+                    e_r, r_r = refine(pm, pb, depth - 1)
+                    return e_l + e_r, r_l + r_r
+
+                return jax.lax.cond(
+                    err > tol, split, lambda _: (est, err), None
+                )
+
+            return refine(ta, tb, sensealg.max_depth)
+
+        def gauss_hook(rec, carry):
+            qflat, errsum = carry
+            ta, tb, lam_a, fa, lam_b, fb = rec
+            est, err = gk_step(ta, tb, lam_a, fa, lam_b, fb)
+            return (qflat + est, errsum + err)
+
+        q0 = (jnp.zeros(npf, dtype), jnp.zeros((), dtype))
+
+        def finish_q(qcarry):
+            qflat, errsum = qcarry
+            tol = jnp.maximum(
+                sensealg.abstol,
+                sensealg.reltol * jnp.linalg.norm(qflat),
+            )
+            jax.lax.cond(
+                errsum > tol,
+                lambda: jax.debug.print(
+                    "GaussKronrodAdjoint: accumulated quadrature error "
+                    "estimate {e} exceeds tolerance {t}; tighten "
+                    "adj_rtol/adj_atol or raise max_depth", e=errsum, t=tol
+                ),
+                lambda: None,
+            )
+            return qflat
+
+        return gauss_hook, q0, finish_q
+
+    xg, wgl = _gl_nodes(getattr(sensealg, "n_nodes", 7), dtype)
+
+    def gauss_hook(rec, qflat):
+        ta, tb, lam_a, fa, lam_b, fb = rec  # tb "<" ta going backwards
+        node = _node_fn(ta, tb, lam_a, fa, lam_b, fb)
+        width = tb - ta
+        contribs = jax.vmap(lambda xj: node(ta + width * xj))(xg)
+        # q += ∫_{ta}^{tb} (-λᵀ∂f/∂p) dt ; width < 0 going backwards.
+        return qflat - width * jnp.einsum("j,jk->k", wgl, contribs)
+
+    return gauss_hook, jnp.zeros(npf, dtype), (lambda qcarry: qcarry)
+
+
+def adaptive_gk_dp(kern, p, dense, lam_dense, sensealg, dtype, npf, q_init,
+                   extra_p=None):
+    """QuadratureAdjoint's post-reverse dG/dp: h-adaptive Gauss–Kronrod over
+    the recorded λ dense output (the TPU formulation of quadgk,
+    quadrature_adjoint.jl:536-633). Base partition: one GK(7,15) panel per
+    recorded reverse step; a budgeted worklist then bisects the interval
+    with the largest embedded error until Σerr ≤ max(abstol, reltol·‖q‖),
+    bounded by max_depth splits per interval. extra_p(yvec, t) -> (npf,)
+    adds a continuous-cost ∂g/∂p integrand term."""
+    xk15, wk15, wg7 = gauss_kronrod_01(7, dtype)
+
+    def integrand(tj):
+        lam_j = dense_eval(lam_dense, tj)
+        yj = dense_eval(dense, tj)
+        out = ravel_pytree(kern.vjp_p(yj, p, tj, lam_j))[0]
+        if extra_p is not None:
+            out = out + extra_p(yj, tj)
+        return out
+
+    def gk_panel(ta, tb):
+        w_t = tb - ta  # negative (reverse orientation); 0 on padding rows
+        vals = jax.vmap(lambda xj: integrand(ta + w_t * xj))(xk15)
+        # forward-orientation integral over the panel: -(tb-ta)·Σ w·v
+        est = -w_t * jnp.einsum("j,jk->k", wk15, vals)
+        err = jnp.abs(w_t) * jnp.linalg.norm(
+            jnp.einsum("j,jk->k", wk15 - wg7, vals)
+        )
+        return est, err
+
+    msub = lam_dense.ts.shape[0] - 1
+    ests, errs = jax.vmap(
+        lambda k: gk_panel(lam_dense.ts[k], lam_dense.ts[k + 1])
+    )(jnp.arange(msub))
+    q = jnp.sum(ests, axis=0) + q_init
+
+    depth_cap = max(int(sensealg.max_depth), 0)
+    R = int(min(4 * (2 ** depth_cap), 512)) if depth_cap > 0 else 0
+    if npf == 0 or R == 0:
+        return q
+
+    tsd = lam_dense.ts.dtype
+    a0 = jnp.concatenate([lam_dense.ts[:msub], jnp.zeros(R, tsd)])
+    b0 = jnp.concatenate([lam_dense.ts[1:msub + 1], jnp.zeros(R, tsd)])
+    err0 = jnp.concatenate([errs, jnp.zeros(R, errs.dtype)])
+    dep0 = jnp.zeros(msub + R, jnp.int32).at[msub:].set(depth_cap)
+
+    def _tol(qq):
+        return jnp.maximum(
+            sensealg.abstol, sensealg.reltol * jnp.linalg.norm(qq)
+        )
+
+    def cond_fn(st):
+        _a, _b, err, dep, qq, _cnt, it = st
+        refinable = jnp.where(dep < depth_cap, err, 0.0)
+        return (
+            (it < R)
+            & (jnp.sum(err) > _tol(qq))
+            & (jnp.max(refinable) > 0.0)
+        )
+
+    def body_fn(st):
+        a, b, err, dep, qq, cnt, it = st
+        i = jnp.argmax(jnp.where(dep < depth_cap, err, -1.0))
+        ai, bi = a[i], b[i]
+        tm = 0.5 * (ai + bi)
+        e_par, _ = gk_panel(ai, bi)
+        e_l, r_l = gk_panel(ai, tm)
+        e_r, r_r = gk_panel(tm, bi)
+        qq = qq + (e_l + e_r - e_par)
+        d_new = dep[i] + 1
+        a = a.at[i].set(ai).at[cnt].set(tm)
+        b = b.at[i].set(tm).at[cnt].set(bi)
+        err = err.at[i].set(r_l).at[cnt].set(r_r)
+        dep = dep.at[i].set(d_new).at[cnt].set(d_new)
+        return a, b, err, dep, qq, cnt + 1, it + 1
+
+    st = jax.lax.while_loop(
+        cond_fn, body_fn,
+        (a0, b0, err0, dep0, q,
+         jnp.asarray(msub, jnp.int32), jnp.asarray(0, jnp.int32)),
+    )
+    return st[4]
+
+
 def _make_event_apply(kern, p, event_set, fwd_events, n, npf,
                       q_slice=None, u_snap_start=None, q_in_hc=False):
     """Reverse event-jump transform (reference: callback_tracking.jl reverse
@@ -474,31 +668,65 @@ def make_ode_solve_fn(f, solver, sensealg, opts: SolveOptions, t0, t1, *,
             return _returns(unravel_u, unravel_p, z[:n], z[n:], saveat,
                             jnp.maximum(fwd.stats.retcode, worst))
 
-        if event_set is not None:
-            raise NotImplementedError(
-                "callbacks with checkpointed InterpolatingAdjoint are not "
-                "supported yet; use the non-checkpointed variant or "
-                "BacksolveAdjoint"
-            )
         # Checkpointed: re-solve each inter-save interval forward from the
         # stored save values, then run the local adjoint over the fresh local
         # interpolant (reference cursor logic interpolating_adjoint.jl:206-278
         # becomes a nested solve inside the reverse scan).
+        #
+        # Events: the local re-solve runs WITH the event machinery so the
+        # interval's trajectory re-fires its events exactly (for p-modifying
+        # events the lifted state stores p at each checkpoint, so pre-event p
+        # restoration — the reference's reset_p,
+        # interpolating_adjoint.jl:748-823 — falls out of the checkpoint
+        # values themselves); the reverse leg lands on each recorded event
+        # time inside the interval and applies the event-jump VJP there.
         ckpt_vals = jnp.concatenate(
             [u0vec[None], fwd.ys_save, fwd.u_final[None]], axis=0
         )  # aligned with `times`
         fvec = lambda uv, t: kern.fvec(uv, p, t)
         seg_max_steps = max(opts.max_steps // 8, 64)
 
+        if event_set is not None:
+            ev_ts_all, _ev_upre, _ev_idx, ev_count = fwd.events
+            event_apply = _make_event_apply(
+                kern, p, event_set, fwd.events, n, npf, q_slice=n
+            )
+            tdt = times.dtype
+            eps_t = jnp.finfo(tdt).eps
+
+            def _match_events(t, zz, ke):
+                """Apply (up to 3 same-time) recorded events at time t."""
+                tol = 64.0 * eps_t * jnp.maximum(jnp.abs(t), 1.0)
+                fired = jnp.asarray(False)
+                for _ in range(3):
+                    kc = jnp.maximum(ke, 0)
+                    match = (ke >= 0) & (jnp.abs(ev_ts_all[kc] - t) <= tol)
+
+                    def _ap(args, kc=kc):
+                        z_, _ = event_apply(kc, t, args[0], None)
+                        return (z_, args[1])
+
+                    zz, _ = jax.lax.cond(match, _ap, lambda a: a, (zz, None))
+                    ke = ke - match.astype(ke.dtype)
+                    fired = fired | match
+                return zz, ke, fired
+
+            ke_init = jnp.asarray(ev_count, jnp.int32) - 1
+        else:
+            ke_init = jnp.asarray(-1, jnp.int32)
+
         def body(carry, i):
-            z, worst = carry
+            z, worst, ke = carry
             z = z.at[:n].add(jumps[i])
             t_hi = times[i]
             t_lo = times[i - 1]
+            if event_set is not None:
+                # boundary case: an event recorded exactly at this save time
+                z, ke, _ = _match_events(t_hi, z, ke)
             local = integrate(
                 solver, fvec, t_lo, t_hi, ckpt_vals[i - 1],
                 rtol=opts.rtol, atol=opts.atol, max_steps=seg_max_steps,
-                store_dense=True,
+                store_dense=True, event_set=event_set,
             )
 
             def aug_rhs(zz, t):
@@ -510,18 +738,32 @@ def make_ode_solve_fn(f, solver, sensealg, opts: SolveOptions, t0, t1, *,
             wts = jnp.concatenate(
                 [jnp.ones(n, u0vec.dtype), jnp.zeros(npf, u0vec.dtype)]
             )
-            resr = integrate(
-                bwd_stepper, aug_rhs, t_hi, t_lo, z,
-                rtol=adj_rtol, atol=adj_atol, max_steps=adj_max_steps,
-                store_dense=False, err_weights=wts,
-            )
+            if event_set is not None:
+                def stop_tr(t, zz, kec):
+                    zz, kec, fired = _match_events(t, zz, kec)
+                    return zz, kec, fired
+
+                resr = integrate(
+                    bwd_stepper, aug_rhs, t_hi, t_lo, z,
+                    rtol=adj_rtol, atol=adj_atol, max_steps=adj_max_steps,
+                    store_dense=False, err_weights=wts,
+                    tstops=ev_ts_all, stop_transform=stop_tr, hook_carry=ke,
+                )
+                ke = resr.hook_carry
+            else:
+                resr = integrate(
+                    bwd_stepper, aug_rhs, t_hi, t_lo, z,
+                    rtol=adj_rtol, atol=adj_atol, max_steps=adj_max_steps,
+                    store_dense=False, err_weights=wts,
+                )
             worst = jnp.maximum(worst, jnp.maximum(local.stats.retcode, resr.stats.retcode))
-            return (resr.u_final, worst), None
+            return (resr.u_final, worst, ke), None
 
         nt_ext = times.shape[0]
         z0 = jnp.zeros(n + npf, u0vec.dtype)
-        (z, worst), _ = jax.lax.scan(
-            body, (z0, jnp.asarray(0, jnp.int32)), jnp.arange(nt_ext - 1, 0, -1)
+        (z, worst, _ke), _ = jax.lax.scan(
+            body, (z0, jnp.asarray(0, jnp.int32), ke_init),
+            jnp.arange(nt_ext - 1, 0, -1),
         )
         z = z.at[:n].add(jumps[0])
         return _returns(unravel_u, unravel_p, z[:n], z[n:], saveat,
@@ -582,104 +824,14 @@ def make_ode_solve_fn(f, solver, sensealg, opts: SolveOptions, t0, t1, *,
         (u0, p, saveat, fwd, u0vec, unravel_u, unravel_p, kern,
          n, npf, times, jumps, event_set) = _common_bwd_setup(res, cot)
         dense = fwd.dense
-        is_gk = isinstance(sensealg, GaussKronrodAdjoint)
 
         def aug_rhs(lam, t):
             y = dense_eval(dense, t)
             return -kern.vjp_u(y, p, t, lam)
 
-        def _node_fn(ta, tb, lam_a, fa, lam_b, fb):
-            # λᵀ∂f/∂p at a quadrature node inside the accepted step [ta, tb]
-            # (λ from the step's own Hermite, y from the forward interpolant).
-            def node(tj):
-                lam_j = hermite_eval(tj, ta, tb, lam_a, fa, lam_b, fb)
-                yj = dense_eval(dense, tj)
-                return ravel_pytree(kern.vjp_p(yj, p, tj, lam_j))[0]
-
-            return node
-
-        if is_gk:
-            # True Gauss–Kronrod (7,15) pair per accepted reverse step — the
-            # IntegratingGKSumCallback design (gauss_adjoint.jl:815-825) with
-            # a real embedded error estimate and conditional in-place
-            # bisection (lax.cond in the sequential reverse loop: refinement
-            # only executes on steps whose pair disagrees).
-            xk, wk, wg_emb = gauss_kronrod_01(7, u0vec.dtype)
-            T_total = jnp.abs(
-                jnp.asarray(t1, u0vec.dtype) - jnp.asarray(t0, u0vec.dtype)
-            )
-
-            def gk_step(ta, tb, lam_a, fa, lam_b, fb):
-                node = _node_fn(ta, tb, lam_a, fa, lam_b, fb)
-
-                def panel(pa, pb):
-                    width = pb - pa  # negative walking backwards
-                    vals = jax.vmap(lambda xj: node(pa + width * xj))(xk)
-                    # q += ∫ (-λᵀ∂f/∂p) dt in forward orientation
-                    est = -width * jnp.einsum("j,jk->k", wk, vals)
-                    err = jnp.abs(width) * jnp.linalg.norm(
-                        jnp.einsum("j,jk->k", wk - wg_emb, vals)
-                    )
-                    return est, err
-
-                def refine(pa, pb, depth):
-                    est, err = panel(pa, pb)
-                    if depth <= 0:
-                        return est, err
-                    tol = jnp.maximum(
-                        sensealg.abstol * jnp.abs(pb - pa) / T_total,
-                        sensealg.reltol * jnp.linalg.norm(est),
-                    )
-
-                    def split(_):
-                        pm = 0.5 * (pa + pb)
-                        eL, rL = refine(pa, pm, depth - 1)
-                        eR, rR = refine(pm, pb, depth - 1)
-                        return eL + eR, rL + rR
-
-                    return jax.lax.cond(
-                        err > tol, split, lambda _: (est, err), None
-                    )
-
-                return refine(ta, tb, sensealg.max_depth)
-
-            def gauss_hook(rec, carry):
-                qflat, errsum = carry
-                ta, tb, lam_a, fa, lam_b, fb = rec
-                est, err = gk_step(ta, tb, lam_a, fa, lam_b, fb)
-                return (qflat + est, errsum + err)
-
-            q0 = (jnp.zeros(npf, u0vec.dtype), jnp.zeros((), u0vec.dtype))
-
-            def finish_q(qcarry):
-                qflat, errsum = qcarry
-                tol = jnp.maximum(
-                    sensealg.abstol,
-                    sensealg.reltol * jnp.linalg.norm(qflat),
-                )
-                jax.lax.cond(
-                    errsum > tol,
-                    lambda: jax.debug.print(
-                        "GaussKronrodAdjoint: accumulated quadrature error "
-                        "estimate {e} exceeds tolerance {t}; tighten "
-                        "adj_rtol/adj_atol or raise max_depth", e=errsum, t=tol
-                    ),
-                    lambda: None,
-                )
-                return qflat
-        else:
-            xg, wgl = _gl_nodes(getattr(sensealg, "n_nodes", 7), u0vec.dtype)
-
-            def gauss_hook(rec, qflat):
-                ta, tb, lam_a, fa, lam_b, fb = rec  # tb "<" ta going backwards
-                node = _node_fn(ta, tb, lam_a, fa, lam_b, fb)
-                width = tb - ta
-                contribs = jax.vmap(lambda xj: node(ta + width * xj))(xg)
-                # q += ∫_{ta}^{tb} (-λᵀ∂f/∂p) dt ; width < 0 going backwards.
-                return qflat - width * jnp.einsum("j,jk->k", wgl, contribs)
-
-            q0 = jnp.zeros(npf, u0vec.dtype)
-            finish_q = lambda qcarry: qcarry
+        gauss_hook, q0, finish_q = make_gauss_quad_hook(
+            kern, p, dense, sensealg, t0, t1, u0vec.dtype, npf
+        )
 
         lam0 = jnp.zeros(n, u0vec.dtype)
 
@@ -784,87 +936,8 @@ def make_ode_solve_fn(f, solver, sensealg, opts: SolveOptions, t0, t1, *,
             **ev_kwargs,
         )
 
-        # dG/dp = ∫ λᵀ∂f/∂p dt over the whole reverse span, by h-adaptive
-        # Gauss–Kronrod (the TPU formulation of quadgk,
-        # quadrature_adjoint.jl:536-633). Base partition: one GK(7,15) panel
-        # per recorded reverse step — where λ has a boundary layer the
-        # solver's own steps cluster, so the base grid is already adapted;
-        # λ-jump discontinuities and padding sit on zero-width rows and
-        # contribute nothing. All (step, node) evals in one vmapped sweep.
-        xk15, wk15, wg7 = gauss_kronrod_01(7, u0vec.dtype)
-
-        def integrand(tj):
-            lam_j = dense_eval(lam_dense, tj)
-            yj = dense_eval(dense, tj)
-            return ravel_pytree(kern.vjp_p(yj, p, tj, lam_j))[0]
-
-        def gk_panel(ta, tb):
-            w_t = tb - ta  # negative (reverse orientation); 0 on padding rows
-            vals = jax.vmap(lambda xj: integrand(ta + w_t * xj))(xk15)
-            # forward-orientation integral over the panel: -(tb-ta)·Σ w·v
-            est = -w_t * jnp.einsum("j,jk->k", wk15, vals)
-            err = jnp.abs(w_t) * jnp.linalg.norm(
-                jnp.einsum("j,jk->k", wk15 - wg7, vals)
-            )
-            return est, err
-
-        msub = lam_dense.ts.shape[0] - 1
-        ests, errs = jax.vmap(
-            lambda k: gk_panel(lam_dense.ts[k], lam_dense.ts[k + 1])
-        )(jnp.arange(msub))
-        q = jnp.sum(ests, axis=0) + q_ev
-
-        # Budgeted worklist bisection driven by abstol/reltol/max_depth —
-        # the fixed-shape analogue of quadgk's error heap: repeatedly split
-        # the interval with the largest embedded error until
-        # Σerr ≤ max(abstol, reltol·‖q‖), each interval split at most
-        # max_depth times, total budget R splits. The while_loop exits
-        # immediately when the base partition already meets tolerance.
-        depth_cap = max(int(sensealg.max_depth), 0)
-        R = int(min(4 * (2 ** depth_cap), 512)) if depth_cap > 0 else 0
-        if npf > 0 and R > 0:
-            tsd = lam_dense.ts.dtype
-            a0 = jnp.concatenate([lam_dense.ts[:msub], jnp.zeros(R, tsd)])
-            b0 = jnp.concatenate([lam_dense.ts[1:msub + 1], jnp.zeros(R, tsd)])
-            err0 = jnp.concatenate([errs, jnp.zeros(R, errs.dtype)])
-            dep0 = jnp.zeros(msub + R, jnp.int32).at[msub:].set(depth_cap)
-
-            def _tol(qq):
-                return jnp.maximum(
-                    sensealg.abstol, sensealg.reltol * jnp.linalg.norm(qq)
-                )
-
-            def cond_fn(st):
-                _a, _b, err, dep, qq, _cnt, it = st
-                refinable = jnp.where(dep < depth_cap, err, 0.0)
-                return (
-                    (it < R)
-                    & (jnp.sum(err) > _tol(qq))
-                    & (jnp.max(refinable) > 0.0)
-                )
-
-            def body_fn(st):
-                a, b, err, dep, qq, cnt, it = st
-                i = jnp.argmax(jnp.where(dep < depth_cap, err, -1.0))
-                ai, bi = a[i], b[i]
-                tm = 0.5 * (ai + bi)
-                e_par, _ = gk_panel(ai, bi)
-                e_l, r_l = gk_panel(ai, tm)
-                e_r, r_r = gk_panel(tm, bi)
-                qq = qq + (e_l + e_r - e_par)
-                d_new = dep[i] + 1
-                a = a.at[i].set(ai).at[cnt].set(tm)
-                b = b.at[i].set(tm).at[cnt].set(bi)
-                err = err.at[i].set(r_l).at[cnt].set(r_r)
-                dep = dep.at[i].set(d_new).at[cnt].set(d_new)
-                return a, b, err, dep, qq, cnt + 1, it + 1
-
-            st = jax.lax.while_loop(
-                cond_fn, body_fn,
-                (a0, b0, err0, dep0, q,
-                 jnp.asarray(msub, jnp.int32), jnp.asarray(0, jnp.int32)),
-            )
-            q = st[4]
+        q = adaptive_gk_dp(kern, p, dense, lam_dense, sensealg,
+                           u0vec.dtype, npf, q_ev)
         if M_fwd is not None:
             q = q + jnp.sum(dae_qjs, axis=0)
             lam = du0_map(lam)

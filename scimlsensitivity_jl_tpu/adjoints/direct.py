@@ -131,17 +131,25 @@ def make_direct_solve_fn(f, solver, sensealg, opts: SolveOptions, t0, t1):
         k0 = jnp.sum(pre).astype(jnp.int32)
         buf0 = jnp.where(pre[:, None], u0vec[None, :], jnp.zeros((nt, n), dtype))
 
+        if opts.callback is not None:
+            from ..callbacks import build_event_set
+
+            es = build_event_set(opts.callback, p, unravel_u, opts.max_events)
+        else:
+            es = None
+
         hook = save_hook_factory(saveat, tdir, dtype)
         res = integrate_scan(
             solver, fvec, t0a, t1a, u0vec,
             rtol=opts.rtol, atol=opts.atol, dt0=opts.dt0,
             max_steps=max_steps, tstops=stops,
             hook=hook, hook_carry=(buf0, k0),
+            event_set=es,
         )
         ys_save, _ = res.hook_carry
         ys = jax.vmap(unravel_u)(ys_save)
         aux = AuxOut(dense=None, t_final=res.t_final, u_final=res.u_final,
-                     stats=res.stats)
+                     stats=res.stats, events=res.events)
         return ys, aux
 
     return solve_fn

@@ -36,7 +36,7 @@ from ..sensealg import (
 )
 from ..utils.pytree import ravel_pytree
 from .common import reverse_joined_solve
-from .continuous import _extend_times
+from .continuous import _extend_times, adaptive_gk_dp, make_gauss_quad_hook
 
 __all__ = ["adjoint_sensitivities"]
 
@@ -128,7 +128,18 @@ def adjoint_sensitivities(
 
     times, jumps = _extend_times(t0, t1, ts, lam_jumps)
 
+    # continuous-cost ∂g/∂p integrand term for the quadrature designs
+    if dgdp_continuous is not None:
+        def extra_p(yvec, tt):
+            return ravel_pytree(dgdp_continuous(unravel_u(yvec), p, tt))[0]
+    else:
+        extra_p = None
+
+    # Each sensealg runs its OWN reverse design (the reference's per-family
+    # _adjoint_sensitivities drivers), not a flattened common path:
     if isinstance(sensealg, BacksolveAdjoint):
+        # augmented [λ; q; u], the ODE re-integrated backwards
+        # (backsolve_adjoint.jl)
         def aug_rhs(z, tt):
             lam = z[:n]
             y = z[n + npf:]
@@ -140,11 +151,15 @@ def adjoint_sensitivities(
 
         u_T = dense_eval(dense, jnp.asarray(t1, dtype))
         z0 = jnp.concatenate([jnp.zeros(n + npf, dtype), u_T])
-        n_state = n + npf + n
-    elif isinstance(
-        sensealg,
-        (InterpolatingAdjoint, GaussAdjoint, GaussKronrodAdjoint, QuadratureAdjoint),
-    ):
+        wts = jnp.ones(2 * n + npf, dtype).at[n:n + npf].set(0.0)
+        z, _, worst, _ = reverse_joined_solve(
+            solver, aug_rhs, times, jumps, z0, n,
+            rtol=rtol, atol=atol, max_steps=max_steps, err_weights=wts,
+        )
+        lam0v, qv = z[:n], z[n:n + npf]
+    elif isinstance(sensealg, InterpolatingAdjoint):
+        # joined [λ; q] over the dense forward interpolant
+        # (interpolating_adjoint.jl:150-188)
         def aug_rhs(z, tt):
             lam = z[:n]
             y = dense_eval(dense, tt)
@@ -153,22 +168,56 @@ def adjoint_sensitivities(
             return jnp.concatenate([-ubar - gu, -(ravel_pytree(pbar)[0] + gp)])
 
         z0 = jnp.zeros(n + npf, dtype)
-        n_state = n + npf
+        wts = jnp.ones(n + npf, dtype).at[n:n + npf].set(0.0)
+        z, _, worst, _ = reverse_joined_solve(
+            solver, aug_rhs, times, jumps, z0, n,
+            rtol=rtol, atol=atol, max_steps=max_steps, err_weights=wts,
+        )
+        lam0v, qv = z[:n], z[n:n + npf]
+    elif isinstance(sensealg, (GaussAdjoint, GaussKronrodAdjoint)):
+        # λ-only reverse; dG/dp accumulated during the solve by the
+        # integrating-callback hook (gauss_adjoint.jl:806-851); GK variant
+        # carries the embedded error estimate.
+        def aug_rhs(lam, tt):
+            y = dense_eval(dense, tt)
+            ubar = kern.vjp_u(y, p, tt, lam)
+            gu, _ = cost_terms(y, tt)
+            return -ubar - gu
+
+        hook, q0, finish_q = make_gauss_quad_hook(
+            kern, p, dense, sensealg, t0, t1, dtype, npf, extra_p=extra_p
+        )
+        lam0v, qcarry, worst, _ = reverse_joined_solve(
+            solver, aug_rhs, times, jumps, jnp.zeros(n, dtype), n,
+            rtol=rtol, atol=atol, max_steps=max_steps,
+            hook=hook, hook_carry=q0,
+        )
+        qv = finish_q(qcarry)
+    elif isinstance(sensealg, QuadratureAdjoint):
+        # λ-only dense reverse, then post-hoc h-adaptive GK quadrature
+        # (quadrature_adjoint.jl:527-633)
+        def aug_rhs(lam, tt):
+            y = dense_eval(dense, tt)
+            ubar = kern.vjp_u(y, p, tt, lam)
+            gu, _ = cost_terms(y, tt)
+            return -ubar - gu
+
+        lam0v, _, worst, lam_dense = reverse_joined_solve(
+            solver, aug_rhs, times, jumps, jnp.zeros(n, dtype), n,
+            rtol=rtol, atol=atol, max_steps=max_steps,
+            collect_dense=True, hook_carry=None,
+        )
+        qv = adaptive_gk_dp(kern, p, dense, lam_dense, sensealg, dtype, npf,
+                            jnp.zeros(npf, dtype), extra_p=extra_p)
     else:
         raise NotImplementedError(
             f"adjoint_sensitivities does not support {sensealg!r}"
         )
 
-    wts = jnp.ones(n_state, dtype).at[n:n + npf].set(0.0)
-    z, _, worst, _ = reverse_joined_solve(
-        solver, aug_rhs, times, jumps, z0, n,
-        rtol=rtol, atol=atol, max_steps=max_steps, err_weights=wts,
-    )
     # NaN-poison on reverse failure (same alarm as the solve adjoints).
     bad = worst != 0
-    lam0 = jnp.where(bad, jnp.full_like(z[:n], jnp.nan), z[:n])
-    qv = jnp.where(bad, jnp.full_like(z[n:n + npf], jnp.nan),
-                   z[n:n + npf] + dp_disc)
+    lam0 = jnp.where(bad, jnp.full_like(lam0v, jnp.nan), lam0v)
+    qv = jnp.where(bad, jnp.full_like(qv, jnp.nan), qv + dp_disc)
     du0 = unravel_u(lam0)
     dp = unravel_p(qv)
     return du0, dp

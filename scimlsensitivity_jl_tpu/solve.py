@@ -293,11 +293,6 @@ def _solve_ode(prob, solver, *, saveat, rtol, atol, dt0, dt, max_steps,
         adj_max_steps=adj_max_steps, callback=cbs, max_events=max_events,
         dtmax=dtmax,
     )
-    if cbs is not None and isinstance(sensealg, DirectAdjoint):
-        raise NotImplementedError(
-            "callbacks are supported with the continuous adjoints and "
-            "ForwardDiffSensitivity, not DirectAdjoint"
-        )
 
     if not adaptive:
         # Fixed-grid mode: dt required; plain AD (discrete adjoint) through

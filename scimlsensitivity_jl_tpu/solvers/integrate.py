@@ -189,13 +189,9 @@ def integrate(
     beta2 = controller[1] / (order + 1.0)
 
     if event_set is not None:
-        me = event_set.max_events
-        ev0 = (
-            jnp.full((me,), t1, tdtype),
-            jnp.zeros((me, n), dtype),
-            jnp.full((me,), -1, jnp.int32),
-            jnp.asarray(0, jnp.int32),
-        )
+        from .events import init_event_buffers
+
+        ev0 = init_event_buffers(event_set, t1, n, dtype, tdtype)
     else:
         ev0 = None
 
@@ -280,162 +276,25 @@ def integrate(
         f_new = jnp.where(accept, f1, c.f)
 
         # ---- event handling (ContinuousCallback sign change on this step,
-        # then DiscreteCallback at the step end) -------------------------
+        # then DiscreteCallback at the step end; simultaneous events are
+        # composed in callback order and each recorded) -------------------
         events_carry = c.events
         event_fired = jnp.asarray(False)
         u_post_pair = None  # (t_e, u_post, f_post) extra row when fired
         if event_set is not None:
-            from ..ops.interp import hermite_eval as _hermite
+            from .events import process_step_events
 
-            ev_ts, ev_upre, ev_idx, ev_count = c.events
-            t_a, t_b = c.t, c.t + dt_eff
-
-            def _detect(args):
-                (u_a, f_a, u_b, f_b) = args
-                fired_c = jnp.asarray(False)
-                theta_min = jnp.asarray(2.0, tdtype)
-                j_hit = jnp.asarray(-1, jnp.int32)
-                if event_set.cond is not None:
-                    # Sample the interpolant at interior points so crossings
-                    # that enter and leave within one accepted step are still
-                    # seen (the interp_points device of DiffEq's
-                    # ContinuousCallback).
-                    NSMP = 8
-                    th_grid = jnp.linspace(
-                        jnp.asarray(0.0, tdtype), jnp.asarray(1.0, tdtype),
-                        NSMP + 1,
-                    )
-
-                    def g_at(th):
-                        tt = t_a + th * dt_eff
-                        uu = _hermite(tt, t_a, t_b, u_a, f_a, u_b, f_b)
-                        return event_set.cond(uu, tt)  # (k_cont,)
-
-                    g_smp = jax.vmap(g_at)(th_grid)  # (NSMP+1, k_cont)
-                    gl, gr = g_smp[:-1], g_smp[1:]
-                    pair = (gl * gr < 0) | ((gr == 0) & (gl != 0))
-                    # Refractory guard: right after an event whose affect
-                    # leaves the condition at ~0 (e.g. parameter swaps), the
-                    # θ=0 sample sits at polish-residual level — don't count
-                    # a "crossing" out of that numerical zero.
-                    g_scale = jnp.max(jnp.abs(g_smp), axis=0)
-                    tol_g = jnp.sqrt(jnp.finfo(tdtype).eps) * (g_scale + 1e-300)
-                    pair = pair.at[0].set(
-                        pair[0] & (jnp.abs(g_smp[0]) > tol_g)
-                    )
-                    if event_set.directions is not None:
-                        dirs = event_set.directions[None, :]
-                        pair = pair & (
-                            (dirs == 0)
-                            | ((dirs == -1) & (gl > 0))
-                            | ((dirs == 1) & (gl < 0))
-                        )
-                    crossed = jnp.any(pair, axis=0)  # (k_cont,)
-                    # first crossing subinterval per callback
-                    m_first = jnp.argmax(pair, axis=0)  # (k_cont,)
-
-                    def locate(gk_fn, crossed_k, m_k):
-                        # bisection in the bracketing sample subinterval +
-                        # Newton polish (τ stays differentiable through the
-                        # final Newton step).
-                        def gtheta(th):
-                            tt = t_a + th * dt_eff
-                            uu = _hermite(tt, t_a, t_b, u_a, f_a, u_b, f_b)
-                            return gk_fn(uu, tt)
-
-                        def bis(_, lohi):
-                            lo, hi = lohi
-                            mid = 0.5 * (lo + hi)
-                            gm = gtheta(mid)
-                            ga = gtheta(lo)
-                            same = gm * ga >= 0
-                            return (jnp.where(same, mid, lo),
-                                    jnp.where(same, hi, mid))
-
-                        lo0 = th_grid[m_k]
-                        hi0 = th_grid[m_k + 1]
-                        lo, hi = jax.lax.fori_loop(0, 40, bis, (lo0, hi0))
-                        th = 0.5 * (lo + hi)
-                        for _ in range(2):
-                            g_v, dg = jax.jvp(gtheta, (th,),
-                                              (jnp.ones_like(th),))
-                            th = th - jnp.where(
-                                jnp.abs(dg) > 1e-30, g_v / dg, 0.0
-                            )
-                        th = jnp.clip(th, 0.0, 1.0)
-                        return jnp.where(crossed_k, th, jnp.asarray(2.0, tdtype))
-
-                    k_cont = event_set.n_cont
-                    thetas = jnp.stack([
-                        locate(
-                            lambda uu, tt, i=i: event_set.cond(uu, tt)[i],
-                            crossed[i],
-                            m_first[i],
-                        )
-                        for i in range(k_cont)
-                    ])
-                    j_hit = jnp.argmin(thetas).astype(jnp.int32)
-                    theta_min = thetas[j_hit]
-                    fired_c = theta_min <= 1.0
-
-                def _cont_fire(_):
-                    t_e = t_a + theta_min * dt_eff
-                    u_pre = _hermite(t_e, t_a, t_b, u_a, f_a, u_b, f_b)
-                    f_pre = fvec(u_pre, t_e)
-                    u_post = event_set.affect(u_pre, t_e, j_hit)
-                    f_post = fvec(u_post, t_e)
-                    return t_e, u_pre, f_pre, u_post, f_post, j_hit
-
-                def _disc_check(_):
-                    # discrete callbacks at the (untruncated) step end
-                    if event_set.disc_cond is not None:
-                        dc = event_set.disc_cond(u_b, t_b)
-                        any_d = jnp.any(dc)
-                        j_d = (event_set.n_cont +
-                               jnp.argmax(dc).astype(jnp.int32))
-
-                        def fire_d(_):
-                            u_post = event_set.affect(u_b, t_b, j_d)
-                            return (t_b, u_b, f_b, u_post,
-                                    fvec(u_post, t_b), j_d)
-
-                        def no_d(_):
-                            return (t_b, u_b, f_b, u_b, f_b,
-                                    jnp.asarray(-1, jnp.int32))
-
-                        return jax.lax.cond(any_d, fire_d, no_d, None)
-                    return (t_b, u_b, f_b, u_b, f_b,
-                            jnp.asarray(-1, jnp.int32))
-
-                t_e, u_pre, f_pre, u_post, f_post, j_fin = jax.lax.cond(
-                    fired_c, _cont_fire, _disc_check, None
-                )
-                return t_e, u_pre, f_pre, u_post, f_post, j_fin
-
-            def _no_detect(args):
-                (u_a, f_a, u_b, f_b) = args
-                return (t_b, u_b, f_b, u_b, f_b, jnp.asarray(-1, jnp.int32))
-
-            t_e, u_pre, f_pre, u_post, f_post, j_fin = jax.lax.cond(
-                accept, _detect, _no_detect, (c.u, c.f, u1, f1)
+            se = process_step_events(
+                event_set, fvec, c.t, dt_eff, c.u, c.f, u1, f1,
+                accept, c.events, tdtype,
             )
-            event_fired = accept & (j_fin >= 0)
+            event_fired = se.fired
             # truncate the accepted step to the event point (pre-affect)
-            t_new = jnp.where(event_fired, t_e, t_new)
-            u_new = jnp.where(event_fired, u_pre, u_new)
-            f_new = jnp.where(event_fired, f_pre, f_new)
-            u_post_pair = (t_e, u_post, f_post)
-            # record
-            slot = jnp.minimum(ev_count, ev_ts.shape[0] - 1)
-            ev_ts = ev_ts.at[slot].set(jnp.where(event_fired, t_e, ev_ts[slot]))
-            ev_upre = ev_upre.at[slot].set(
-                jnp.where(event_fired, u_pre, ev_upre[slot])
-            )
-            ev_idx = ev_idx.at[slot].set(
-                jnp.where(event_fired, j_fin, ev_idx[slot])
-            )
-            ev_count = ev_count + event_fired.astype(jnp.int32)
-            events_carry = (ev_ts, ev_upre, ev_idx, ev_count)
+            t_new = jnp.where(event_fired, se.t_e, t_new)
+            u_new = jnp.where(event_fired, se.u_pre, u_new)
+            f_new = jnp.where(event_fired, se.f_pre, f_new)
+            u_post_pair = (se.t_e, se.u_post, se.f_post)
+            events_carry = se.events
 
         # Single-row conditional writes (a full-buffer `where` would move
         # O(max_steps·n) bytes of HBM every attempt).
@@ -582,6 +441,7 @@ def integrate_scan(
     factor_min=0.2,
     factor_max=10.0,
     always_accept: bool = False,
+    event_set=None,
 ) -> IntegrateResult:
     """Adaptive integration with a *fixed* trip count (`lax.scan` with
     masking) — reverse-mode differentiable, unlike the while_loop driver.
@@ -630,8 +490,15 @@ def integrate_scan(
     beta1 = 0.7 / (order + 1.0)
     beta2 = 0.4 / (order + 1.0)
 
+    if event_set is not None:
+        from .events import init_event_buffers, process_step_events
+
+        ev0 = init_event_buffers(event_set, t1, u0.shape[0], dtype, dtype)
+    else:
+        ev0 = None
+
     def body(carry, _):
-        t, u, f, dt, err_prev, n_acc, n_rej, status, hc = carry
+        t, u, f, dt, err_prev, n_acc, n_rej, status, hc, ev = carry
         running = status < 0
 
         stop = _next_stop(t, t1, tstops, tdir, dtype)
@@ -662,6 +529,21 @@ def integrate_scan(
         t_new = jnp.where(accept, t + dt_eff, t)
         u_new = jnp.where(accept, u1, u)
         f_new = jnp.where(accept, f1, f)
+
+        if event_set is not None:
+            # Events in the reverse-differentiable scan driver (DirectAdjoint
+            # with callbacks): the step truncates to τ and continues from the
+            # post-affect state; gradients flow through the Newton-polished τ
+            # and the affect map — the discrete analogue of the reference's
+            # AD-through-solver event handling (concrete_solve.jl:1351-1364).
+            se = process_step_events(
+                event_set, fvec, t, dt_eff, u, f, u1, f1, accept, ev, dtype
+            )
+            t_new = jnp.where(se.fired, se.t_e, t_new)
+            u_new = jnp.where(se.fired, se.u_post, u_new)
+            f_new = jnp.where(se.fired, se.f_post, f_new)
+            ev = se.events
+
         n_acc = n_acc + accept.astype(jnp.int32)
         n_rej = n_rej + (running & ~accept).astype(jnp.int32)
         err_prev = jnp.where(accept, err_cl, err_prev)
@@ -675,14 +557,15 @@ def integrate_scan(
 
         done = accept & ((t1 - t_new) * tdir <= jnp.abs(t1) * 1e-14 + 1e-300)
         status = jnp.where(running & done, RETCODE_SUCCESS, status).astype(jnp.int32)
-        return (t_new, u_new, f_new, dt_next, err_prev, n_acc, n_rej, status, hc), None
+        return (t_new, u_new, f_new, dt_next, err_prev, n_acc, n_rej, status,
+                hc, ev), None
 
     init = (
         t0, u0, f0, dt, jnp.asarray(1.0, dtype),
         jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32),
-        jnp.asarray(-1, jnp.int32), hook_carry,
+        jnp.asarray(-1, jnp.int32), hook_carry, ev0,
     )
-    (t, u, f, dt, _, n_acc, n_rej, status, hc), _ = jax.lax.scan(
+    (t, u, f, dt, _, n_acc, n_rej, status, hc, ev_fin), _ = jax.lax.scan(
         body, init, None, length=max_steps
     )
     status = jnp.where(status < 0, RETCODE_MAXITERS, status).astype(jnp.int32)
@@ -700,7 +583,8 @@ def integrate_scan(
         n_fevals=jnp.asarray(max_steps * getattr(stepper, "n_stages", 1), jnp.int32),
         retcode=status,
     )
-    return IntegrateResult(dense=dense, t_final=t, u_final=u, stats=stats, hook_carry=hc)
+    return IntegrateResult(dense=dense, t_final=t, u_final=u, stats=stats,
+                           hook_carry=hc, events=ev_fin)
 
 
 def integrate_fixed(

@@ -26,8 +26,12 @@ __all__ = [
     "EulerHeun",
     "Milstein",
     "SRA1",
+    "StrongTaylor15",
+    "SRIW1",
+    "SOSRI",
     "ImplicitEM",
     "AdaptiveEM",
+    "AdaptiveMilstein",
     "ito_to_stratonovich_drift",
     "stratonovich_to_ito_drift",
 ]
@@ -139,6 +143,114 @@ class SRA1:
             + _diffusion_term(g_end, dw - chi)
             + _diffusion_term(g_start, chi)
         )
+
+
+class StrongTaylor15:
+    """Strong order 1.5 Ito–Taylor scheme for scalar/diagonal multiplicative
+    noise — the slot the reference fills with Rößler's SRIW1/SOSRI
+    (StochasticDiffEq; used throughout /root/reference/test/SDE1-3 and
+    test/Core4/sde_neural.jl).
+
+    TPU-native formulation: instead of a derivative-free Runge–Kutta tableau
+    (whose constants would have to be transcribed), the scheme IS the
+    order-1.5 Ito–Taylor expansion (Kloeden & Platen §10.4) with every
+    operator evaluated by AD — no constants beyond the expansion itself,
+    and the strong order is verified by a convergence-slope test.
+
+    Per component k (diagonal noise  du_k = f_k dt + g_k dW_k):
+
+        u⁺_k = u_k + f_k h + g_k ΔW_k
+             + ½ Σ_j g_j ∂g_k/∂u_j (ΔW_j ΔW_k − δ_jk h)       [I_(j,k)]
+             + Σ_j g_j ∂f_k/∂u_j ΔZ_j                          [I_(j,0)]
+             + ½ L0 f_k h²
+             + (L0 g)_k (ΔW_k h − ΔZ_k)                        [I_(0,k)]
+             + ½ g_k ∂_k(g_k ∂_k g_k) (⅓ ΔW_k² − h) ΔW_k       [I_(k,k,k)]
+
+    with L0 = ∂_t + Σ f_l ∂_l + ½ Σ g_l² ∂²_ll and ΔZ = ∫(W(s)−W(t))ds.
+    Cross second-iterated integrals use the commutative-noise identity
+    I_(j,k)+I_(k,j) = ΔW_jΔW_k: strong 1.5 holds for scalar noise and for
+    diagonal noise with ∂g_k/∂u_j |_{j≠k} = 0 (the geometric-Brownian /
+    neural-SDE-diagonal class); commutative cross-dependence retains
+    strong 1.0 with improved constants.
+    """
+
+    name = "StrongTaylor15"
+    interpretation = "ito"
+    order = 2
+    needs_dz = True
+
+    def __repr__(self):
+        return "StrongTaylor15()"
+
+    def step(self, fvec, gvec, t, dt, u, dw, dz):
+        n = u.shape[0]
+        h = dt
+        g0 = gvec(u, t)
+        if g0.ndim != 1:
+            raise NotImplementedError(
+                "StrongTaylor15 covers scalar/diagonal noise; use "
+                "EulerMaruyama/EulerHeun for general matrix noise"
+            )
+        f0 = fvec(u, t)
+
+        Jg = jax.jacfwd(lambda uu: gvec(uu, t))(u)   # (n, n): ∂g_k/∂u_j
+        Jf = jax.jacfwd(lambda uu: fvec(uu, t))(u)   # ∂f_k/∂u_j
+        f_t = jax.jvp(lambda tt: fvec(u, tt), (t,), (jnp.ones_like(t),))[1]
+        g_t = jax.jvp(lambda tt: gvec(u, tt), (t,), (jnp.ones_like(t),))[1]
+
+        w2 = g0 ** 2
+
+        def weighted_lap(fn):
+            # Σ_l w2_l ∂²fn/∂u_l² via nested jvp over the basis — O(n) sweeps
+            def second_dir(l):
+                e = jnp.zeros(n, u.dtype).at[l].set(1.0)
+                return jax.jvp(
+                    lambda uu: jax.jvp(fn, (uu,), (e,))[1], (u,), (e,)
+                )[1]
+
+            hs = jax.vmap(second_dir)(jnp.arange(n))  # (n, n)
+            return jnp.einsum("l,lk->k", w2, hs)
+
+        L0f = f_t + Jf @ f0 + 0.5 * weighted_lap(lambda uu: fvec(uu, t))
+        L0g = g_t + Jg @ f0 + 0.5 * weighted_lap(lambda uu: gvec(uu, t))
+
+        # Milstein block with commutative cross terms:
+        # ½ Σ_j g_j ∂g_k/∂u_j (ΔW_j ΔW_k − δ_jk h)
+        mil = 0.5 * ((Jg * g0[None, :]) @ dw) * dw \
+            - 0.5 * jnp.diag(Jg) * g0 * h
+        # Σ_j g_j ∂f_k/∂u_j ΔZ_j
+        lf = (Jf * g0[None, :]) @ dz
+        # triple term: m_k = g_k ∂_k g_k ; ½ g_k ∂_k m_k (⅓ΔW²−h)ΔW
+        m = g0 * jnp.diag(Jg)
+
+        def m_fn(uu):
+            gg = gvec(uu, t)
+            return gg * jnp.diag(jax.jacfwd(gvec, argnums=0)(uu, t))
+
+        dm_diag = jnp.diag(jax.jacfwd(m_fn)(u))
+        triple = 0.5 * g0 * dm_diag * (dw ** 2 / 3.0 - h) * dw
+
+        return (
+            u + f0 * h + g0 * dw
+            + mil
+            + lf
+            + 0.5 * L0f * h * h
+            + L0g * (dw * h - dz)
+            + triple
+        )
+
+
+def SRIW1():
+    """Reference-named alias: the strong-1.5 diagonal-noise slot SRIW1
+    occupies in StochasticDiffEq, provided here by the AD-based Ito-Taylor
+    scheme (see StrongTaylor15 — same problem class and strong order, not
+    the Rößler tableau)."""
+    return StrongTaylor15()
+
+
+def SOSRI():
+    """Reference-named alias (stability-optimized SRI slot): see SRIW1."""
+    return StrongTaylor15()
 
 
 def ito_to_stratonovich_drift(fvec, gvec):

@@ -153,3 +153,115 @@ def test_parameter_modifying_event():
         g = jax.grad(lambda p: loss(p, sa))(p0)
         assert np.isclose(float(g), float(g_ref), rtol=1e-5), (
             type(sa).__name__, float(g), float(g_ref))
+
+
+def test_direct_adjoint_bounce_gradients():
+    """DirectAdjoint (discrete reverse through the scan driver) with events:
+    the round-2 coverage item — gradients flow through the Newton-polished
+    event time and the affect map under reverse AD."""
+    from scimlsensitivity_jl_tpu import DirectAdjoint
+
+    u0 = jnp.array([1.0, 0.0])
+    p = jnp.array([0.9])
+    loss_fd = _ball_loss(ForwardDiffSensitivity())
+    du0_ref, dp_ref = jax.grad(loss_fd, argnums=(0, 1))(u0, p)
+    loss = _ball_loss(DirectAdjoint())
+    du0, dp = jax.grad(loss, argnums=(0, 1))(u0, p)
+    assert np.allclose(dp, dp_ref, rtol=1e-8)
+    assert np.allclose(du0, du0_ref, rtol=1e-8)
+
+
+@pytest.mark.parametrize("sensealg_name", ["interp_ckpt", "gauss_ckpt"])
+def test_checkpointed_adjoint_with_events(sensealg_name):
+    """Checkpointed Interpolating/Gauss adjoints with events: interval
+    re-solves re-fire events; the reverse leg applies event-jump VJPs at the
+    recorded times (reference interpolating_adjoint.jl:206-278, :748-823)."""
+    sensealg = (InterpolatingAdjoint(checkpointing=True)
+                if sensealg_name == "interp_ckpt"
+                else GaussAdjoint(checkpointing=True))
+    u0 = jnp.array([1.0, 0.0])
+    p = jnp.array([0.9])
+    loss_fd = _ball_loss(ForwardDiffSensitivity(), tspan=(0.0, 2.0))
+    du0_ref, dp_ref = jax.grad(loss_fd, argnums=(0, 1))(u0, p)
+    loss = _ball_loss(sensealg, tspan=(0.0, 2.0))  # 3 bounces, 7 intervals
+    du0, dp = jax.grad(loss, argnums=(0, 1))(u0, p)
+    assert np.allclose(dp, dp_ref, rtol=1e-5, atol=1e-8)
+    assert np.allclose(du0, du0_ref, rtol=1e-5, atol=1e-8)
+
+
+def test_checkpointed_param_swap_event():
+    """p-modifying event under the CHECKPOINTED adjoint: the lifted state
+    stores p at each save point, so the interval re-solve restores the
+    pre-event parameters automatically (the reference needs reset_p,
+    interpolating_adjoint.jl:748-823)."""
+    from scimlsensitivity_jl_tpu.callbacks import ContinuousCallback as CC
+
+    cb = CC(
+        condition=lambda u, p, t: u[0] - 0.5,
+        affect=lambda u, p, t: (u, p * 0.5),
+        direction=-1,
+        modifies_p=True,
+    )
+
+    def loss(p0, sensealg):
+        prob = ODEProblem(lambda u, p, t: -p * u, jnp.array([1.0]),
+                          (0.0, 2.0), p0)
+        sol = solve(prob, Tsit5(), saveat=jnp.linspace(0.0, 2.0, 5),
+                    rtol=1e-10, atol=1e-12, callback=cb, sensealg=sensealg)
+        return jnp.sum(sol.ys ** 2)
+
+    p0 = jnp.array([1.1])
+    g_ref = jax.grad(lambda pp: loss(pp, ForwardDiffSensitivity()))(p0)
+    g_ck = jax.grad(
+        lambda pp: loss(pp, InterpolatingAdjoint(checkpointing=True)))(p0)
+    assert np.allclose(g_ck, g_ref, rtol=1e-5, atol=1e-9)
+
+
+def test_two_simultaneous_events_one_step():
+    """Two continuous conditions crossing at the SAME time: both affects
+    must be applied (in callback order) and both recorded, and the reverse
+    pass must compose both jump VJPs (the reference's duplicated-time
+    handling, callback_tracking.jl:126-130, adjoint_common.jl:824-868)."""
+    # du/dt = [1, 1]; conditions u0-1 and u1-1 both cross at t=1 exactly
+    # (identical components), affects scale different components.
+    def f(u, p, t):
+        return jnp.array([p[0], p[0]])
+
+    cb1 = ContinuousCallback(condition=lambda u, p, t: u[0] - 1.0,
+                             affect=lambda u, p, t: u * jnp.array([0.5, 1.0]),
+                             direction=1)
+    cb2 = ContinuousCallback(condition=lambda u, p, t: u[1] - 1.0,
+                             affect=lambda u, p, t: u + jnp.array([0.0, 0.3]),
+                             direction=1)
+    cbs = CallbackSet(continuous=(cb1, cb2))
+    p = jnp.array([1.0])
+    u0 = jnp.array([0.0, 0.0])
+    # keep the crossing time (t=1) strictly interior to a save interval —
+    # a crossing AT a forced stop sits at roundoff level where the
+    # refractory guard (correctly) refuses to fire on numerical zeros —
+    # and end before u0 re-reaches 1 a third time
+    ts = jnp.array([0.0, 0.8, 1.2, 1.9])
+
+    def run(pp, sensealg):
+        prob = ODEProblem(f, u0, (0.0, 1.9), pp)
+        return solve(prob, Tsit5(), saveat=ts, rtol=1e-10, atol=1e-12,
+                     callback=cbs, sensealg=sensealg)
+
+    sol = run(p, GaussAdjoint())
+    ev_ts, _, ev_idx, ev_count = sol.events
+    # t=1: BOTH cross simultaneously (u(1⁻)=[1,1]) -> cb1 -> [0.5,1] ->
+    # cb2 -> [0.5,1.3]; then u0 re-crosses 1 at t=1.5 -> cb1 -> [0.5,1.8];
+    # drift to 1.9 -> [0.9, 2.2]
+    assert int(ev_count) == 3
+    np.testing.assert_allclose(np.asarray(ev_ts[:2]), [1.0, 1.0], rtol=1e-9)
+    assert np.asarray(ev_idx[:3]).tolist() == [0, 1, 0]
+    np.testing.assert_allclose(np.asarray(sol.ys[-1]), [0.9, 2.2], rtol=1e-8)
+
+    def loss(pp, sensealg):
+        return jnp.sum(run(pp, sensealg).ys ** 2)
+
+    g_ref = jax.grad(lambda pp: loss(pp, ForwardDiffSensitivity()))(p)
+    for alg in [InterpolatingAdjoint(), GaussAdjoint(), QuadratureAdjoint()]:
+        g = jax.grad(lambda pp: loss(pp, alg))(p)
+        assert np.allclose(g, g_ref, rtol=1e-5, atol=1e-8), (
+            type(alg).__name__, np.asarray(g), np.asarray(g_ref))
