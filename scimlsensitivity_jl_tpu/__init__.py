@@ -72,7 +72,9 @@ from .solvers.extrapolation import GBS, Vern9Like
 from .solvers.fbdf import FBDF
 from .solvers.rosenbrock import Rosenbrock23
 from .solvers.seulex import Rodas4Like, Seulex
-from .solvers.sde import SRA1, EulerHeun, EulerMaruyama, ImplicitEM, Milstein
+from .solvers.sde import (SOSRI, SRA1, SRIW1, AdaptiveMilstein, EulerHeun,
+                          EulerMaruyama, ImplicitEM, Milstein,
+                          StrongTaylor15)
 from .solvers.sdirk import SDIRK4, TRBDF2, Kvaerno3
 
 __version__ = "0.1.0"
@@ -119,6 +121,10 @@ __all__ = [
     "EulerHeun",
     "Milstein",
     "SRA1",
+    "StrongTaylor15",
+    "SRIW1",
+    "SOSRI",
+    "AdaptiveMilstein",
     "ImplicitEM",
     "ContinuousCallback",
     "DiscreteCallback",

@@ -154,20 +154,25 @@ def solve_sde(
     atol=1e-6,
 ) -> ODESolution:
     if dt is None:
-        # Adaptive path: step-doubling Euler-Maruyama on a
-        # VirtualBrownianTree (consistent noise across retries); gradients
-        # via reverse AD through the masked fixed-trip scan.
-        if solver is not None and not isinstance(
-            solver, (EulerMaruyama, AdaptiveEM)
-        ):
+        # Adaptive path on a VirtualBrownianTree (consistent noise across
+        # retries): step-doubling Euler-Maruyama or Milstein-error control.
+        from ..solvers.sde import AdaptiveMilstein, Milstein
+
+        if solver is None or isinstance(solver, (EulerMaruyama, AdaptiveEM)):
+            adaptive_kind = "em"
+        elif isinstance(solver, (Milstein, AdaptiveMilstein)):
+            adaptive_kind = "milstein"
+        else:
             raise NotImplementedError(
-                f"adaptive SDE stepping (no dt=...) uses step-doubling "
-                f"Euler-Maruyama on the VirtualBrownianTree; {solver!r} is "
-                f"only available on the fixed grid — pass dt=..."
+                f"adaptive SDE stepping (no dt=...) runs Euler-Maruyama "
+                f"(step-doubling error) or Milstein (embedded Milstein-EM "
+                f"error) on the VirtualBrownianTree; {solver!r} is only "
+                f"available on the fixed grid — pass dt=..."
             )
         return _solve_sde_adaptive(
             prob, saveat=saveat, key=key, sensealg=sensealg,
             max_steps=max_steps or 1024, rtol=rtol, atol=atol,
+            adaptive_kind=adaptive_kind,
         )
     if solver is None:
         solver = EulerMaruyama() if prob.interpretation == "ito" else EulerHeun()
@@ -276,10 +281,14 @@ def solve_sde(
             if u_source is not None:
                 u_j = u_source[j]
             else:
-                # Backward reconstruction: subtract the scheme increment
-                # evaluated at u_{j+1} (same ΔW regenerated) — O(dt) inverse,
+                # Backward reconstruction: solve u_rec = u_j + Δ(u_j) for
+                # u_j by Picard iteration on u_j = u_rec − Δ(u_j) (the
+                # increment map is an O(dt) contraction, so six sweeps
+                # give an effectively exact inverse; same ΔW regenerated),
                 # stabilized by the checkpoint snaps above.
-                u_j = u_rec - (step_map(u_rec, p, j) - u_rec)
+                u_j = u_rec
+                for _ in range(6):
+                    u_j = u_rec - (step_map(u_j, p, j) - u_j)
             _, vjp_fn = jax.vjp(lambda uv, pp: step_map(uv, pp, j), u_j, p)
             ubar, pbar = vjp_fn(lam)
             q = jax.tree_util.tree_map(jnp.add, q, pbar)
@@ -345,20 +354,41 @@ def solve_sde(
     )
 
 
-def _solve_sde_adaptive(prob, *, saveat, key, sensealg, max_steps, rtol, atol):
+def _solve_sde_adaptive(prob, *, saveat, key, sensealg, max_steps, rtol,
+                        atol, adaptive_kind="em"):
+    """Adaptive SDE solve on a VirtualBrownianTree, with the adjoint menu:
+
+      DirectAdjoint          — reverse AD through the masked scan (default)
+      InterpolatingAdjoint   — stored realized nodes, hand-rolled discrete
+                               reverse (one fused step-map vjp per node)
+      BacksolveAdjoint       — O(1) state storage: realized TIMES stored
+                               (O(max_steps) scalars), states reconstructed
+                               backwards from the same tree, checkpoint-
+                               snapped at each save node
+                               (backsolve_adjoint.jl:523-572 semantics).
+
+    The controller runs always-accept (previsible step sizes — h_n from past
+    errors only: rejecting on the realized ΔW would bias the accepted
+    increments, Gaines & Lyons 1997), so the realized grid is identical
+    across forward and reverse for a fixed p, and the reverse step map reads
+    bit-identical noise from the tree.
+    """
     from ..ops.brownian import VirtualBrownianTree
     from ..sensealg import DirectAdjoint
     from ..solvers.integrate import integrate_scan
-    from ..solvers.sde import AdaptiveEM
+    from ..solvers.sde import AdaptiveEM, AdaptiveMilstein
     from .common import save_hook_factory
 
     if key is None:
         key = jax.random.PRNGKey(0)
-    if sensealg is not None and not isinstance(sensealg, DirectAdjoint):
+    if sensealg is None:
+        sensealg = DirectAdjoint()
+    if not isinstance(
+        sensealg, (DirectAdjoint, InterpolatingAdjoint, BacksolveAdjoint)
+    ):
         raise NotImplementedError(
-            "adaptive SDE gradients flow via DirectAdjoint (reverse AD "
-            "through the masked scan); fixed-grid solves support the full "
-            "adjoint menu"
+            "adaptive SDE gradients: DirectAdjoint, InterpolatingAdjoint "
+            "(stored nodes), or BacksolveAdjoint (reconstructed nodes)"
         )
     t0, t1 = float(prob.tspan[0]), float(prob.tspan[1])
     u0vec, unravel_u = ravel_pytree(prob.u0)
@@ -377,10 +407,10 @@ def _solve_sde_adaptive(prob, *, saveat, key, sensealg, max_steps, rtol, atol):
 
     saveat = jnp.asarray([t0, t1] if saveat is None else saveat, dtype)
     nt = saveat.shape[0]
+    tdir = jnp.asarray(1.0 if t1 >= t0 else -1.0, dtype)
+    eps = jnp.finfo(dtype).eps
 
-    def run(u0, p):
-        u0v, _ = ravel_pytree(u0)
-
+    def make_flat(p):
         def fvec(uv, t):
             return ravel_pytree(prob.f(unravel_u(uv), p, t))[0]
 
@@ -391,29 +421,158 @@ def _solve_sde_adaptive(prob, *, saveat, key, sensealg, max_steps, rtol, atol):
             def gvec(uv, t):
                 return ravel_pytree(prob.g(unravel_u(uv), p, t))[0]
 
-        stepper = AdaptiveEM(gvec, vbt)
-        tdir = jnp.asarray(1.0 if t1 >= t0 else -1.0, dtype)
-        eps = jnp.finfo(dtype).eps
+        return fvec, gvec
+
+    def make_stepper(gvec):
+        if adaptive_kind == "milstein":
+            return AdaptiveMilstein(gvec, vbt)
+        return AdaptiveEM(gvec, vbt)
+
+    store_nodes = isinstance(sensealg, (InterpolatingAdjoint, BacksolveAdjoint))
+    keep_states = isinstance(sensealg, InterpolatingAdjoint)
+
+    def forward(u0v, p):
+        fvec, gvec = make_flat(p)
+        stepper = make_stepper(gvec)
         tol0 = 64.0 * eps * jnp.maximum(abs(t0), 1.0)
         pre = (saveat - t0) * tdir <= tol0
         k0 = jnp.sum(pre).astype(jnp.int32)
         buf0 = jnp.where(pre[:, None], u0v[None, :], jnp.zeros((nt, n), dtype))
-        hook = save_hook_factory(saveat, tdir, dtype)
-        # always_accept => previsible step sizes (h_n from past errors
-        # only): rejecting on the realized ΔW would bias the accepted
-        # increments (Gaines & Lyons 1997).
+        save_hook = save_hook_factory(saveat, tdir, dtype)
+
+        if store_nodes:
+            ts_buf0 = jnp.full((max_steps + 1,), t1, dtype).at[0].set(t0)
+            us_buf0 = (jnp.tile(u0v[None], (max_steps + 1, 1))
+                       if keep_states else None)
+
+            def hook(rec, carry):
+                sb, i_node, tsb, usb = carry
+                t_old, t_new, y0, f0, y1, f1 = rec
+                sb = save_hook(rec, sb)
+                i1 = jnp.minimum(i_node + 1, max_steps)
+                tsb = tsb.at[i1].set(t_new)
+                if usb is not None:
+                    usb = usb.at[i1].set(y1)
+                return (sb, i1, tsb, usb)
+
+            carry0 = ((buf0, k0), jnp.asarray(0, jnp.int32), ts_buf0, us_buf0)
+            res = integrate_scan(
+                stepper, fvec, t0, t1, u0v, rtol=rtol, atol=atol,
+                max_steps=max_steps, tstops=saveat, hook=hook,
+                hook_carry=carry0, always_accept=True,
+            )
+            (sbuf, _k), n_node, ts_nodes, us_nodes = res.hook_carry
+            return sbuf, res.stats, res.u_final, n_node, ts_nodes, us_nodes
         res = integrate_scan(
             stepper, fvec, t0, t1, u0v, rtol=rtol, atol=atol,
-            max_steps=max_steps, tstops=saveat, hook=hook,
+            max_steps=max_steps, tstops=saveat, hook=save_hook,
             hook_carry=(buf0, k0), always_accept=True,
         )
         buf, _ = res.hook_carry
-        return buf, res.stats
+        return buf, res.stats, res.u_final, None, None, None
 
-    ys_flat, stats = run(prob.u0, prob.p)
+    def step_map(uv, p, ta, tb):
+        """Reproduce the forward step [ta, tb] exactly (same tree reads)."""
+        fvec, gvec = make_flat(p)
+        stepper = make_stepper(gvec)
+        u1, _f1, _err = stepper.step(fvec, ta, tb - ta, uv, fvec(uv, ta))
+        return u1
+
+    if isinstance(sensealg, DirectAdjoint):
+        def run(u0, p):
+            u0v, _ = ravel_pytree(u0)
+            buf, stats, *_ = forward(u0v, p)
+            return buf, stats
+
+        ys_flat, stats = run(prob.u0, prob.p)
+    else:
+        snap = isinstance(sensealg, BacksolveAdjoint) and \
+            getattr(sensealg, "checkpointing", True)
+
+        @jax.custom_vjp
+        def run_vjp(u0, p):
+            u0v, _ = ravel_pytree(u0)
+            buf, stats, *_ = forward(u0v, p)
+            return buf, stats
+
+        def run_fwd(u0, p):
+            u0v, _ = ravel_pytree(u0)
+            buf, stats, u_fin, n_node, ts_nodes, us_nodes = forward(u0v, p)
+            return (buf, stats), (u0, p, buf, u_fin, n_node, ts_nodes,
+                                  us_nodes)
+
+        def run_bwd(res_, cot):
+            d_buf, _d_stats = cot
+            u0, p, sbuf, u_fin, n_node, ts_nodes, us_nodes = res_
+            tolt = 64.0 * eps * jnp.maximum(
+                jnp.maximum(abs(t0), abs(t1)), 1.0
+            )
+
+            def jump_and_snap(lam, u_rec, kk, t_node):
+                kc = jnp.clip(kk, 0, nt - 1)
+                hit = (kk >= 0) & (jnp.abs(saveat[kc] - t_node) <= tolt)
+                lam = lam + jnp.where(hit, d_buf[kc], jnp.zeros_like(lam))
+                if snap:
+                    u_rec = jnp.where(hit, sbuf[kc], u_rec)
+                kk = kk - hit.astype(kk.dtype)
+                return lam, u_rec, kk
+
+            def body(carry, j):
+                lam, q, u_rec, kk = carry
+                active = j < n_node
+                ta = ts_nodes[j]
+                tb = ts_nodes[j + 1]
+                lam, u_rec, kk = jax.lax.cond(
+                    active,
+                    lambda a: jump_and_snap(a[0], a[1], a[2], tb),
+                    lambda a: a,
+                    (lam, u_rec, kk),
+                )
+                if us_nodes is not None:
+                    u_j = us_nodes[j]
+                else:
+                    # backward reconstruction: Picard-solve the O(dt)
+                    # contraction u_j = u_rec − Δ(u_j) (same tree reads),
+                    # stabilized by the save-node snaps above
+                    u_j = u_rec
+                    for _ in range(6):
+                        u_j = u_rec - (step_map(u_j, p, ta, tb) - u_j)
+
+                def upd(args):
+                    lam_, q_ = args
+                    _, vjp_fn = jax.vjp(
+                        lambda uv, pp: step_map(uv, pp, ta, tb), u_j, p
+                    )
+                    ubar, pbar = vjp_fn(lam_)
+                    return ubar, jax.tree_util.tree_map(jnp.add, q_, pbar)
+
+                lam, q = jax.lax.cond(
+                    active, upd, lambda a: a, (lam, q)
+                )
+                u_rec = jnp.where(active, u_j, u_rec)
+                return (lam, q, u_rec, kk), None
+
+            lam0 = jnp.zeros(n, dtype)
+            q0 = jax.tree_util.tree_map(jnp.zeros_like, p)
+            (lam, q, _u, kk), _ = jax.lax.scan(
+                body, (lam0, q0, u_fin, jnp.asarray(nt - 1, jnp.int32)),
+                jnp.arange(max_steps - 1, -1, -1),
+            )
+            # jump at node 0 (t0 in saveat)
+            lam, _ur, kk = jump_and_snap(
+                lam, jnp.zeros(n, dtype), kk, jnp.asarray(t0, dtype)
+            )
+            _, unr_u0 = ravel_pytree(u0)
+            return unr_u0(lam), q
+
+        run_vjp.defvjp(run_fwd, run_bwd)
+        ys_flat, stats = run_vjp(prob.u0, prob.p)
+
     ys = jax.vmap(unravel_u)(ys_flat)
+    label = ("AdaptiveMilstein(VBT)" if adaptive_kind == "milstein"
+             else "AdaptiveEM(VBT)")
     return ODESolution(
         ts=saveat, ys=ys, stats=stats, retcode=stats.retcode, prob=prob,
-        solver="AdaptiveEM(VBT)", sensealg=sensealg, dense=None,
+        solver=label, sensealg=sensealg, dense=None,
         unravel_u=unravel_u,
     )

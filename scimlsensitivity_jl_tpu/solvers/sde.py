@@ -327,6 +327,41 @@ class ImplicitEM:
         return jax.lax.fori_loop(0, self.newton_iters, body, u0_guess)
 
 
+class AdaptiveMilstein:
+    """Adaptive Milstein on a VirtualBrownianTree (diagonal noise).
+
+    Propagates the strong-1.0 Milstein step; the embedded error estimate is
+    the Milstein–EM difference ½ g g' (ΔW² − h) — the leading term of EM's
+    local strong error, available for free from the step itself (the
+    "Milstein-based adaptive error" design; no step-doubling re-evaluation).
+    Same consistency property as AdaptiveEM: every (re)step reads W from the
+    same tree.
+    """
+
+    name = "AdaptiveMilstein"
+    interpretation = "ito"
+    order = 1
+    n_stages = 2
+
+    def __init__(self, gvec, vbt):
+        self.gvec = gvec
+        self.vbt = vbt
+
+    def step(self, fvec, t, dt, u, f0):
+        g = self.gvec
+        dW = self.vbt(t + dt) - self.vbt(t)
+        g0 = g(u, t)
+        if g0.ndim != 1:
+            raise NotImplementedError(
+                "AdaptiveMilstein covers diagonal noise; use AdaptiveEM for "
+                "general matrix noise"
+            )
+        corr = 0.5 * _gg_jvp(g, u, t, g0) * (dW ** 2 - dt)
+        u1 = u + dt * f0 + g0 * dW + corr
+        f1 = fvec(u1, t + dt)
+        return u1, f1, corr
+
+
 class AdaptiveEM:
     """Adaptive Euler-Maruyama on a VirtualBrownianTree.
 
