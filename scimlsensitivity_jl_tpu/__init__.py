@@ -35,7 +35,6 @@ from .sensealg import (
     JacVJP,
     NILSAS,
     NILSS,
-    PallasVJP,
     QuadratureAdjoint,
     SteadyStateAdjoint,
     TimeDilation,
@@ -150,7 +149,6 @@ __all__ = [
     "TimeDilation",
     "AutoVJP",
     "JacVJP",
-    "PallasVJP",
     "FiniteDiffVJP",
     "default_sensealg",
     "setvjp",

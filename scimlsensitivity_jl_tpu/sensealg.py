@@ -24,11 +24,20 @@ are kept:
                        wins when the adjoint solver reuses J, e.g. stiff)
   * FiniteDiffVJP()  — central differences (the numerical fallback at the end
                        of the reference's probe chain, concrete_solve.jl:39-143)
-  * PallasVJP        — reserved marker; Pallas-fused pullbacks compose at the
-                       model level (ops/pallas_mlp.fused_mlp2 carries its own
-                       fused backward kernel through any adjoint)
   * user override    — prob.vjp / prob.paramjac fast paths
                        (derivative_wrappers.jl:284-433)
+
+There is deliberately NO generic "PallasVJP" backend: a jax.vjp pullback is
+already ONE fused XLA computation, so a hand-written generic pullback kernel
+cannot beat the compiler (the reference's per-backend kernels exist because
+Julia hosts many AD engines, not because per-backend kernels win). The
+Pallas fusion surface in this framework is the FIELD itself — fused
+forward+pullback kernels attached with jax.custom_vjp at the model level
+(ops/pallas_mlp.fused_mlp2 for neural-ODE fields, ops/pallas_pde.fused_rd1d
+for large-flat-state PDE fields), which every sensealg's reverse pass then
+consumes as a single kernel launch per evaluation. That is the architectural
+translation of the Reactant seam (ext/SciMLSensitivityReactantExt.jl:32-134:
+one compiled call returning f, λᵀ∂f/∂u, λᵀ∂f/∂p).
 """
 
 from __future__ import annotations
@@ -43,7 +52,6 @@ __all__ = [
     "VJPChoice",
     "AutoVJP",
     "JacVJP",
-    "PallasVJP",
     "FiniteDiffVJP",
     "ForwardSensitivity",
     "ForwardDiffSensitivity",
@@ -84,11 +92,6 @@ class AutoVJP(VJPChoice):
 @dataclass(frozen=True)
 class JacVJP(VJPChoice):
     """Materialize ∂f/∂u and ∂f/∂p, then contract (reference Bool path)."""
-
-
-@dataclass(frozen=True)
-class PallasVJP(VJPChoice):
-    """Pallas-fused pullback matvecs for large flat states."""
 
 
 @dataclass(frozen=True)
