@@ -59,9 +59,20 @@ def solve_rode(
     sensealg=None,
 ) -> ODESolution:
     """Random ODE u' = f(u, p, t, W(t)) on a fixed grid (RandomEM scheme),
-    driving path W from counter-based increments (reference RODE adjoints:
-    src/interpolating_adjoint.jl:615-746 — here the discrete adjoint through
-    the scan is exact, so one path covers the family)."""
+    driving path W from counter-based increments.
+
+    Adjoint menu (reference RODEAdjointProblem for Interpolating/Backsolve,
+    src/interpolating_adjoint.jl:615-746, backsolve_adjoint.jl:421-521 —
+    here each is the exact DISCRETE adjoint of the realized scheme over the
+    regenerable path):
+
+      DirectAdjoint / None  — plain reverse AD through the scan
+      InterpolatingAdjoint  — stored node trajectory, one fused step-map vjp
+                              per reverse node
+      BacksolveAdjoint      — states reconstructed backwards (Picard inverse
+                              of the step increment, same W regenerated),
+                              snapped to saved values at each save node.
+    """
     from ..ops.brownian import grid_path
     from ..problems import RODEProblem
 
@@ -92,29 +103,92 @@ def solve_rode(
     ns = save_steps.shape[0]
     f_user = prob.f
 
-    def run(u0, p):
-        u0v, _ = ravel_pytree(u0)
+    def step_map(uv, p, i):
+        du = ravel_pytree(f_user(unravel_u(uv), p, ts_nodes[i], W[i]))[0]
+        return uv + dt_a * du
 
-        def capture(buf, i_next, u_next):
-            k = jnp.clip(jnp.searchsorted(save_steps, i_next), 0, ns - 1)
-            hit = save_steps[k] == i_next
-            return buf.at[k].set(jnp.where(hit, u_next, buf[k]))
+    def capture(buf, i_next, u_next):
+        k = jnp.clip(jnp.searchsorted(save_steps, i_next), 0, ns - 1)
+        hit = save_steps[k] == i_next
+        return buf.at[k].set(jnp.where(hit, u_next, buf[k]))
 
+    def forward_scan(u0v, p, store_traj: bool):
         buf = capture(jnp.zeros((ns, n), dtype), 0, u0v)
 
         def body(carry, i):
             uv, b = carry
-            du = ravel_pytree(
-                f_user(unravel_u(uv), p, ts_nodes[i], W[i])
-            )[0]
-            u1 = uv + dt_a * du
+            u1 = step_map(uv, p, i)
             b = capture(b, i + 1, u1)
-            return (u1, b), None
+            return (u1, b), (u1 if store_traj else None)
 
-        (_, buf), _ = jax.lax.scan(body, (u0v, buf), jnp.arange(n_steps))
-        return buf
+        (u_f, buf), traj = jax.lax.scan(body, (u0v, buf), jnp.arange(n_steps))
+        if store_traj:
+            traj = jnp.concatenate([u0v[None], traj], axis=0)
+        return u_f, buf, traj
 
-    ys_flat = run(prob.u0, prob.p)
+    if sensealg is None or isinstance(sensealg, DirectAdjoint):
+        def run(u0, p):
+            u0v, _ = ravel_pytree(u0)
+            _, buf, _ = forward_scan(u0v, p, store_traj=False)
+            return buf
+
+        ys_flat = run(prob.u0, prob.p)
+    elif isinstance(sensealg, (InterpolatingAdjoint, BacksolveAdjoint)):
+        stored = isinstance(sensealg, InterpolatingAdjoint)
+        snap = (not stored) and getattr(sensealg, "checkpointing", True)
+
+        @jax.custom_vjp
+        def run(u0, p):
+            u0v, _ = ravel_pytree(u0)
+            _, buf, _ = forward_scan(u0v, p, store_traj=False)
+            return buf
+
+        def run_fwd(u0, p):
+            u0v, _ = ravel_pytree(u0)
+            u_f, buf, traj = forward_scan(u0v, p, store_traj=stored)
+            return buf, (u0, p, u_f, buf, traj)
+
+        def run_bwd(res, d_buf):
+            u0, p, u_f, sbuf, traj = res
+
+            def node_jump(lam, u_rec, i_node):
+                k = jnp.clip(jnp.searchsorted(save_steps, i_node), 0, ns - 1)
+                hit = save_steps[k] == i_node
+                lam = lam + jnp.where(hit, d_buf[k], jnp.zeros_like(lam))
+                if snap:
+                    u_rec = jnp.where(hit, sbuf[k], u_rec)
+                return lam, u_rec
+
+            def body(carry, j):
+                lam, q, u_rec = carry
+                lam, u_rec = node_jump(lam, u_rec, j + 1)
+                if traj is not None:
+                    u_j = traj[j]
+                else:
+                    u_j = u_rec
+                    for _ in range(6):
+                        u_j = u_rec - (step_map(u_j, p, j) - u_j)
+                _, vjp_fn = jax.vjp(
+                    lambda uv, pp: step_map(uv, pp, j), u_j, p
+                )
+                ubar, pbar = vjp_fn(lam)
+                q = jax.tree_util.tree_map(jnp.add, q, pbar)
+                return (ubar, q, u_j), None
+
+            lam0 = jnp.zeros(n, dtype)
+            q0 = jax.tree_util.tree_map(jnp.zeros_like, p)
+            (lam, q, _), _ = jax.lax.scan(
+                body, (lam0, q0, u_f), jnp.arange(n_steps - 1, -1, -1)
+            )
+            lam, _ = node_jump(lam, jnp.zeros(n, dtype), 0)
+            _, unr_u0 = ravel_pytree(u0)
+            return unr_u0(lam), q
+
+        run.defvjp(run_fwd, run_bwd)
+        ys_flat = run(prob.u0, prob.p)
+    else:
+        raise NotImplementedError(f"RODE sensealg {sensealg!r} unsupported")
+
     ys = jax.vmap(unravel_u)(ys_flat)
     stats = Stats(
         n_accepted=jnp.asarray(n_steps, jnp.int32),
