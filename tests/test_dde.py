@@ -29,6 +29,47 @@ def test_dde_exact_piecewise():
         np.asarray(sol.ys[:, 0]), expect)
 
 
+def test_dde_order4_convergence():
+    # Smooth oracle with NO breaking points: u' = -(1/e) u(t-1) with
+    # history e^{-t} has the exact global solution e^{-t}.  Hermite delay
+    # interpolation should keep RK4 at ~order 4.
+    c = float(np.exp(-1.0))
+
+    def err(dt):
+        prob = DDEProblem(
+            lambda u, h, p, t: -c * h[0], jnp.array([1.0]), (0.0, 2.0),
+            None, lags=(1.0,), history=lambda t: jnp.array([jnp.exp(-t)]),
+        )
+        sol = solve(prob, dt=dt, saveat=jnp.array([0.0, 2.0]))
+        return abs(float(sol.ys[-1, 0]) - float(np.exp(-2.0)))
+
+    e1, e2 = err(0.1), err(0.05)
+    slope = np.log2(e1 / e2)
+    assert slope > 3.5, (e1, e2, slope)
+
+
+def test_dde_lag_not_multiple_of_dt():
+    # lag = 1/3 is not on the dt = 0.01 grid; method-of-steps oracle:
+    # u' = -u(t - tau), u == 1 for t <= 0.
+    tau = 1.0 / 3.0
+    prob = DDEProblem(
+        lambda u, h, p, t: -h[0], jnp.array([1.0]), (0.0, 0.9), None,
+        lags=(tau,),
+    )
+    sol = solve(prob, dt=0.01, saveat=jnp.array([0.0, 0.3, 0.6, 0.9]))
+
+    def exact(t):
+        if t <= tau:
+            return 1.0 - t
+        if t <= 2 * tau:
+            return 1.0 - t + (t - tau) ** 2 / 2.0
+        return 1.0 - t + (t - tau) ** 2 / 2.0 - (t - 2 * tau) ** 3 / 6.0
+
+    expect = np.array([exact(float(t)) for t in sol.ts])
+    assert np.allclose(np.asarray(sol.ys[:, 0]), expect, atol=5e-5), (
+        np.asarray(sol.ys[:, 0]), expect)
+
+
 def test_dde_gradient_vs_fd():
     # parameterized delay feedback: u' = -p*u(t-0.5)
     def loss(p):
