@@ -4,10 +4,14 @@ Configs and their published reference numbers (docs/src/Benchmark.md,
 BASELINE.md — spiral neural ODE: 2→50→2 tanh MLP, Tsit5, 30 saveat,
 Float32, gradient wrt MLP params):
 
+  spiral_gauss_adjoint           vs 1.657 ms (default heuristic's pick;
+                                 compared to the reference's best spiral)
   spiral_interpolating_adjoint   vs 1.657 ms (Interp + ReverseDiffVJP(true))
   spiral_backsolve_adjoint       vs 2.477 ms (Backsolve + ReverseDiffVJP(true))
   spiral_quadrature_adjoint      vs 2.490 ms (Quadrature + ReverseDiffVJP(true))
   spiral_direct_scan             vs 3.759 ms (TrackerAdjoint, discrete)
+  spiral_adaptive_unrolled       vs 1.657 ms (adaptive masked-scan fully
+                                 unrolled: straight-line XLA adaptivity)
   spiral_unrolled (headline)     vs 1.657 ms (fixed-grid unrolled discrete
                                  adjoint at the same ~1e-3 accuracy class)
   spiral_fwd_grad_ratio          north star < 1.5× (BASELINE.md)
@@ -64,7 +68,15 @@ def _emit(metric, ms, ref_ms=None, unit="ms"):
     rec = {"metric": metric, "value": round(ms, 4), "unit": unit}
     if ref_ms is not None:
         rec["vs_baseline"] = round(ref_ms / ms, 3)
-    print(json.dumps(rec), flush=True)
+    line = json.dumps(rec)
+    print(line, flush=True)
+    # the driver records only the last line; keep the full menu locally
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "bench_results.jsonl"), "a") as fh:
+            fh.write(line + "\n")
+    except OSError:
+        pass
 
 
 def _spiral_setup():
@@ -84,7 +96,8 @@ def _spiral_setup():
     return params, u0, data, ts
 
 
-def _spiral_loss_factory(sensealg, adaptive=True, unroll=False):
+def _spiral_loss_factory(sensealg, adaptive=True, unroll=False,
+                         max_steps=256):
     from scimlsensitivity_jl_tpu import ODEProblem, Tsit5, solve
     from scimlsensitivity_jl_tpu.models.neural_ode import mlp_apply
 
@@ -101,7 +114,8 @@ def _spiral_loss_factory(sensealg, adaptive=True, unroll=False):
         def loss(p, u0, data, ts):
             prob = ODEProblem(field, u0, (0.0, 1.5), p)
             sol = solve(prob, Tsit5(), saveat=ts, rtol=1e-3, atol=1e-6,
-                        sensealg=sensealg, max_steps=256)
+                        sensealg=sensealg, max_steps=max_steps,
+                        unroll=unroll)
             return jnp.sum((sol.ys - data) ** 2)
 
     return loss
@@ -124,18 +138,23 @@ def bench_spiral_adaptive_menu():
     from scimlsensitivity_jl_tpu import (
         BacksolveAdjoint,
         DirectAdjoint,
+        GaussAdjoint,
         InterpolatingAdjoint,
         QuadratureAdjoint,
     )
 
     args = _spiral_setup()
     menu = [
+        # GaussAdjoint is the default heuristic's pick (λ-only reverse);
+        # the reference's docs table has no Gauss line, so compare to its
+        # best published spiral number.
+        ("spiral_gauss_adjoint", GaussAdjoint(), 1.657),
         ("spiral_interpolating_adjoint", InterpolatingAdjoint(), 1.657),
         ("spiral_backsolve_adjoint", BacksolveAdjoint(), 2.477),
         ("spiral_quadrature_adjoint", QuadratureAdjoint(), 2.490),
         ("spiral_direct_scan", DirectAdjoint(), 3.759),
     ]
-    interp_ms = None
+    gauss_ms = None
     for name, alg, ref in menu:
         if _left() < 300:
             break
@@ -143,19 +162,38 @@ def bench_spiral_adaptive_menu():
             grad_fn = jax.jit(jax.grad(_spiral_loss_factory(alg)))
             ms = _time_fn(grad_fn, args, 20)
             _emit(name, ms, ref)
-            if name == "spiral_interpolating_adjoint":
-                interp_ms = ms
+            if name == "spiral_gauss_adjoint":
+                gauss_ms = ms
         except Exception as e:  # pragma: no cover
             print(json.dumps({"metric": name, "error": str(e)[:200]}),
                   flush=True)
 
-    # forward/grad cost ratio against the <1.5x north star
-    if interp_ms is not None and _left() > 240:
+    # adaptive-UNROLLED: real PI-controlled adaptivity as straight-line XLA
+    # (no loop HLO → fast dispatch channel). Compile is expensive (unrolled
+    # 48-step backward), so only with budget headroom.
+    if _left() > 900:
+        try:
+            grad_fn = jax.jit(jax.grad(_spiral_loss_factory(
+                DirectAdjoint(), unroll=True, max_steps=48)))
+            g = grad_fn(*args)
+            finite = all(bool(jnp.all(jnp.isfinite(x)))
+                         for x in jax.tree_util.tree_leaves(g))
+            if not finite:
+                raise RuntimeError(
+                    "NaN gradient (max_steps hit? retcode poisoning)")
+            ms = _time_fn(grad_fn, args, 50)
+            _emit("spiral_adaptive_unrolled", ms, 1.657)
+        except Exception as e:  # pragma: no cover
+            print(json.dumps({"metric": "spiral_adaptive_unrolled",
+                              "error": str(e)[:200]}), flush=True)
+
+    # forward/grad cost ratio against the <1.5x north star, on the default
+    # sensealg (GaussAdjoint: λ-only reverse — the fair apples-to-apples
+    # "cost of the gradient on the algorithm the heuristic picks")
+    if gauss_ms is not None and _left() > 240:
         try:
             from scimlsensitivity_jl_tpu import ODEProblem, Tsit5, solve
             from scimlsensitivity_jl_tpu.models.neural_ode import mlp_apply
-
-            from scimlsensitivity_jl_tpu import GaussAdjoint
 
             def fwd_only(p, u0, data, ts):
                 # primal only (no grad transform): the adjoint rule's
@@ -169,8 +207,8 @@ def bench_spiral_adaptive_menu():
             fwd_fn = jax.jit(fwd_only)
             fwd_ms = _time_fn(fwd_fn, args, 20)
             rec = {"metric": "spiral_fwd_grad_ratio",
-                   "value": round(interp_ms / fwd_ms, 3), "unit": "x",
-                   "vs_baseline": round(1.5 / (interp_ms / fwd_ms), 3)}
+                   "value": round(gauss_ms / fwd_ms, 3), "unit": "x",
+                   "vs_baseline": round(1.5 / (gauss_ms / fwd_ms), 3)}
             print(json.dumps(rec), flush=True)
         except Exception as e:  # pragma: no cover
             print(json.dumps({"metric": "spiral_fwd_grad_ratio",
@@ -339,13 +377,7 @@ def bench_pde_pallas():
                       "plain_ms": round(ms_plain, 4)}), flush=True)
 
 
-def main():
-    # Headline FIRST (so a budget overrun can't lose it) but printed last.
-    args = _spiral_setup()
-    grad_fn = jax.jit(jax.grad(_spiral_loss_factory(None, adaptive=False,
-                                                    unroll=True)))
-    headline_ms = _time_fn(grad_fn, args, 200)
-
+def run_extras():
     extras = [
         bench_loop_floor,
         bench_spiral_adaptive_menu,
@@ -366,8 +398,46 @@ def main():
             print(json.dumps({"metric": fn.__name__,
                               "error": str(e)[:200]}), flush=True)
 
+
+def main():
+    # The extras run in a BOUNDED subprocess before this process touches
+    # the accelerator (single-client): a hung compile there cannot cost
+    # the headline, which the parent computes after and prints LAST (the
+    # driver parses the last JSON line).
+    import subprocess
+    import sys
+
+    headline_reserve = 900.0
+    child_budget = max(_left() - headline_reserve, 0.0)
+    if child_budget > 180:
+        env = dict(os.environ, BENCH_BUDGET_S=str(child_budget))
+        # propagate a config-level platform override (e.g. the CPU
+        # dry-run's jax.config.update) to the child, which only sees env
+        plat = jax.config.jax_platforms
+        if plat:
+            env["JAX_PLATFORMS"] = plat
+        try:
+            subprocess.run([sys.executable, os.path.abspath(__file__),
+                            "--extras"], timeout=child_budget + 120,
+                           env=env,
+                           cwd=os.path.dirname(os.path.abspath(__file__)))
+        except subprocess.TimeoutExpired:
+            print(json.dumps({"metric": "extras_timeout"}), flush=True)
+    else:
+        print(json.dumps({"metric": "extras_skipped_low_budget"}),
+              flush=True)
+
+    args = _spiral_setup()
+    grad_fn = jax.jit(jax.grad(_spiral_loss_factory(None, adaptive=False,
+                                                    unroll=True)))
+    headline_ms = _time_fn(grad_fn, args, 200)
     _emit("spiral_neural_ode_gradient_time", headline_ms, 1.657)
 
 
 if __name__ == "__main__":
-    main()
+    import sys as _sys
+
+    if "--extras" in _sys.argv:
+        run_extras()
+    else:
+        main()

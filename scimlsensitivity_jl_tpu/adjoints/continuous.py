@@ -302,14 +302,19 @@ def make_gauss_quad_hook(kern, p, dense, sensealg, t0, t1, dtype, npf,
 
 
 def adaptive_gk_dp(kern, p, dense, lam_dense, sensealg, dtype, npf, q_init,
-                   extra_p=None):
+                   extra_p=None, base_ts=None):
     """QuadratureAdjoint's post-reverse dG/dp: h-adaptive Gauss–Kronrod over
     the recorded λ dense output (the TPU formulation of quadgk,
     quadrature_adjoint.jl:536-633). Base partition: one GK(7,15) panel per
-    recorded reverse step; a budgeted worklist then bisects the interval
-    with the largest embedded error until Σerr ≤ max(abstol, reltol·‖q‖),
-    bounded by max_depth splits per interval. extra_p(yvec, t) -> (npf,)
-    adds a continuous-cost ∂g/∂p integrand term."""
+    data segment (`base_ts`, ascending — the reference's segment-by-segment
+    quadgk; λ is smooth between its jump times so GK15 + refinement is
+    enough), falling back to one panel per recorded reverse step when
+    base_ts is None (required with events: λ also jumps at event times,
+    which the reverse step grid resolves). A budgeted worklist then bisects
+    the interval with the largest embedded error until
+    Σerr ≤ max(abstol, reltol·‖q‖), bounded by max_depth splits per
+    interval. extra_p(yvec, t) -> (npf,) adds a continuous-cost ∂g/∂p
+    integrand term."""
     xk15, wk15, wg7 = gauss_kronrod_01(7, dtype)
 
     def integrand(tj):
@@ -330,9 +335,10 @@ def adaptive_gk_dp(kern, p, dense, lam_dense, sensealg, dtype, npf, q_init,
         )
         return est, err
 
-    msub = lam_dense.ts.shape[0] - 1
+    grid = lam_dense.ts if base_ts is None else base_ts[::-1]
+    msub = grid.shape[0] - 1
     ests, errs = jax.vmap(
-        lambda k: gk_panel(lam_dense.ts[k], lam_dense.ts[k + 1])
+        lambda k: gk_panel(grid[k], grid[k + 1])
     )(jnp.arange(msub))
     q = jnp.sum(ests, axis=0) + q_init
 
@@ -341,9 +347,9 @@ def adaptive_gk_dp(kern, p, dense, lam_dense, sensealg, dtype, npf, q_init,
     if npf == 0 or R == 0:
         return q
 
-    tsd = lam_dense.ts.dtype
-    a0 = jnp.concatenate([lam_dense.ts[:msub], jnp.zeros(R, tsd)])
-    b0 = jnp.concatenate([lam_dense.ts[1:msub + 1], jnp.zeros(R, tsd)])
+    tsd = grid.dtype
+    a0 = jnp.concatenate([grid[:msub], jnp.zeros(R, tsd)])
+    b0 = jnp.concatenate([grid[1:msub + 1], jnp.zeros(R, tsd)])
     err0 = jnp.concatenate([errs, jnp.zeros(R, errs.dtype)])
     dep0 = jnp.zeros(msub + R, jnp.int32).at[msub:].set(depth_cap)
 
@@ -937,7 +943,8 @@ def make_ode_solve_fn(f, solver, sensealg, opts: SolveOptions, t0, t1, *,
         )
 
         q = adaptive_gk_dp(kern, p, dense, lam_dense, sensealg,
-                           u0vec.dtype, npf, q_ev)
+                           u0vec.dtype, npf, q_ev,
+                           base_ts=times if event_set is None else None)
         if M_fwd is not None:
             q = q + jnp.sum(dae_qjs, axis=0)
             lam = du0_map(lam)

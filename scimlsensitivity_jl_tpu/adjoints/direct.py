@@ -106,8 +106,15 @@ def make_fixed_grid_solve_fn(f, solver, opts: SolveOptions, t0, t1, *,
     return solve_fn
 
 
-def make_direct_solve_fn(f, solver, sensealg, opts: SolveOptions, t0, t1):
+def make_direct_solve_fn(f, solver, sensealg, opts: SolveOptions, t0, t1,
+                         unroll: bool = False):
     max_steps = sensealg.max_steps or opts.max_steps
+    if unroll and max_steps > 256:
+        raise ValueError(
+            "solve(adaptive=True, unroll=True) emits max_steps straight-line "
+            f"solver steps; max_steps={max_steps} would explode compile "
+            "time. Bound max_steps (or sensealg.max_steps) to ≤ 256."
+        )
 
     def solve_fn(u0, p, saveat):
         u0vec, unravel_u = ravel_pytree(u0)
@@ -144,7 +151,7 @@ def make_direct_solve_fn(f, solver, sensealg, opts: SolveOptions, t0, t1):
             rtol=opts.rtol, atol=opts.atol, dt0=opts.dt0,
             max_steps=max_steps, tstops=stops,
             hook=hook, hook_carry=(buf0, k0),
-            event_set=es,
+            event_set=es, unroll=unroll,
         )
         ys_save, _ = res.hook_carry
         ys = jax.vmap(unravel_u)(ys_save)

@@ -95,11 +95,17 @@ def solve_rode(
         saveat = jnp.asarray(saveat, dtype)
     import numpy as _np
 
-    steps_f = (_np.asarray(saveat) - t0) / float(dt_a)
-    save_steps_np = _np.rint(steps_f).astype(int)
-    if not _np.allclose(steps_f, save_steps_np, atol=1e-8):
-        raise ValueError("RODE saveat times must lie on the dt grid")
-    save_steps = jnp.asarray(save_steps_np)
+    # validated eagerly; trusted under an outer jit (staged saveat)
+    try:
+        steps_f = (_np.asarray(saveat) - t0) / ((t1 - t0) / n_steps)
+        save_steps_np = _np.rint(steps_f).astype(int)
+        if not _np.allclose(steps_f, save_steps_np, atol=1e-8):
+            raise ValueError("RODE saveat times must lie on the dt grid")
+        save_steps = jnp.asarray(save_steps_np)
+    except jax.errors.TracerArrayConversionError:
+        save_steps = jnp.clip(
+            jnp.rint((saveat - t0) / dt_a).astype(jnp.int32), 0, n_steps
+        )
     ns = save_steps.shape[0]
     f_user = prob.f
 
@@ -267,16 +273,25 @@ def solve_sde(
     else:
         saveat = jnp.asarray(saveat, dtype)
     # Save times must sit on the grid (fixed-shape capture by node index).
+    # Validated eagerly; under an outer jit (saveat staged to a tracer —
+    # even endpoint defaults) the grid alignment is trusted, same pattern
+    # as the fixed-grid ODE driver.
     import numpy as _np
 
-    sv = _np.asarray(saveat)
-    steps_f = (sv - t0) / float(dt_a)
-    save_steps_np = _np.rint(steps_f).astype(int)
-    if not _np.allclose(steps_f, save_steps_np, atol=1e-8):
-        raise ValueError(
-            f"SDE saveat times must lie on the dt grid; got offsets {steps_f}"
+    try:
+        sv = _np.asarray(saveat)
+        steps_f = (sv - t0) / float((t1 - t0) / n_steps)
+        save_steps_np = _np.rint(steps_f).astype(int)
+        if not _np.allclose(steps_f, save_steps_np, atol=1e-8):
+            raise ValueError(
+                f"SDE saveat times must lie on the dt grid; got offsets "
+                f"{steps_f}"
+            )
+        save_steps = jnp.asarray(save_steps_np)
+    except jax.errors.TracerArrayConversionError:
+        save_steps = jnp.clip(
+            jnp.rint((saveat - t0) / dt_a).astype(jnp.int32), 0, n_steps
         )
-    save_steps = jnp.asarray(save_steps_np)
     ns = save_steps.shape[0]
 
     f_user, g_user = prob.f, prob.g

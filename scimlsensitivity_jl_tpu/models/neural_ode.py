@@ -26,6 +26,7 @@ __all__ = [
     "spiral_data",
     "mnist_node_init",
     "mnist_node_apply",
+    "neural_sde",
 ]
 
 
@@ -101,6 +102,41 @@ def mnist_node_init(key, hidden: int = 64, feature: int = 64,
         "field": mlp_init(k2, (feature, hidden, feature), dtype),
         "head": mlp_init(k3, (feature, 10), dtype),
     }
+
+
+def neural_sde(key=None, d: int = 2, hidden: int = 32, dtype=jnp.float32,
+               sigma_scale: float = 0.1):
+    """Neural SDE (reference: test/Core4/sde_neural.jl — MLP drift + MLP
+    diagonal diffusion differentiated through the SDE adjoints).
+
+    drift  f(u) = MLP_f(u)                     (d → hidden → d, tanh)
+    diffusion g(u) = sigma_scale·softplus(MLP_g(u))  (diagonal, positive)
+
+    Returns (params, make_prob): make_prob(params, u0=..., T=...) builds an
+    SDEProblem with diagonal noise; solve with an SDE scheme + any SDE
+    sensealg (DirectAdjoint / Interpolating / Backsolve over replayable
+    counter-based noise).
+    """
+    from ..problems import SDEProblem
+
+    key = key if key is not None else jax.random.PRNGKey(0)
+    kf, kg = jax.random.split(key)
+    params = {
+        "drift": mlp_init(kf, (d, hidden, d), dtype),
+        "diffusion": mlp_init(kg, (d, hidden, d), dtype),
+    }
+
+    def f(u, p, t):
+        return mlp_apply(p["drift"], u)
+
+    def g(u, p, t):
+        return sigma_scale * jax.nn.softplus(mlp_apply(p["diffusion"], u))
+
+    def make_prob(p, u0=None, T=1.0):
+        u0 = jnp.ones((d,), dtype) if u0 is None else u0
+        return SDEProblem(f, g, u0, (0.0, float(T)), p, noise="diagonal")
+
+    return params, make_prob
 
 
 def mnist_node_apply(params, x, solve_fn):

@@ -294,6 +294,15 @@ def _solve_ode(prob, solver, *, saveat, rtol, atol, dt0, dt, max_steps,
         dtmax=dtmax,
     )
 
+    if adaptive and unroll and not isinstance(sensealg, DirectAdjoint):
+        # no silent no-op knobs: unrolled adaptivity exists only in the
+        # masked-scan driver
+        raise NotImplementedError(
+            "unroll=True with adaptive=True is supported by DirectAdjoint "
+            "(masked-scan driver) only; other sensealgs run the while_loop "
+            "driver. Use sensealg=DirectAdjoint() or adaptive=False."
+        )
+
     if not adaptive:
         # Fixed-grid mode: dt required; plain AD (discrete adjoint) through
         # the step graph; unroll=True emits straight-line XLA (no loop
@@ -324,7 +333,11 @@ def _solve_ode(prob, solver, *, saveat, rtol, atol, dt0, dt, max_steps,
     elif isinstance(sensealg, DirectAdjoint):
         from .adjoints.direct import make_direct_solve_fn
 
-        fn = make_direct_solve_fn(prob.f, solver, sensealg, opts, t0, t1)
+        # adaptive + unroll: PI-controlled adaptivity over a fixed trip
+        # count, fully unrolled into straight-line XLA (fast dispatch
+        # channel on loop-latency-bound runtimes).
+        fn = make_direct_solve_fn(prob.f, solver, sensealg, opts, t0, t1,
+                                  unroll=unroll)
         ys, aux = fn(prob.u0, prob.p, saveat)
     elif isinstance(sensealg, (_FLSS, _ALSS, _NILSS, _NILSAS)):
         # Shadowing rrule (reference concrete_solve.jl:2416-2565): forward is

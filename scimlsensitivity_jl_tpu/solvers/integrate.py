@@ -442,9 +442,15 @@ def integrate_scan(
     factor_max=10.0,
     always_accept: bool = False,
     event_set=None,
+    unroll: bool = False,
 ) -> IntegrateResult:
     """Adaptive integration with a *fixed* trip count (`lax.scan` with
     masking) — reverse-mode differentiable, unlike the while_loop driver.
+
+    unroll=True fully unrolls the scan into straight-line XLA (no loop
+    HLO): real PI-controlled adaptivity at fixed-grid dispatch latency on
+    hardware where any loop construct carries a flat per-dispatch cost.
+    Compile time grows with max_steps — bound it (≤ ~256).
 
     always_accept=True makes the controller PREVISIBLE: every step is taken
     and the error only steers the NEXT step's size (Gaines-Lyons-compatible
@@ -566,7 +572,7 @@ def integrate_scan(
         jnp.asarray(-1, jnp.int32), hook_carry, ev0,
     )
     (t, u, f, dt, _, n_acc, n_rej, status, hc, ev_fin), _ = jax.lax.scan(
-        body, init, None, length=max_steps
+        body, init, None, length=max_steps, unroll=True if unroll else 1
     )
     status = jnp.where(status < 0, RETCODE_MAXITERS, status).astype(jnp.int32)
 

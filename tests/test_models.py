@@ -3,6 +3,7 @@ config) and the MNIST-style neural-ODE classifier (BASELINE config 3;
 synthetic data — the environment has no dataset egress)."""
 
 import jax
+import jax.flatten_util
 import jax.numpy as jnp
 import numpy as np
 import optax
@@ -69,5 +70,41 @@ def test_mnist_node_classifier_step():
     assert np.isfinite(float(l0))
     # one SGD step reduces the loss
     p1 = jax.tree_util.tree_map(lambda a, b: a - 0.5 * b, params, g0)
+    l1, _ = vg(p1)
+    assert float(l1) < float(l0)
+
+
+def test_neural_sde_trains():
+    # Reference: test/Core4/sde_neural.jl — gradients through a neural SDE
+    # (MLP drift + MLP diagonal diffusion) on a fixed noise realization.
+    from scimlsensitivity_jl_tpu import DirectAdjoint, EulerMaruyama
+    from scimlsensitivity_jl_tpu.models.neural_ode import neural_sde
+
+    params, make_prob = neural_sde(jax.random.PRNGKey(3), d=2, hidden=8,
+                                   dtype=jnp.float64)
+    key = jax.random.PRNGKey(7)
+    target = jnp.array([0.5, -0.25])
+
+    def loss(p):
+        sol = solve(make_prob(p, T=0.5), EulerMaruyama(), dt=1.0 / 64,
+                    key=key, sensealg=DirectAdjoint())
+        return jnp.sum((sol.ys[-1] - target) ** 2)
+
+    vg = jax.jit(jax.value_and_grad(loss))
+    l0, g0 = vg(params)
+    assert np.isfinite(float(l0))
+    assert all(np.all(np.isfinite(x))
+               for x in jax.tree_util.tree_leaves(g0))
+    # gradient vs finite differences on one drift weight (same noise path)
+    flat, unravel = jax.flatten_util.ravel_pytree(params)
+    gflat = jax.flatten_util.ravel_pytree(g0)[0]
+    i = int(jnp.argmax(jnp.abs(gflat)))
+    eps = 1e-6
+    lp = float(loss(unravel(flat.at[i].add(eps))))
+    lm = float(loss(unravel(flat.at[i].add(-eps))))
+    fd = (lp - lm) / (2 * eps)
+    assert np.isclose(float(gflat[i]), fd, rtol=1e-5), (float(gflat[i]), fd)
+    # one gradient step reduces the loss
+    p1 = jax.tree_util.tree_map(lambda a, b: a - 0.2 * b, params, g0)
     l1, _ = vg(p1)
     assert float(l1) < float(l0)
