@@ -43,6 +43,15 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# Persistent compilation cache: repeat driver runs (and the extras child)
+# skip recompiles — compile time is the dominant bench risk on the
+# remote-compile tunnel.
+try:
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass
+
 BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "2400"))
 _T0 = time.time()
 
@@ -132,6 +141,27 @@ def bench_loop_floor():
 
     ms = _time_fn(trivial, (jnp.zeros(()),), 50)
     _emit("loop_dispatch_floor", ms)
+
+
+def bench_spiral_vmap_batch():
+    """Amortized per-trajectory gradient cost at batch 256 (vmapped loss,
+    GaussAdjoint): the loop-dispatch floor spreads across the batch — the
+    TPU-native answer to 'the menu pays a per-dispatch floor'."""
+    from scimlsensitivity_jl_tpu import GaussAdjoint
+
+    params, u0, data, ts = _spiral_setup()
+    B = 256
+    u0s = jnp.tile(u0[None], (B, 1)) * (1.0 + jnp.arange(B)[:, None] / B)
+    loss1 = _spiral_loss_factory(GaussAdjoint())
+
+    def batch_loss(p, u0s, data, ts):
+        return jnp.sum(jax.vmap(lambda u: loss1(p, u, data, ts))(u0s))
+
+    grad_fn = jax.jit(jax.grad(batch_loss))
+    ms = _time_fn(grad_fn, (params, u0s, data, ts), 10)
+    rec = {"metric": "spiral_vmap256_per_traj", "value": round(ms / B, 4),
+           "unit": "ms", "vs_baseline": round(1.657 / (ms / B), 3)}
+    print(json.dumps(rec), flush=True)
 
 
 def bench_spiral_adaptive_menu():
@@ -335,6 +365,24 @@ def bench_nilss():
     ms = _time_fn(fn, (jnp.array([28.0], jnp.float32),), 5)
     _emit("lorenz_nilss", ms)
 
+    # transfer-operator mode: segments solved as ONE vmapped batch instead
+    # of a 10-iteration python sweep — the parallel formulation the serial
+    # reference cannot express. Emits sequential/parallel speedup.
+    def runner_par(p):
+        prob = ODEProblem(lorenz, jnp.array([1.0, 1.0, 25.0], jnp.float32),
+                          (0.0, 20.0), p)
+        np_ = NILSSProblem(prob, NILSS(nseg=10, nstep=100),
+                           g=lambda u, q, t: u[2])
+        return nilss_shadow_forward(np_, rtol=1e-6, atol=1e-8,
+                                    segment_parallel=True)[0]
+
+    fn_par = jax.jit(runner_par)
+    ms_par = _time_fn(fn_par, (jnp.array([28.0], jnp.float32),), 5)
+    rec = {"metric": "lorenz_nilss_segment_parallel", "value":
+           round(ms_par, 4), "unit": "ms",
+           "sequential_over_parallel": round(ms / ms_par, 3)}
+    print(json.dumps(rec), flush=True)
+
 
 def bench_pde_pallas():
     """1024-state reaction-diffusion adjoint, fused Pallas field vs plain
@@ -381,6 +429,7 @@ def run_extras():
     extras = [
         bench_loop_floor,
         bench_spiral_adaptive_menu,
+        bench_spiral_vmap_batch,
         bench_robertson,
         bench_events_and_steadystate,
         bench_sde,

@@ -73,6 +73,7 @@ class SolveOptions(NamedTuple):
     callback: Any = None     # CallbackSet (events)
     max_events: int = 32
     dtmax: Any = None
+    verbose: bool = False
 
 
 class AuxOut(NamedTuple):
@@ -302,18 +303,19 @@ def make_gauss_quad_hook(kern, p, dense, sensealg, t0, t1, dtype, npf,
 
 
 def adaptive_gk_dp(kern, p, dense, lam_dense, sensealg, dtype, npf, q_init,
-                   extra_p=None, base_ts=None):
+                   extra_p=None):
     """QuadratureAdjoint's post-reverse dG/dp: h-adaptive Gauss–Kronrod over
     the recorded λ dense output (the TPU formulation of quadgk,
     quadrature_adjoint.jl:536-633). Base partition: one GK(7,15) panel per
-    data segment (`base_ts`, ascending — the reference's segment-by-segment
-    quadgk; λ is smooth between its jump times so GK15 + refinement is
-    enough), falling back to one panel per recorded reverse step when
-    base_ts is None (required with events: λ also jumps at event times,
-    which the reverse step grid resolves). A budgeted worklist then bisects
-    the interval with the largest embedded error until
-    Σerr ≤ max(abstol, reltol·‖q‖), bounded by max_depth splits per
-    interval. extra_p(yvec, t) -> (npf,) adds a continuous-cost ∂g/∂p
+    recorded reverse step — the reverse solver's own adapted grid, which
+    (a) contains every λ-jump time (data times and event times are reverse
+    tstops, so no panel straddles a discontinuity) and (b) already
+    concentrates nodes where the stiff integrand varies (a coarser
+    data-segment seed under-resolves Robertson-class problems within the
+    bounded refinement budget — regression-tested in test_stiff/test_dae).
+    A budgeted worklist then bisects the interval with the largest embedded
+    error until Σerr ≤ max(abstol, reltol·‖q‖), bounded by max_depth splits
+    per interval. extra_p(yvec, t) -> (npf,) adds a continuous-cost ∂g/∂p
     integrand term."""
     xk15, wk15, wg7 = gauss_kronrod_01(7, dtype)
 
@@ -335,7 +337,7 @@ def adaptive_gk_dp(kern, p, dense, lam_dense, sensealg, dtype, npf, q_init,
         )
         return est, err
 
-    grid = lam_dense.ts if base_ts is None else base_ts[::-1]
+    grid = lam_dense.ts
     msub = grid.shape[0] - 1
     ests, errs = jax.vmap(
         lambda k: gk_panel(grid[k], grid[k + 1])
@@ -575,6 +577,22 @@ def make_ode_solve_fn(f, solver, sensealg, opts: SolveOptions, t0, t1, *,
             # (the reference surfaces this via retcode checks + warnings;
             # here NaNs are the jit-compatible alarm).
             bad = retcode != 0
+            if opts.verbose:
+                # reverse-pass failures never reach the solve-time retcode
+                # (they happen at gradient time), so the notice must live in
+                # the bwd rule itself
+                jax.lax.cond(
+                    bad,
+                    lambda: jax.debug.print(
+                        "adjoint: non-success retcode {} in the forward or "
+                        "reverse solve (1=MaxIters, 2=DtMin); gradients are "
+                        "NaN-poisoned. For stiff problems try looser "
+                        "adj_rtol/adj_atol or a larger adj_max_steps "
+                        "(the reverse pass often needs ~2x the forward "
+                        "steps).", retcode
+                    ),
+                    lambda: None,
+                )
             lam0 = jnp.where(bad, jnp.full_like(lam0, jnp.nan), lam0)
             qflat = jnp.where(bad, jnp.full_like(qflat, jnp.nan), qflat)
         du0 = unravel_u(lam0)
@@ -943,8 +961,7 @@ def make_ode_solve_fn(f, solver, sensealg, opts: SolveOptions, t0, t1, *,
         )
 
         q = adaptive_gk_dp(kern, p, dense, lam_dense, sensealg,
-                           u0vec.dtype, npf, q_ev,
-                           base_ts=times if event_set is None else None)
+                           u0vec.dtype, npf, q_ev)
         if M_fwd is not None:
             q = q + jnp.sum(dae_qjs, axis=0)
             lam = du0_map(lam)

@@ -15,7 +15,15 @@ Round-2 upgrades over the order-2 v1:
   * dt no longer needs to divide the lags — any lag ≥ dt is located by
     index arithmetic on the uniform grid (lag < dt would make the step
     implicit — the overlapping case DelayDiffEq fixed-point iterates — and
-    is rejected with a clear error).
+    is rejected with a clear error);
+  * STATE-DEPENDENT lags (DelayDiffEq's `dependent_lags`): a lag entry may
+    be a callable `lag(u, p, t) -> scalar`, evaluated at every RK stage
+    with the stage state; the delayed query rides the same Hermite gather,
+    so gradients flow through the lag function (∂τ/∂u enters via the
+    interpolant's time argument). The explicitness condition lag ≥ dt is
+    checked at runtime and violations NaN-poison the solution (retcode 3 —
+    the same fail-loudly semantics as MaxIters), since the overlapping
+    case would silently read unwritten nodes.
 """
 
 from __future__ import annotations
@@ -37,12 +45,20 @@ def solve_dde(prob: DDEProblem, *, dt, saveat=None, sensealg=None) -> ODESolutio
         raise ValueError("DDEProblem needs at least one lag")
     t0, t1 = float(prob.tspan[0]), float(prob.tspan[1])
     dt_f = float(dt)
-    for lag in prob.lags:
+    const_lags = [lag for lag in prob.lags if not callable(lag)]
+    has_dep = len(const_lags) < len(prob.lags)
+    for lag in const_lags:
         if lag < dt_f - 1e-12:
             raise ValueError(
                 f"lag {lag} < dt {dt_f}: overlapping delays make the step "
                 "implicit; shrink dt below the smallest lag"
             )
+    if has_dep and prob.max_lag is None:
+        raise ValueError(
+            "state-dependent (callable) lags need DDEProblem.max_lag to "
+            "size the pre-t0 history buffer"
+        )
+    max_lag = prob.max_lag if prob.max_lag is not None else max(const_lags)
     n_steps = max(int(round((t1 - t0) / dt_f)), 1)
 
     u0vec, unravel_u = ravel_pytree(prob.u0)
@@ -54,7 +70,7 @@ def solve_dde(prob: DDEProblem, *, dt, saveat=None, sensealg=None) -> ODESolutio
     # history nodes cover [t0 - max_lag - dt, t0]
     import math
 
-    m_hist = int(math.ceil(max(prob.lags) / dt_f + 1e-9)) + 1
+    m_hist = int(math.ceil(max_lag / dt_f + 1e-9)) + 1
 
     def hist_at(t):
         if history is None:
@@ -89,46 +105,62 @@ def solve_dde(prob: DDEProblem, *, dt, saveat=None, sensealg=None) -> ODESolutio
 
     dt_a = jnp.asarray(dt_f, dtype)
     t_base_a = jnp.asarray(t_base, dtype)
-    lags_a = [jnp.asarray(lag, dtype) for lag in prob.lags]
+    max_lag_a = jnp.asarray(max_lag, dtype)
+    # None marks a state-dependent (callable) lag
+    lags_a = [None if callable(lag) else jnp.asarray(lag, dtype)
+              for lag in prob.lags]
 
-    def delayed(ubuf, fbuf, tq):
-        """Delayed states (tuple) at query time tq via Hermite on the
-        uniform node grid; exact-node queries land on the right endpoint of
-        the LEFT interval, so only already-written derivatives are read."""
-        outs = []
-        for lag in lags_a:
-            td = tq - lag
-            x = (td - t_base_a) / dt_a
-            base = jnp.clip(
-                jnp.floor(x - 1e-9).astype(jnp.int32), 0,
-                ubuf.shape[0] - 2,
-            )
-            ta = t_base_a + base.astype(dtype) * dt_a
-            f1 = jnp.where(base + 1 == m_hist, f_hist_t0, fbuf[base + 1])
-            val = hermite_eval(td, ta, ta + dt_a, ubuf[base], fbuf[base],
-                               ubuf[base + 1], f1)
-            outs.append(unravel_u(val))
-        return tuple(outs)
+    def gather(ubuf, fbuf, td):
+        """Hermite interpolation on the uniform node grid at query time td;
+        exact-node queries land on the right endpoint of the LEFT interval,
+        so only already-written derivatives are read."""
+        x = (td - t_base_a) / dt_a
+        base = jnp.clip(
+            jnp.floor(x - 1e-9).astype(jnp.int32), 0, ubuf.shape[0] - 2
+        )
+        ta = t_base_a + base.astype(dtype) * dt_a
+        f1 = jnp.where(base + 1 == m_hist, f_hist_t0, fbuf[base + 1])
+        return hermite_eval(td, ta, ta + dt_a, ubuf[base], fbuf[base],
+                            ubuf[base + 1], f1)
 
     def fvec(uvec, ubuf, fbuf, t):
-        h = delayed(ubuf, fbuf, t)
-        return ravel_pytree(f_user(unravel_u(uvec), h, p, t))[0]
+        """Stage derivative; returns (du, bad) where bad flags a
+        state-dependent lag violating dt ≤ lag ≤ max_lag at this stage."""
+        u = unravel_u(uvec)
+        outs = []
+        bad = jnp.asarray(False)
+        for lag_fn, la in zip(prob.lags, lags_a):
+            if la is None:
+                lv = jnp.asarray(lag_fn(u, p, t), dtype)
+                bad = bad | (lv < dt_a) | (lv > max_lag_a * (1 + 1e-12))
+                # clamp keeps the gather in the published/explicit region;
+                # when the solve is healthy the clamp is inactive (td = t-lv
+                # carries the ∂τ/∂u gradient), and when it trips the result
+                # is NaN-poisoned anyway.
+                td = jnp.clip(t - lv, t_base_a, t - dt_a)
+            else:
+                td = t - la
+            outs.append(unravel_u(gather(ubuf, fbuf, td)))
+        du = ravel_pytree(f_user(u, tuple(outs), p, t))[0]
+        return du, bad
 
     def body(carry, i):
-        ubuf, fbuf = carry
+        ubuf, fbuf, bad = carry
         uvec = ubuf[m_hist + i]
         t = jnp.asarray(t0, dtype) + dt_a * i.astype(dtype)
-        k1 = fvec(uvec, ubuf, fbuf, t)
+        k1, b1 = fvec(uvec, ubuf, fbuf, t)
         # publish this node's derivative before the interior-stage queries
         fbuf = jax.lax.dynamic_update_slice(fbuf, k1[None], (m_hist + i, 0))
-        k2 = fvec(uvec + 0.5 * dt_a * k1, ubuf, fbuf, t + 0.5 * dt_a)
-        k3 = fvec(uvec + 0.5 * dt_a * k2, ubuf, fbuf, t + 0.5 * dt_a)
-        k4 = fvec(uvec + dt_a * k3, ubuf, fbuf, t + dt_a)
+        k2, b2 = fvec(uvec + 0.5 * dt_a * k1, ubuf, fbuf, t + 0.5 * dt_a)
+        k3, b3 = fvec(uvec + 0.5 * dt_a * k2, ubuf, fbuf, t + 0.5 * dt_a)
+        k4, b4 = fvec(uvec + dt_a * k3, ubuf, fbuf, t + dt_a)
         u1 = uvec + (dt_a / 6.0) * (k1 + 2 * k2 + 2 * k3 + k4)
         ubuf = jax.lax.dynamic_update_slice(ubuf, u1[None], (m_hist + i + 1, 0))
-        return (ubuf, fbuf), None
+        return (ubuf, fbuf, bad | b1 | b2 | b3 | b4), None
 
-    (ubuf, fbuf), _ = jax.lax.scan(body, (ubuf, fbuf), jnp.arange(n_steps))
+    (ubuf, fbuf, bad), _ = jax.lax.scan(
+        body, (ubuf, fbuf, jnp.asarray(False)), jnp.arange(n_steps)
+    )
 
     if saveat is None:
         saveat = jnp.asarray([t0, t1], dtype)
@@ -138,16 +170,22 @@ def solve_dde(prob: DDEProblem, *, dt, saveat=None, sensealg=None) -> ODESolutio
         jnp.rint((saveat - t0) / dt_f).astype(jnp.int32), 0, n_steps
     )
     ys_save = ubuf[m_hist + save_idx]
+    # retcode 3 (= overlapping state-dependent lag) NaN-poisons the output:
+    # the clamped gather values are meaningless, so fail loudly.
+    retcode = jnp.where(bad, jnp.asarray(3, jnp.int32),
+                        jnp.asarray(0, jnp.int32))
+    ys_save = jnp.where(bad, jnp.full_like(ys_save, jnp.nan), ys_save)
     ys = jax.vmap(unravel_u)(ys_save)
 
     stats = Stats(
         n_accepted=jnp.asarray(n_steps, jnp.int32),
         n_rejected=jnp.asarray(0, jnp.int32),
         n_fevals=jnp.asarray(4 * n_steps, jnp.int32),
-        retcode=jnp.asarray(0, jnp.int32),
+        retcode=retcode,
     )
     return ODESolution(
         ts=saveat, ys=ys, stats=stats, retcode=stats.retcode, prob=prob,
         solver="MethodOfStepsRK4Hermite", sensealg=sensealg, dense=None,
-        unravel_u=unravel_u, u_final=ubuf[-1],
+        unravel_u=unravel_u,
+        u_final=jnp.where(bad, jnp.full_like(ubuf[-1], jnp.nan), ubuf[-1]),
     )

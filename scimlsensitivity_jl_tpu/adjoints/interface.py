@@ -208,8 +208,7 @@ def adjoint_sensitivities(
             collect_dense=True, hook_carry=None,
         )
         qv = adaptive_gk_dp(kern, p, dense, lam_dense, sensealg, dtype, npf,
-                            jnp.zeros(npf, dtype), extra_p=extra_p,
-                            base_ts=times)
+                            jnp.zeros(npf, dtype), extra_p=extra_p)
     else:
         raise NotImplementedError(
             f"adjoint_sensitivities does not support {sensealg!r}"

@@ -18,6 +18,20 @@ TPU-first notes: the time quadratures C, d, and the gradient accumulations
 are trapezoid-weighted einsums over (nstep, …) arrays; all parameters share
 the homogeneous basis so the KKT solves are batched over parameters in one
 dense solve.
+
+`segment_parallel=True` switches the tangent stage to a two-pass
+transfer-operator design the sequential reference cannot express
+(nilss.jl's forward_sense loop is inherently serial): pass 1 solves the
+primal once for the segment-start states; pass 2 solves, per segment, the
+FULL tangent transfer basis [u; Φ (n homogeneous rows); V*₀ (npf
+param-seeded rows, zero init)] — independent across segments, so the
+segment axis vmaps on one chip or shard_maps over a device Mesh
+(`mesh=`). Because tangent propagation is linear in its initial value,
+the interface QR recursion collapses to small dense algebra on the
+segment-end transfer matrices: W_s(t) = W_init_s·Φ_s(t),
+V_s(t) = V_init_s·Φ_s(t) + V*₀_s(t). Costs n (not nus) homogeneous
+directions per segment — the price of parallelism; segments are short by
+construction so Φ_s stays well-conditioned.
 """
 
 from __future__ import annotations
@@ -62,8 +76,14 @@ class NILSSProblem:
 
 
 def nilss_shadow_forward(nprob: NILSSProblem, solver=None, *, rtol=1e-8,
-                         atol=1e-10, max_steps_per_segment=2048):
-    """d⟨g⟩/dp over tspan for all parameters (batched)."""
+                         atol=1e-10, max_steps_per_segment=2048,
+                         segment_parallel: bool = False, mesh=None):
+    """d⟨g⟩/dp over tspan for all parameters (batched).
+
+    segment_parallel=True runs the tangent stage with the two-pass
+    transfer-operator design (segments vmapped, or shard_mapped over
+    `mesh`'s first axis when a `jax.sharding.Mesh` is given — nseg must
+    then be divisible by the mesh size)."""
     from ...solvers.explicit import Tsit5
 
     solver = solver or Tsit5()
@@ -119,38 +139,129 @@ def nilss_shadow_forward(nprob: NILSSProblem, solver=None, *, rtol=1e-8,
         coef = jnp.einsum("tki,ti->tk", vecs, dudt) / denom[:, None]
         return vecs - coef[:, :, None] * dudt[None].transpose(1, 0, 2)
 
-    # ---- sequential segment sweep --------------------------------------
-    us, Ws, Vs, Wp_s, Vp_s, duds, Rs, bs, retcodes = [], [], [], [], [], [], [], [], []
-    u_seg, W_seg, V_seg = u0vec, W0, V0
-    for iseg in range(nseg):
-        t_a = t0 + iseg * T_seg
-        t_b = t0 + (iseg + 1) * T_seg
-        u, W, V, rc = solve_segment(u_seg, W_seg, V_seg, t_a, t_b)
-        retcodes.append(rc)
-        dudt = jax.vmap(lambda uu, tt: kern.fvec(uu, p, tt))(
-            u, jnp.linspace(t_a, t_b, nstep)
+    if segment_parallel:
+        # ---- pass 1: primal boundary sweep (one solve, nseg+1 saves) ----
+        bounds = jnp.linspace(t0, t1, nseg + 1)
+        prim, _ = forward_saveat_solve(
+            solver, lambda u, t: kern.fvec(u, p, t), u0vec, t0, t1,
+            bounds, rtol=rtol, atol=atol,
+            max_steps=max_steps_per_segment * nseg, store_dense=False,
         )
-        W_perp = project(W, dudt)   # (nstep, nus, n)
-        V_perp = project(V, dudt)   # (nstep, npf, n)
-        us.append(u); Ws.append(W); Vs.append(V)
-        Wp_s.append(W_perp); Vp_s.append(V_perp); duds.append(dudt)
+        u_starts = prim.ys_save[:-1]          # (nseg, n)
+        rc0 = prim.stats.retcode
 
-        if iseg < nseg - 1:
-            # QR of the projected homogeneous end-tangents (renormalize!)
-            Q, R = jnp.linalg.qr(W_perp[-1].T)   # Q (n, nus), R (nus, nus)
-            bseg = Q.T @ V_perp[-1].T            # (nus, npf)
-            Rs.append(R)
-            bs.append(bseg)
-            u_seg = u[-1]
-            W_seg = Q.T                          # rows = new tangents
-            V_seg = (V_perp[-1].T - Q @ bseg).T  # (npf, n)
+        # ---- pass 2: per-segment transfer solves (PARALLEL) -------------
+        # Φ rows: row k = tangent from seed e_k, so W(t) = W_init·Φ(t);
+        # V*₀ rows: param-seeded, zero initial tangent.
+        aug_full, _ = _augmented_fvec(kern, p, n, n + npf, u0_dirs=n)
+        eyeS = jnp.concatenate(
+            [jnp.eye(n, dtype=dtype), jnp.zeros((npf, n), dtype)]
+        )
+        t_as = t0 + T_seg * jnp.arange(nseg, dtype=dtype)
 
-    u_all = jnp.stack(us)            # (nseg, nstep, n)
-    W_all = jnp.stack(Ws)            # (nseg, nstep, nus, n)
-    V_all = jnp.stack(Vs)            # (nseg, nstep, npf, n)
-    Wp_all = jnp.stack(Wp_s)
-    Vp_all = jnp.stack(Vp_s)
-    dudt_all = jnp.stack(duds)
+        def seg_transfer(u_start, t_a):
+            z0 = jnp.concatenate([u_start, eyeS.reshape(-1)])
+            saveat = t_a + jnp.linspace(0.0, T_seg, nstep).astype(dtype)
+            fwd, _ = forward_saveat_solve(
+                solver, aug_full, z0, t_a, t_a + T_seg, saveat,
+                rtol=rtol, atol=atol, max_steps=max_steps_per_segment,
+                store_dense=False,
+            )
+            zs = fwd.ys_save
+            u = zs[:, :n]
+            S = zs[:, n:].reshape(nstep, n + npf, n)
+            return u, S[:, :n, :], S[:, n:, :], fwd.stats.retcode
+
+        if mesh is not None:
+            from jax.sharding import PartitionSpec as P
+
+            axis = mesh.axis_names[0]
+            nd = int(np.prod(mesh.devices.shape))
+            if nseg % nd != 0:
+                raise ValueError(
+                    f"segment_parallel over a mesh needs nseg divisible by "
+                    f"the mesh size; got nseg={nseg}, devices={nd}"
+                )
+            sweep = jax.shard_map(
+                lambda us_, ts_: jax.vmap(seg_transfer)(us_, ts_),
+                mesh=mesh, in_specs=(P(axis), P(axis)),
+                out_specs=(P(axis), P(axis), P(axis), P(axis)),
+                check_vma=False,
+            )
+        else:
+            sweep = jax.vmap(seg_transfer)
+        u_all, Phi_all, Vst_all, rcs = sweep(u_starts, t_as)
+
+        seg_ts = t_as[:, None] + jnp.linspace(0.0, T_seg, nstep)[None]
+        dudt_all = jax.vmap(jax.vmap(
+            lambda uu, tt: kern.fvec(uu, p, tt)
+        ))(u_all, seg_ts.astype(dtype))
+
+        # ---- interface recursion on segment-END transfer values ---------
+        # (renormalize!, nilss.jl:442-466 — now O(n·nus) dense algebra)
+        def proj_rows(vecs, de):
+            return vecs - ((vecs @ de) / (de @ de))[:, None] * de[None]
+
+        W_init_list, V_init_list, Rs, bs = [], [], [], []
+        W_init, V_init = W0, V0
+        for s in range(nseg):
+            W_init_list.append(W_init)
+            V_init_list.append(V_init)
+            if s < nseg - 1:
+                W_end = W_init @ Phi_all[s, -1]
+                V_end = V_init @ Phi_all[s, -1] + Vst_all[s, -1]
+                de = dudt_all[s, -1]
+                W_perp_end = proj_rows(W_end, de)
+                V_perp_end = proj_rows(V_end, de)
+                Q, R = jnp.linalg.qr(W_perp_end.T)  # Q (n,nus), R (nus,nus)
+                bseg = Q.T @ V_perp_end.T           # (nus, npf)
+                Rs.append(R)
+                bs.append(bseg)
+                W_init = Q.T
+                V_init = (V_perp_end.T - Q @ bseg).T
+
+        W_inits = jnp.stack(W_init_list)  # (nseg, nus, n)
+        V_inits = jnp.stack(V_init_list)  # (nseg, npf, n)
+        W_all = jnp.einsum("sjk,stkm->stjm", W_inits, Phi_all)
+        V_all = jnp.einsum("sjk,stkm->stjm", V_inits, Phi_all) + Vst_all
+        Wp_all = jax.vmap(project)(W_all, dudt_all)
+        Vp_all = jax.vmap(project)(V_all, dudt_all)
+        worst = jnp.maximum(rc0, jnp.max(rcs))
+    else:
+        # ---- sequential segment sweep (reference forward_sense) ---------
+        us, Ws, Vs, Wp_s, Vp_s, duds, Rs, bs, retcodes = \
+            [], [], [], [], [], [], [], [], []
+        u_seg, W_seg, V_seg = u0vec, W0, V0
+        for iseg in range(nseg):
+            t_a = t0 + iseg * T_seg
+            t_b = t0 + (iseg + 1) * T_seg
+            u, W, V, rc = solve_segment(u_seg, W_seg, V_seg, t_a, t_b)
+            retcodes.append(rc)
+            dudt = jax.vmap(lambda uu, tt: kern.fvec(uu, p, tt))(
+                u, jnp.linspace(t_a, t_b, nstep)
+            )
+            W_perp = project(W, dudt)   # (nstep, nus, n)
+            V_perp = project(V, dudt)   # (nstep, npf, n)
+            us.append(u); Ws.append(W); Vs.append(V)
+            Wp_s.append(W_perp); Vp_s.append(V_perp); duds.append(dudt)
+
+            if iseg < nseg - 1:
+                # QR of the projected homogeneous end-tangents (renormalize!)
+                Q, R = jnp.linalg.qr(W_perp[-1].T)   # Q (n,nus), R (nus,nus)
+                bseg = Q.T @ V_perp[-1].T            # (nus, npf)
+                Rs.append(R)
+                bs.append(bseg)
+                u_seg = u[-1]
+                W_seg = Q.T                          # rows = new tangents
+                V_seg = (V_perp[-1].T - Q @ bseg).T  # (npf, n)
+
+        u_all = jnp.stack(us)            # (nseg, nstep, n)
+        W_all = jnp.stack(Ws)            # (nseg, nstep, nus, n)
+        V_all = jnp.stack(Vs)            # (nseg, nstep, npf, n)
+        Wp_all = jnp.stack(Wp_s)
+        Vp_all = jnp.stack(Vp_s)
+        dudt_all = jnp.stack(duds)
+        worst = jnp.max(jnp.stack(retcodes))
 
     # ---- least squares for a (compute_Cinv!/d!/B!/a!) -------------------
     # C_iseg[i,j] = Σ_t wq · (w_i·w_j) ; d_iseg[i, param] = Σ_t wq · (w_i·v*)
@@ -209,6 +320,5 @@ def nilss_shadow_forward(nprob: NILSSProblem, solver=None, *, rtol=1e-8,
         xi_end * (gavg - gs[:, -1])[:, None], axis=0
     ) / (dtsave * Ttot)
 
-    worst = jnp.max(jnp.stack(retcodes))
     res = jnp.where(worst != 0, jnp.full_like(res, jnp.nan), res)
     return res

@@ -121,13 +121,20 @@ class RODEProblem(AbstractProblem):
 
 @dataclass(frozen=True)
 class DDEProblem(AbstractProblem):
-    """Constant-lag delay differential equation
+    """Delay differential equation
     u'(t) = f(u(t), (u(t-τ₁), ...), p, t)  (the reference's neural-DDE
     surface, test/Core4/layers_dde.jl; reference delegates to DelayDiffEq).
 
     f: (u, hist, p, t) -> du where hist is a tuple of delayed states.
-    lags: tuple of positive floats (static).
+    lags: tuple whose entries are positive floats (constant lags, static)
+        OR callables `lag(u, p, t) -> scalar` (STATE-DEPENDENT lags —
+        DelayDiffEq's `dependent_lags`; gradients flow through the lag via
+        the interpolant's time argument). A callable lag must stay ≥ dt at
+        runtime — smaller values make the step implicit and NaN-poison the
+        solution (retcode 3).
     history: callable t -> u for t <= t0 (defaults to constant u0).
+    max_lag: upper bound on every lag, sizing the pre-t0 history buffer;
+        required when any lag is callable (defaults to max constant lag).
     """
 
     f: Callable
@@ -136,6 +143,7 @@ class DDEProblem(AbstractProblem):
     p: Any = None
     lags: tuple = ()
     history: Optional[Callable] = None
+    max_lag: Optional[float] = None
 
 
 @dataclass(frozen=True)
@@ -163,7 +171,7 @@ class SteadyStateProblem(AbstractProblem):
 
 for _cls, _data, _meta in [
     (ODEProblem, ("u0", "tspan", "p", "mass_matrix"), ("f", "jac", "vjp", "paramjac")),
-    (DDEProblem, ("u0", "tspan", "p"), ("f", "lags", "history")),
+    (DDEProblem, ("u0", "tspan", "p"), ("f", "lags", "history", "max_lag")),
     (SDEProblem, ("u0", "tspan", "p"), ("f", "g", "noise", "interpretation", "noise_dim")),
     (RODEProblem, ("u0", "tspan", "p"), ("f", "noise_dim")),
     (NonlinearProblem, ("u0", "p"), ("f",)),

@@ -291,7 +291,7 @@ def _solve_ode(prob, solver, *, saveat, rtol, atol, dt0, dt, max_steps,
         rtol=rtol, atol=atol, dt0=dt0, max_steps=max_steps, tstops=tstops,
         dense=dense, adj_rtol=adj_rtol, adj_atol=adj_atol,
         adj_max_steps=adj_max_steps, callback=cbs, max_events=max_events,
-        dtmax=dtmax,
+        dtmax=dtmax, verbose=verbose,
     )
 
     if adaptive and unroll and not isinstance(sensealg, DirectAdjoint):

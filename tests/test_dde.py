@@ -105,3 +105,71 @@ def test_neural_dde_trains():
     assert all(np.all(np.isfinite(x)) for x in jax.tree_util.tree_leaves(g))
     p1 = jax.tree_util.tree_map(lambda a, b: a - 0.1 * b, params, g)
     assert float(loss(p1)) < float(loss(params))
+
+
+def test_dde_state_dependent_lag_matches_constant():
+    # A callable lag that returns a constant must reproduce the
+    # constant-lag solve exactly (same gather, same nodes).
+    def rhs(u, h, p, t):
+        return -h[0]
+
+    const = DDEProblem(rhs, jnp.array([1.0]), (0.0, 2.0), None, lags=(1.0,))
+    dep = DDEProblem(rhs, jnp.array([1.0]), (0.0, 2.0), None,
+                     lags=(lambda u, p, t: 1.0,), max_lag=1.0)
+    ts = jnp.array([0.0, 0.7, 1.4, 2.0])
+    ya = solve(const, dt=1e-2, saveat=ts).ys
+    yb = solve(dep, dt=1e-2, saveat=ts).ys
+    assert np.allclose(np.asarray(ya), np.asarray(yb), rtol=0, atol=0)
+
+
+def test_dde_state_dependent_lag_self_convergence_and_grad():
+    # Genuinely state-dependent lag tau(u) = 0.5 + 0.25*tanh(u); no closed
+    # form, so oracle = dt-refinement self-convergence + gradient vs finite
+    # differences (the reference's DelayDiffEq dependent_lags surface).
+    def make(p):
+        return DDEProblem(
+            lambda u, h, pp, t: -pp * h[0], jnp.array([1.0]), (0.0, 2.0), p,
+            lags=(lambda u, pp, t: 0.5 + 0.25 * jnp.tanh(u[0]),),
+            max_lag=0.75,
+        )
+
+    def endpoint(p, dt):
+        return solve(make(p), dt=dt).ys[-1, 0]
+
+    p0 = jnp.asarray(1.1)
+    y1 = float(endpoint(p0, 1.0 / 40))
+    y2 = float(endpoint(p0, 1.0 / 80))
+    y3 = float(endpoint(p0, 1.0 / 160))
+    # refinement differences shrink (order >= 2 in the presence of the
+    # state-dependent breaking points)
+    assert abs(y2 - y3) < abs(y1 - y2) / 3, (y1, y2, y3)
+
+    g = jax.grad(lambda p: endpoint(p, 1.0 / 80) ** 2)(p0)
+    eps = 1e-6
+    fd = (float(endpoint(p0 + eps, 1.0 / 80) ** 2)
+          - float(endpoint(p0 - eps, 1.0 / 80) ** 2)) / (2 * eps)
+    assert np.isclose(float(g), fd, rtol=1e-5), (float(g), fd)
+
+
+def test_dde_state_dependent_lag_violation_poisons():
+    # lag dips below dt at runtime -> retcode 3, NaN output (fail loudly,
+    # never silently read unwritten nodes)
+    prob = DDEProblem(
+        lambda u, h, p, t: -h[0], jnp.array([1.0]), (0.0, 1.0), None,
+        lags=(lambda u, p, t: jnp.where(t > 0.5, 1e-4, 0.5),),
+        max_lag=0.5,
+    )
+    sol = solve(prob, dt=1.0 / 50)
+    assert int(sol.retcode) == 3
+    assert np.all(np.isnan(np.asarray(sol.ys[-1])))
+
+
+def test_dde_callable_lag_requires_max_lag():
+    import pytest
+
+    prob = DDEProblem(
+        lambda u, h, p, t: -h[0], jnp.array([1.0]), (0.0, 1.0), None,
+        lags=(lambda u, p, t: 0.5,),
+    )
+    with pytest.raises(ValueError, match="max_lag"):
+        solve(prob, dt=0.01)

@@ -108,3 +108,48 @@ def test_neural_sde_trains():
     p1 = jax.tree_util.tree_map(lambda a, b: a - 0.2 * b, params, g0)
     l1, _ = vg(p1)
     assert float(l1) < float(l0)
+
+
+def test_neural_feedback_control_trains():
+    # Universal differential equation / optimal control (reference:
+    # docs/src/examples/optimal_control/feedback_control.md): known linear
+    # dynamics + neural controller trained jointly — params are a MIXED
+    # pytree {"nn": MLP, "system": array}, gradients flow into both.
+    from scimlsensitivity_jl_tpu import GaussAdjoint, ODEProblem, Tsit5, solve
+    from scimlsensitivity_jl_tpu.models.neural_ode import mlp_apply, mlp_init
+
+    params = {
+        "nn": mlp_init(jax.random.PRNGKey(0), (2, 16, 1), jnp.float64),
+        "system": jnp.array([0.5, -0.5]),
+    }
+    ts = jnp.linspace(0.0, 8.0, 17)
+
+    def dynamics(u, p, t):
+        control, output = u
+        a, b = p["system"]
+        dc = mlp_apply(p["nn"], u)[0]
+        dy = a * output + b * control
+        return jnp.array([dc, dy])
+
+    def loss(p):
+        prob = ODEProblem(dynamics, jnp.array([0.0, 1.1]), (0.0, 8.0), p)
+        sol = solve(prob, Tsit5(), saveat=ts, rtol=1e-6, atol=1e-8,
+                    sensealg=GaussAdjoint())
+        return jnp.sum((sol.ys[:, 1] - 1.0) ** 2)
+
+    import optax
+
+    opt = optax.adam(0.05)
+    state = opt.init(params)
+    vg = jax.jit(jax.value_and_grad(loss))
+    l0, _ = vg(params)
+    p = params
+    for _ in range(60):
+        l, grad = vg(p)
+        up, state = opt.update(grad, state)
+        p = jax.tree_util.tree_map(lambda a, b: a + b, p, up)
+    assert np.isfinite(float(l))
+    assert float(l) < 0.25 * float(l0), (float(l0), float(l))
+    # gradient reached the known-system parameters too (joint estimation)
+    g_sys = jax.grad(loss)(params)["system"]
+    assert float(jnp.max(jnp.abs(g_sys))) > 0

@@ -130,3 +130,20 @@ def test_grad_over_solve_shadowing(attractor_sol):
         grad = jax.grad(lambda p: loss(p, sa))(jnp.array([28.0]))
         assert np.isclose(float(grad[0]), RHO_SENS, atol=0.15), (
             type(sa).__name__, float(grad[0]))
+
+
+def test_nilss_segment_parallel_matches_oracle():
+    # Two-pass transfer-operator NILSS (segments vmapped): same Lorenz
+    # oracle as the sequential sweep. The trajectories differ in the last
+    # bits (segment starts come from one boundary solve), so both are
+    # asserted against the literature value rather than each other.
+    from scimlsensitivity_jl_tpu import NILSS, NILSSProblem
+
+    p = jnp.array([28.0])
+    u0 = jnp.array([-2.259143724332269, -2.47457604992522, 18.939914218990612])
+    prob = ODEProblem(lorenz_rho, u0, (30.0, 60.0), p)
+    nprob = NILSSProblem(prob, NILSS(nseg=30, nstep=101), g=g)
+    res = shadow_forward(nprob, Tsit5(), rtol=1e-8, atol=1e-10,
+                         segment_parallel=True)
+    assert res.shape == (1,)
+    assert np.isclose(float(res[0]), RHO_SENS, atol=0.25), float(res[0])
