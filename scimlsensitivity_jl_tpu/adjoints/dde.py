@@ -40,7 +40,14 @@ from ..utils.pytree import ravel_pytree
 __all__ = ["solve_dde"]
 
 
-def solve_dde(prob: DDEProblem, *, dt, saveat=None, sensealg=None) -> ODESolution:
+def solve_dde(prob: DDEProblem, solver=None, *, dt, saveat=None,
+              sensealg=None) -> ODESolution:
+    """solver=None → explicit RK4 (order ~4 with Hermite delays);
+    solver=TRBDF2() → implicit TR-BDF2 method of steps for STIFF DDEs
+    (L-stable, order 2; delayed states stay explicit — with lag ≥ dt they
+    never involve the unknown stage, so the Newton iteration is the plain
+    ODE one; jacfwd of the stage residual also differentiates through a
+    state-dependent lag's Hermite gather)."""
     if not prob.lags:
         raise ValueError("DDEProblem needs at least one lag")
     t0, t1 = float(prob.tspan[0]), float(prob.tspan[1])
@@ -144,6 +151,34 @@ def solve_dde(prob: DDEProblem, *, dt, saveat=None, sensealg=None) -> ODESolutio
         du = ravel_pytree(f_user(u, tuple(outs), p, t))[0]
         return du, bad
 
+    from ..solvers.sdirk import ESDIRK as _ESDIRK
+
+    implicit = isinstance(solver, _ESDIRK)
+    if implicit and getattr(solver, "name", "") != "TRBDF2":
+        raise NotImplementedError(
+            f"stiff method-of-steps implements TRBDF2(); got {solver.name}"
+        )
+    if implicit:
+        import math as _math
+
+        # TR-BDF2 constants (Bank et al.; the reference's TRBDF2 slot)
+        gam = 2.0 - _math.sqrt(2.0)
+        c_bdf1 = 1.0 / (gam * (2.0 - gam))
+        c_bdf2 = -((1.0 - gam) ** 2) / (gam * (2.0 - gam))
+        c_bdf3 = (1.0 - gam) / (2.0 - gam)
+        eye_n = jnp.eye(n, dtype=dtype)
+
+        def newton(res_fn, v0, a_coef):
+            """Damped-free dense Newton, fixed 6 sweeps (n is small for
+            DDEs; jacfwd through fvec incl. the Hermite gather)."""
+            def one(v, _):
+                r = res_fn(v)
+                J = jax.jacfwd(res_fn)(v)
+                return v - jnp.linalg.solve(J, r), None
+
+            v, _ = jax.lax.scan(one, v0, None, length=6)
+            return v
+
     def body(carry, i):
         ubuf, fbuf, bad = carry
         uvec = ubuf[m_hist + i]
@@ -151,10 +186,28 @@ def solve_dde(prob: DDEProblem, *, dt, saveat=None, sensealg=None) -> ODESolutio
         k1, b1 = fvec(uvec, ubuf, fbuf, t)
         # publish this node's derivative before the interior-stage queries
         fbuf = jax.lax.dynamic_update_slice(fbuf, k1[None], (m_hist + i, 0))
-        k2, b2 = fvec(uvec + 0.5 * dt_a * k1, ubuf, fbuf, t + 0.5 * dt_a)
-        k3, b3 = fvec(uvec + 0.5 * dt_a * k2, ubuf, fbuf, t + 0.5 * dt_a)
-        k4, b4 = fvec(uvec + dt_a * k3, ubuf, fbuf, t + dt_a)
-        u1 = uvec + (dt_a / 6.0) * (k1 + 2 * k2 + 2 * k3 + k4)
+        if implicit:
+            t_g = t + gam * dt_a
+
+            def res_tr(v):
+                return (v - uvec
+                        - 0.5 * gam * dt_a * (k1 + fvec(v, ubuf, fbuf, t_g)[0]))
+
+            u_g = newton(res_tr, uvec + gam * dt_a * k1, 0.5 * gam)
+
+            def res_bdf(w):
+                return (w - c_bdf1 * u_g - c_bdf2 * uvec
+                        - c_bdf3 * dt_a * fvec(w, ubuf, fbuf, t + dt_a)[0])
+
+            u1 = newton(res_bdf, u_g, c_bdf3)
+            b2 = fvec(u_g, ubuf, fbuf, t_g)[1]
+            b3 = fvec(u1, ubuf, fbuf, t + dt_a)[1]
+            b4 = jnp.asarray(False)
+        else:
+            k2, b2 = fvec(uvec + 0.5 * dt_a * k1, ubuf, fbuf, t + 0.5 * dt_a)
+            k3, b3 = fvec(uvec + 0.5 * dt_a * k2, ubuf, fbuf, t + 0.5 * dt_a)
+            k4, b4 = fvec(uvec + dt_a * k3, ubuf, fbuf, t + dt_a)
+            u1 = uvec + (dt_a / 6.0) * (k1 + 2 * k2 + 2 * k3 + k4)
         ubuf = jax.lax.dynamic_update_slice(ubuf, u1[None], (m_hist + i + 1, 0))
         return (ubuf, fbuf, bad | b1 | b2 | b3 | b4), None
 
@@ -185,7 +238,9 @@ def solve_dde(prob: DDEProblem, *, dt, saveat=None, sensealg=None) -> ODESolutio
     )
     return ODESolution(
         ts=saveat, ys=ys, stats=stats, retcode=stats.retcode, prob=prob,
-        solver="MethodOfStepsRK4Hermite", sensealg=sensealg, dense=None,
+        solver=("MethodOfStepsTRBDF2Hermite" if implicit
+                else "MethodOfStepsRK4Hermite"),
+        sensealg=sensealg, dense=None,
         unravel_u=unravel_u,
         u_final=jnp.where(bad, jnp.full_like(ubuf[-1], jnp.nan), ubuf[-1]),
     )

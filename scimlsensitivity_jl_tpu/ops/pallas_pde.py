@@ -93,10 +93,12 @@ def _rd_fwd(u, D, k, inv_dx2):
     dtype = u.dtype
     if not _HAVE_PALLAS:
         return rd1d_reference(u, D, k, inv_dx2), None
+    # scalar params ride SMEM (scalars in VMEM are rejected by Mosaic)
     f = pl.pallas_call(
         _fwd_kernel,
         out_shape=jax.ShapeDtypeStruct((1, n), dtype),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.SMEM)],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         interpret=_use_interpret(),
     )(u[None, :], _prm(D, k, inv_dx2, dtype))
@@ -117,14 +119,19 @@ def _rd_bwd_rule(res, lam):
                           u, D, k)
         du, dD, dk = pull(lam)
         return du, dD, dk, jnp.zeros_like(jnp.asarray(inv_dx2))
+    # dp holds two SCALAR reductions -> SMEM output ("reduce to scalar —
+    # use (1,1)-style stores in SMEM", Mosaic rejects scalar VMEM stores)
     du, dp = pl.pallas_call(
         _bwd_kernel,
         out_shape=(
             jax.ShapeDtypeStruct((1, n), dtype),
             jax.ShapeDtypeStruct((1, 2), dtype),
         ),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
-        out_specs=tuple(pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(2)),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
+                   pl.BlockSpec(memory_space=pltpu.SMEM)),
         interpret=_use_interpret(),
     )(u[None, :], _prm(D, k, inv_dx2, dtype), lam[None, :])
     zero_t = jnp.zeros((), dtype)

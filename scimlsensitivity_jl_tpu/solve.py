@@ -110,7 +110,8 @@ def solve(
 
         if dt is None:
             raise ValueError("DDE solves are fixed-grid: pass dt=...")
-        return solve_dde(prob, dt=dt, saveat=saveat, sensealg=sensealg)
+        return solve_dde(prob, solver, dt=dt, saveat=saveat,
+                         sensealg=sensealg)
 
     if isinstance(prob, RODEProblem):
         from .adjoints.sde import solve_rode

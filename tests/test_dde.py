@@ -173,3 +173,51 @@ def test_dde_callable_lag_requires_max_lag():
     )
     with pytest.raises(ValueError, match="max_lag"):
         solve(prob, dt=0.01)
+
+
+def test_dde_stiff_trbdf2():
+    # Stiff DDE u' = -A·u + B·u(t-1), A = 500: explicit RK4 at dt = 0.02
+    # (A·dt = 10) is unstable, TR-BDF2 (L-stable) is not. Oracle: RK4 at
+    # dt = 5e-4 (stable regime).
+    from scimlsensitivity_jl_tpu import TRBDF2
+
+    # sinusoidal forcing keeps the solution off the quasi-steady manifold
+    # so the O(dt²) tracking error is visible (without it TR-BDF2 collapses
+    # onto the slow manifold to machine precision and convergence slopes
+    # are unmeasurable)
+    A, B = 500.0, 5.0
+
+    def rhs(u, h, p, t):
+        return -A * (u - jnp.sin(2.0 * jnp.pi * t)) + B * h[0]
+
+    def make():
+        return DDEProblem(rhs, jnp.array([1.0]), (0.0, 2.0), None,
+                          lags=(1.0,))
+
+    y_ref = float(solve(make(), dt=2e-4).ys[-1, 0])
+
+    y_imp = float(solve(make(), TRBDF2(), dt=0.02).ys[-1, 0])
+    assert np.isclose(y_imp, y_ref, rtol=5e-2, atol=1e-4), (y_imp, y_ref)
+
+    y_exp = solve(make(), dt=0.02).ys[-1, 0]
+    assert (not np.isfinite(float(y_exp))) or abs(float(y_exp)) > 1e3
+
+    # self convergence under refinement
+    e1 = abs(float(solve(make(), TRBDF2(), dt=0.02).ys[-1, 0]) - y_ref)
+    e2 = abs(float(solve(make(), TRBDF2(), dt=0.005).ys[-1, 0]) - y_ref)
+    assert e2 < e1 / 3, (e1, e2)
+
+
+def test_dde_stiff_trbdf2_gradient_vs_fd():
+    from scimlsensitivity_jl_tpu import TRBDF2
+
+    def loss(p):
+        prob = DDEProblem(lambda u, h, pp, t: -200.0 * u + pp * h[0],
+                          jnp.array([1.0]), (0.0, 1.5), p, lags=(0.5,))
+        return solve(prob, TRBDF2(), dt=0.01).ys[-1, 0] ** 2
+
+    p0 = jnp.asarray(3.0)
+    g = jax.grad(loss)(p0)
+    eps = 1e-6
+    fd = (float(loss(p0 + eps)) - float(loss(p0 - eps))) / (2 * eps)
+    assert np.isclose(float(g), fd, rtol=1e-5), (float(g), fd)
