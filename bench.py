@@ -198,25 +198,6 @@ def bench_spiral_adaptive_menu():
             print(json.dumps({"metric": name, "error": str(e)[:200]}),
                   flush=True)
 
-    # adaptive-UNROLLED: real PI-controlled adaptivity as straight-line XLA
-    # (no loop HLO → fast dispatch channel). Compile is expensive (unrolled
-    # 48-step backward), so only with budget headroom.
-    if _left() > 900:
-        try:
-            grad_fn = jax.jit(jax.grad(_spiral_loss_factory(
-                DirectAdjoint(), unroll=True, max_steps=48)))
-            g = grad_fn(*args)
-            finite = all(bool(jnp.all(jnp.isfinite(x)))
-                         for x in jax.tree_util.tree_leaves(g))
-            if not finite:
-                raise RuntimeError(
-                    "NaN gradient (max_steps hit? retcode poisoning)")
-            ms = _time_fn(grad_fn, args, 50)
-            _emit("spiral_adaptive_unrolled", ms, 1.657)
-        except Exception as e:  # pragma: no cover
-            print(json.dumps({"metric": "spiral_adaptive_unrolled",
-                              "error": str(e)[:200]}), flush=True)
-
     # forward/grad cost ratio against the <1.5x north star, on the default
     # sensealg (GaussAdjoint: λ-only reverse — the fair apples-to-apples
     # "cost of the gradient on the algorithm the heuristic picks")
@@ -384,6 +365,34 @@ def bench_nilss():
     print(json.dumps(rec), flush=True)
 
 
+def bench_spiral_adaptive_unrolled():
+    """Adaptive-UNROLLED: real PI-controlled adaptivity as straight-line
+    XLA (no loop HLO). Compile is expensive (unrolled 48-step backward),
+    so only with budget headroom. Runs LAST among the extras: the
+    finiteness check transfers device→host, which poisons the process
+    onto the ~30 ms slow dispatch channel — nothing may be timed after
+    it in this process."""
+    from scimlsensitivity_jl_tpu import DirectAdjoint
+
+    if _left() < 600:
+        print(json.dumps({"metric": "spiral_adaptive_unrolled",
+                          "skipped": "low budget"}), flush=True)
+        return
+    # max_steps=64: the rtol=1e-3 spiral solve takes 50 accepted steps;
+    # measured compile ~78 s on the tunnel (idle CPU)
+    args = _spiral_setup()
+    grad_fn = jax.jit(jax.grad(_spiral_loss_factory(
+        DirectAdjoint(), unroll=True, max_steps=64)))
+    ms = _time_fn(grad_fn, args, 50)
+    # D2H only AFTER timing (and after every other extra)
+    g = grad_fn(*args)
+    finite = all(bool(jnp.all(jnp.isfinite(x)))
+                 for x in jax.tree_util.tree_leaves(g))
+    if not finite:
+        raise RuntimeError("NaN gradient (max_steps hit? retcode poisoning)")
+    _emit("spiral_adaptive_unrolled", ms, 1.657)
+
+
 def bench_pde_pallas():
     """1024-state reaction-diffusion adjoint, fused Pallas field vs plain
     jnp field, both on the unrolled fixed-grid discrete adjoint (the
@@ -435,6 +444,7 @@ def run_extras():
         bench_sde,
         bench_nilss,
         bench_pde_pallas,
+        bench_spiral_adaptive_unrolled,  # LAST: its finite check does D2H
     ]
     for fn in extras:
         if _left() < 180:

@@ -67,7 +67,7 @@ def reverse_joined_solve(
     Returns (z_at_t0_after_all_jumps, hook_carry, retcode, dense).
     """
     dtype = z_init.dtype
-    tdtype = jnp.zeros((), dtype).real.dtype
+    tdtype = jnp.promote_types(jnp.zeros((), dtype).real.dtype, jnp.float32)
     times = jnp.asarray(times, tdtype)
     m = times.shape[0]
     t_hi = times[-1]
@@ -210,7 +210,7 @@ def forward_saveat_solve(
     """Forward solve capturing saveat states exactly; optionally composes a
     second per-step hook (event tracking, Gauss accumulation)."""
     dtype = u0vec.dtype
-    tdtype = jnp.zeros((), dtype).real.dtype
+    tdtype = jnp.promote_types(jnp.zeros((), dtype).real.dtype, jnp.float32)
     t0 = jnp.asarray(t0, tdtype)
     t1 = jnp.asarray(t1, tdtype)
     saveat = jnp.asarray(saveat, tdtype)

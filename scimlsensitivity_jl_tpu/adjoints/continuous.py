@@ -570,7 +570,24 @@ def make_ode_solve_fn(f, solver, sensealg, opts: SolveOptions, t0, t1, *,
         return (u0, p, saveat, fwd, u0vec, unravel_u, unravel_p, kern, n,
                 npf, times, jumps, event_set)
 
-    def _returns(unravel_u, unravel_p, lam0, qflat, saveat, retcode=None):
+    def _match_cotangents(du0, dp, primals):
+        # custom_vjp contract: cotangent dtypes match the primals'. Complex
+        # states with real parameters otherwise leak complex-with-zero-imag
+        # gradients to jax.grad (the real gradient IS the real part — the
+        # vjp kernels already performed the conjugate contraction).
+        u0_p, p_p = primals
+
+        def m(c, x):
+            x = jnp.asarray(x)
+            if jnp.iscomplexobj(c) and not jnp.iscomplexobj(x):
+                c = c.real
+            return c.astype(x.dtype)
+
+        return (jax.tree_util.tree_map(m, du0, u0_p),
+                jax.tree_util.tree_map(m, dp, p_p))
+
+    def _returns(unravel_u, unravel_p, lam0, qflat, saveat, retcode=None,
+                 primals=None):
         if retcode is not None:
             # A truncated forward solve (MaxIters/DtMin) makes the adjoint
             # silently wrong — poison the gradients so training loops notice
@@ -597,6 +614,8 @@ def make_ode_solve_fn(f, solver, sensealg, opts: SolveOptions, t0, t1, *,
             qflat = jnp.where(bad, jnp.full_like(qflat, jnp.nan), qflat)
         du0 = unravel_u(lam0)
         dp = unravel_p(qflat)
+        if primals is not None:
+            du0, dp = _match_cotangents(du0, dp, primals)
         return du0, dp, jnp.zeros_like(saveat)
 
     # -- InterpolatingAdjoint (dense) / checkpointing variant ------------
@@ -665,7 +684,7 @@ def make_ode_solve_fn(f, solver, sensealg, opts: SolveOptions, t0, t1, *,
                 # their cotangent is 0 by convention.
                 du0vec = du0_map(z[:n])
                 return _returns(unravel_u, unravel_p, du0vec, z[n:], saveat,
-                                jnp.maximum(fwd.stats.retcode, worst))
+                                jnp.maximum(fwd.stats.retcode, worst), primals=(u0, p))
 
             z0 = jnp.zeros(n + npf, u0vec.dtype)
             # q rows are pure quadrature (no feedback into λ): exclude them
@@ -690,7 +709,7 @@ def make_ode_solve_fn(f, solver, sensealg, opts: SolveOptions, t0, t1, *,
                 **ev_kwargs,
             )
             return _returns(unravel_u, unravel_p, z[:n], z[n:], saveat,
-                            jnp.maximum(fwd.stats.retcode, worst))
+                            jnp.maximum(fwd.stats.retcode, worst), primals=(u0, p))
 
         # Checkpointed: re-solve each inter-save interval forward from the
         # stored save values, then run the local adjoint over the fresh local
@@ -791,7 +810,7 @@ def make_ode_solve_fn(f, solver, sensealg, opts: SolveOptions, t0, t1, *,
         )
         z = z.at[:n].add(jumps[0])
         return _returns(unravel_u, unravel_p, z[:n], z[n:], saveat,
-                        jnp.maximum(fwd.stats.retcode, worst))
+                        jnp.maximum(fwd.stats.retcode, worst), primals=(u0, p))
 
     # -- BacksolveAdjoint ------------------------------------------------
 
@@ -840,7 +859,7 @@ def make_ode_solve_fn(f, solver, sensealg, opts: SolveOptions, t0, t1, *,
             **ev_kwargs,
         )
         return _returns(unravel_u, unravel_p, z[:n], z[n:n + npf], saveat,
-                        jnp.maximum(fwd.stats.retcode, worst))
+                        jnp.maximum(fwd.stats.retcode, worst), primals=(u0, p))
 
     # -- GaussAdjoint ----------------------------------------------------
 
@@ -886,7 +905,7 @@ def make_ode_solve_fn(f, solver, sensealg, opts: SolveOptions, t0, t1, *,
             qflat = finish_q(qcarry) + jnp.sum(qjs, axis=0)
             du0vec = du0_map(lam)
             return _returns(unravel_u, unravel_p, du0vec, qflat, saveat,
-                            jnp.maximum(fwd.stats.retcode, worst))
+                            jnp.maximum(fwd.stats.retcode, worst), primals=(u0, p))
 
         ev_kwargs = {}
         if event_set is not None:
@@ -904,7 +923,7 @@ def make_ode_solve_fn(f, solver, sensealg, opts: SolveOptions, t0, t1, *,
             **ev_kwargs,
         )
         return _returns(unravel_u, unravel_p, lam, finish_q(qcarry), saveat,
-                        jnp.maximum(fwd.stats.retcode, worst))
+                        jnp.maximum(fwd.stats.retcode, worst), primals=(u0, p))
 
     # -- QuadratureAdjoint ----------------------------------------------
 
@@ -966,7 +985,7 @@ def make_ode_solve_fn(f, solver, sensealg, opts: SolveOptions, t0, t1, *,
             q = q + jnp.sum(dae_qjs, axis=0)
             lam = du0_map(lam)
         return _returns(unravel_u, unravel_p, lam, q, saveat,
-                        jnp.maximum(fwd.stats.retcode, worst))
+                        jnp.maximum(fwd.stats.retcode, worst), primals=(u0, p))
 
     # -- ForwardDiffSensitivity (discrete forward mode) ------------------
 
@@ -1023,7 +1042,9 @@ def make_ode_solve_fn(f, solver, sensealg, opts: SolveOptions, t0, t1, *,
         ).reshape(-1)[:n_dirs]
         du0 = contracted[:n]
         dp = contracted[n:]
-        return unravel_u(du0), unravel_p(dp), jnp.zeros_like(saveat)
+        du0_t, dp_t = _match_cotangents(unravel_u(du0), unravel_p(dp),
+                                        (u0, p))
+        return du0_t, dp_t, jnp.zeros_like(saveat)
 
     if isinstance(sensealg, InterpolatingAdjoint) or gauss_ckpt:
         # GaussAdjoint(checkpointing=True) shares the interval-re-solve

@@ -128,8 +128,17 @@ def make_forward_sensitivity_solve_fn(f, solver, sensealg, opts: SolveOptions, t
         lam = jax.vmap(lambda s: ravel_pytree(s)[0])(d_ys)  # (nt, n)
         # dL/d(dir_k) = Σ_t Δ_t · S_t[k]
         contracted = jnp.einsum("ti,tki->k", lam, S_save)
-        du0 = unravel_u(contracted[:n])
-        dp = unravel_p(contracted[n:])
+
+        # cotangent dtypes must match the primals' (complex state + real
+        # params would otherwise leak a complex-with-zero-imag gradient)
+        def m(c, x):
+            x = jnp.asarray(x)
+            if jnp.iscomplexobj(c) and not jnp.iscomplexobj(x):
+                c = c.real
+            return c.astype(x.dtype)
+
+        du0 = jax.tree_util.tree_map(m, unravel_u(contracted[:n]), u0)
+        dp = jax.tree_util.tree_map(m, unravel_p(contracted[n:]), p)
         return du0, dp, jnp.zeros_like(saveat)
 
     solve_fn.defvjp(_fwd, _bwd)

@@ -118,7 +118,7 @@ class FBDF:
         return f"FBDF(max_order={self.max_order})"
 
     def init_state(self, fvec, t0, u0, f0, rtol, atol):
-        tdtype = jnp.zeros((), u0.dtype).real.dtype
+        tdtype = jnp.promote_types(jnp.zeros((), u0.dtype).real.dtype, jnp.float32)
         t_hist = jnp.full((HCAP,), jnp.asarray(t0, tdtype))
         u_hist = jnp.tile(u0[None, :], (HCAP, 1))
         return FBDFState(

@@ -97,12 +97,12 @@ class _Carry(NamedTuple):
     sstate: Any = None  # stateful-stepper state (multistep history)
 
 
-def _next_stop(t, t1, tstops, tdir, dtype):
+def _next_stop(t, t1, tstops, tdir, tdtype):
     """Nearest upcoming stop strictly ahead of t (including t1)."""
     if tstops is None or tstops.shape[0] == 0:
         return t1
     key = tstops * tdir
-    ahead = key > t * tdir + jnp.asarray(1e-12, dtype) * jnp.maximum(1.0, jnp.abs(t))
+    ahead = key > t * tdir + jnp.asarray(1e-12, tdtype) * jnp.maximum(1.0, jnp.abs(t))
     before_end = key < t1 * tdir
     masked = jnp.where(ahead & before_end, key, jnp.inf)
     nxt = jnp.min(masked)
@@ -155,8 +155,12 @@ def integrate(
     """
     u0 = jnp.asarray(u0)
     dtype = u0.dtype
-    # time variables live in the REAL dtype (complex states supported)
-    tdtype = jnp.zeros((), dtype).real.dtype
+    # Time/controller variables live in the REAL dtype (complex states
+    # supported) promoted to at least float32: with bf16/f16 states the
+    # STATE arithmetic stays low-precision (MXU-native) but t-accumulation
+    # and error ratios would be destroyed by an 8-bit mantissa (t ≈ 1.0 has
+    # bf16 spacing ~0.008 — larger than typical dt).
+    tdtype = jnp.promote_types(jnp.zeros((), dtype).real.dtype, jnp.float32)
     t0 = jnp.asarray(t0, tdtype)
     t1 = jnp.asarray(t1, tdtype)
     tdir = jnp.where(t1 >= t0, jnp.asarray(1.0, tdtype), jnp.asarray(-1.0, tdtype))
@@ -167,7 +171,7 @@ def integrate(
     if tstops is not None:
         tstops = jnp.asarray(tstops, tdtype)
 
-    f0 = fvec(u0, t0)
+    f0 = fvec(u0, t0).astype(dtype)
     if dt0 is None:
         # frozen like the controller: the realized grid is not differentiated
         dt = jax.lax.stop_gradient(
@@ -225,7 +229,7 @@ def integrate(
 
     def body(c: _Carry):
         # Clip dt to the next stop (t1 or a tstop) so stops are hit exactly.
-        stop = _next_stop(c.t, t1, tstops, tdir, dtype)
+        stop = _next_stop(c.t, t1, tstops, tdir, tdtype)
         remaining = stop - c.t
         dt_eff = jnp.where(jnp.abs(c.dt) >= jnp.abs(remaining), remaining, c.dt)
 
@@ -236,6 +240,10 @@ def integrate(
         else:
             u1, f1, err = stepper.step(fvec, c.t, dt_eff, c.u, c.f)
             sstate_new = None
+        # sub-f32 states: stage arithmetic ran promoted (dt is tdtype);
+        # restore the carry/storage dtype
+        u1 = u1.astype(dtype)
+        f1 = f1.astype(dtype)
         sc = atol + rtol * jnp.maximum(jnp.abs(c.u), jnp.abs(u1))
         if err_weights is None:
             err_norm = hairer_norm(err / sc)
@@ -475,23 +483,26 @@ def integrate_scan(
         )
     u0 = jnp.asarray(u0)
     dtype = u0.dtype
-    t0 = jnp.asarray(t0, dtype)
-    t1 = jnp.asarray(t1, dtype)
-    tdir = jnp.where(t1 >= t0, jnp.asarray(1.0, dtype), jnp.asarray(-1.0, dtype))
+    # time/controller dtype promoted to >= f32 (see the while driver)
+    tdtype = jnp.promote_types(jnp.zeros((), dtype).real.dtype, jnp.float32)
+    t0 = jnp.asarray(t0, tdtype)
+    t1 = jnp.asarray(t1, tdtype)
+    tdir = jnp.where(t1 >= t0, jnp.asarray(1.0, tdtype),
+                     jnp.asarray(-1.0, tdtype))
     order = stepper.order
-    rtol = jnp.asarray(rtol, dtype)
-    atol = jnp.asarray(atol, dtype)
+    rtol = jnp.asarray(rtol, tdtype)
+    atol = jnp.asarray(atol, tdtype)
     if tstops is not None:
-        tstops = jnp.asarray(tstops, dtype)
+        tstops = jnp.asarray(tstops, tdtype)
 
-    f0 = fvec(u0, t0)
+    f0 = fvec(u0, t0).astype(dtype)
     if dt0 is None:
         # frozen like the controller: the realized grid is not differentiated
         dt = jax.lax.stop_gradient(
             initial_step_size(fvec, t0, u0, f0, order, rtol, atol, tdir)
         )
     else:
-        dt = tdir * jnp.abs(jnp.asarray(dt0, dtype))
+        dt = tdir * jnp.abs(jnp.asarray(dt0, tdtype))
 
     beta1 = 0.7 / (order + 1.0)
     beta2 = 0.4 / (order + 1.0)
@@ -499,7 +510,7 @@ def integrate_scan(
     if event_set is not None:
         from .events import init_event_buffers, process_step_events
 
-        ev0 = init_event_buffers(event_set, t1, u0.shape[0], dtype, dtype)
+        ev0 = init_event_buffers(event_set, t1, u0.shape[0], dtype, tdtype)
     else:
         ev0 = None
 
@@ -507,23 +518,25 @@ def integrate_scan(
         t, u, f, dt, err_prev, n_acc, n_rej, status, hc, ev = carry
         running = status < 0
 
-        stop = _next_stop(t, t1, tstops, tdir, dtype)
+        stop = _next_stop(t, t1, tstops, tdir, tdtype)
         remaining = stop - t
         dt_eff = jnp.where(jnp.abs(dt) >= jnp.abs(remaining), remaining, dt)
 
         u1, f1, err = stepper.step(fvec, t, dt_eff, u, f)
+        u1 = u1.astype(dtype)
+        f1 = f1.astype(dtype)
         sc = atol + rtol * jnp.maximum(jnp.abs(u), jnp.abs(u1))
-        err_norm = hairer_norm(err / sc)
+        err_norm = hairer_norm(err / sc).astype(tdtype)
         bad = ~jnp.isfinite(err_norm)
-        err_norm = jnp.where(bad, jnp.asarray(2.0, dtype), err_norm)
+        err_norm = jnp.where(bad, jnp.asarray(2.0, tdtype), err_norm)
         if always_accept:
             accept = running & ~bad
         else:
             accept = (err_norm <= 1.0) & ~bad & running
 
-        err_cl = jnp.maximum(err_norm, jnp.asarray(1e-10, dtype))
+        err_cl = jnp.maximum(err_norm, jnp.asarray(1e-10, tdtype))
         factor = safety * err_cl ** (-beta1) * err_prev ** (beta2)
-        factor = jnp.where(bad, jnp.asarray(factor_min, dtype), factor)
+        factor = jnp.where(bad, jnp.asarray(factor_min, tdtype), factor)
         factor = jnp.clip(factor, factor_min, factor_max)
         # Differentiating THROUGH the controller couples every step to the
         # whole error history and blows gradients up by orders of magnitude;
@@ -543,7 +556,7 @@ def integrate_scan(
             # and the affect map — the discrete analogue of the reference's
             # AD-through-solver event handling (concrete_solve.jl:1351-1364).
             se = process_step_events(
-                event_set, fvec, t, dt_eff, u, f, u1, f1, accept, ev, dtype
+                event_set, fvec, t, dt_eff, u, f, u1, f1, accept, ev, tdtype
             )
             t_new = jnp.where(se.fired, se.t_e, t_new)
             u_new = jnp.where(se.fired, se.u_post, u_new)
@@ -567,7 +580,7 @@ def integrate_scan(
                 hc, ev), None
 
     init = (
-        t0, u0, f0, dt, jnp.asarray(1.0, dtype),
+        t0, u0, f0, dt, jnp.asarray(1.0, tdtype),
         jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32),
         jnp.asarray(-1, jnp.int32), hook_carry, ev0,
     )

@@ -9,6 +9,7 @@ test/Core3/automatic_sensealg_choice.jl, test/SDE2 non-diagonal cases.
 """
 
 import jax
+import jax.flatten_util
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -209,3 +210,94 @@ def test_oop_scalar_state():
     for alg in [GaussAdjoint(), InterpolatingAdjoint(), QuadratureAdjoint()]:
         g = float(jax.grad(lambda pp: loss(pp, alg))(p))
         assert abs(g - g_fd) < 1e-5 * abs(g_fd), (type(alg).__name__, g, g_fd)
+
+
+def test_float32_gradients_vs_float64_oracle():
+    # The f32 fast path (MXU-native training dtype) must track the f64
+    # gradient oracle on the spiral neural-ODE config — the cross-dtype
+    # validation the docs promise (reference tests assume f64 throughout;
+    # TPU training runs f32/bf16).
+    from scimlsensitivity_jl_tpu.models.neural_ode import mlp_apply, mlp_init
+
+    def make_loss(dtype):
+        params = mlp_init(jax.random.PRNGKey(0), (2, 16, 2), jnp.float64)
+        params = jax.tree_util.tree_map(lambda x: x.astype(dtype), params)
+        ts = jnp.linspace(0.0, 1.0, 8, dtype=dtype)
+        u0 = jnp.array([2.0, 0.0], dtype)
+
+        def loss(p):
+            prob = ODEProblem(lambda u, q, t: mlp_apply(q, u), u0,
+                              (0.0, 1.0), p)
+            sol = solve(prob, Tsit5(), saveat=ts, rtol=1e-4, atol=1e-6,
+                        sensealg=GaussAdjoint())
+            return jnp.sum(sol.ys ** 2)
+
+        return params, loss
+
+    p64, loss64 = make_loss(jnp.float64)
+    p32, loss32 = make_loss(jnp.float32)
+    g64 = jax.flatten_util.ravel_pytree(jax.grad(loss64)(p64))[0]
+    g32 = jax.flatten_util.ravel_pytree(jax.grad(loss32)(p32))[0]
+    assert g32.dtype == jnp.float32
+    scale = float(jnp.max(jnp.abs(g64)))
+    assert np.allclose(np.asarray(g32, np.float64), np.asarray(g64),
+                       rtol=1e-2, atol=1e-3 * scale), (
+        float(jnp.max(jnp.abs(g32 - g64.astype(jnp.float32)))), scale)
+
+
+def test_bfloat16_forward_runs():
+    # bf16 forward solve sanity (training-precision trajectories): runs,
+    # stays finite, and on a CONTRACTING system tracks the analytic
+    # solution to bf16 resolution (~3 decimal digits; an amplifying
+    # trajectory would magnify the 8-bit-mantissa roundoff arbitrarily —
+    # that regime is what the f32/f64 validation above is for).
+    def decay(u, p, t):
+        return -p * u
+
+    pbf = jnp.asarray(1.25, jnp.bfloat16)
+    solbf = solve(ODEProblem(decay, jnp.ones(2, jnp.bfloat16), (0.0, 1.0),
+                             pbf), Tsit5(), rtol=1e-2, atol=1e-2)
+    assert solbf.ys.dtype == jnp.bfloat16
+    a = np.asarray(solbf.ys[-1], np.float64)
+    assert np.all(np.isfinite(a))
+    assert np.allclose(a, np.exp(-1.25), rtol=0.03), a
+
+
+@pytest.mark.parametrize("algname", [
+    "forwarddiff", "gauss", "interp", "backsolve", "quadrature", "direct",
+])
+def test_complex_state_real_params_all_sensealgs(algname):
+    # Complex state, REAL parameters (reference Core1 complex strategy):
+    # gradient of a real loss must come back REAL (custom_vjp cotangents
+    # match primal dtypes) and agree with the analytic value.
+    from scimlsensitivity_jl_tpu import (
+        BacksolveAdjoint,
+        DirectAdjoint,
+        ForwardDiffSensitivity,
+        InterpolatingAdjoint,
+    )
+
+    alg = {
+        "forwarddiff": ForwardDiffSensitivity(),
+        "gauss": GaussAdjoint(),
+        "interp": InterpolatingAdjoint(),
+        "backsolve": BacksolveAdjoint(),
+        "quadrature": QuadratureAdjoint(),
+        "direct": DirectAdjoint(),
+    }[algname]
+    ts = jnp.linspace(0.0, 1.0, 5)
+
+    def f(u, p, t):
+        return (1j - 0.3) * p * u
+
+    def loss(p):
+        sol = solve(ODEProblem(f, jnp.array([1.0 + 0j]), (0.0, 1.0), p),
+                    Tsit5(), saveat=ts, rtol=1e-10, atol=1e-12, sensealg=alg)
+        return jnp.sum(jnp.abs(sol.ys) ** 2)
+
+    g = jax.grad(loss)(jnp.asarray(1.1))
+    # |u(t)|^2 = e^{-0.6 p t}
+    t = np.linspace(0.0, 1.0, 5)
+    g_exact = float(np.sum(-0.6 * t * np.exp(-0.6 * 1.1 * t)))
+    assert not jnp.iscomplexobj(g), g.dtype
+    assert np.isclose(float(g), g_exact, rtol=1e-6), (float(g), g_exact)
