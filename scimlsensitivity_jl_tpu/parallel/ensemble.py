@@ -35,10 +35,16 @@ __all__ = ["EnsembleProblem", "solve_ensemble", "make_mesh"]
 @dataclass(frozen=True)
 class EnsembleProblem:
     """prob + prob_func(prob, i) -> per-trajectory problem (a pytree, so the
-    whole construction is vmappable over i)."""
+    whole construction is vmappable over i).
+
+    output_func(sol, i) -> out: per-trajectory post-processing applied
+    inside the batched solve (the reference's EnsembleProblem output_func;
+    vmapped/shard_mapped with the solve, so reductions over `out` stay
+    on-device)."""
 
     prob: Any
     prob_func: Optional[Callable] = None
+    output_func: Optional[Callable] = None
 
     def instantiate(self, i):
         if self.prob_func is None:
@@ -74,7 +80,10 @@ def solve_ensemble(
 
     def run_one(i):
         prob_i = ens.instantiate(i)
-        return solve(prob_i, solver, **solve_kwargs)
+        sol = solve(prob_i, solver, **solve_kwargs)
+        if ens.output_func is not None:
+            return ens.output_func(sol, i)
+        return sol
 
     idx = jnp.arange(trajectories)
 

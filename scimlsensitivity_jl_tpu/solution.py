@@ -46,6 +46,16 @@ class ODESolution:
     u_final: Optional[jnp.ndarray] = None  # flat state at t1
     events: Any = None  # (ev_ts, ev_upre, ev_idx, ev_count) when callbacks on
 
+    @property
+    def t(self):
+        """Reference-style alias for the save times (`sol.t`)."""
+        return self.ts
+
+    @property
+    def u(self):
+        """Reference-style alias for the saved states (`sol.u`)."""
+        return self.ys
+
     def __call__(self, t):
         """Continuous dense evaluation u(t); vectorizes over 1-D t."""
         if self.dense is None:

@@ -11,6 +11,7 @@ import optax
 from scimlsensitivity_jl_tpu import (
     BacksolveAdjoint,
     InterpolatingAdjoint,
+    ODEProblem,
     Tsit5,
     solve,
 )
@@ -153,3 +154,60 @@ def test_neural_feedback_control_trains():
     # gradient reached the known-system parameters too (joint estimation)
     g_sys = jax.grad(loss)(params)["system"]
     assert float(jnp.max(jnp.abs(g_sys))) > 0
+
+
+def test_pde_constrained_heat_equation():
+    # Reference docs/src/examples/pde/pde_constrained.md: recover the heat
+    # equation's [a0, a1] from trajectory data by gradient descent through
+    # the solve (method of lines, 200-point grid).
+    from scimlsensitivity_jl_tpu import GaussAdjoint
+    from scimlsensitivity_jl_tpu.models.pde import heat1d_problem
+
+    prob, x = heat1d_problem(nx=200, T=0.3)
+    ts = jnp.linspace(0.0, 0.3, 4)
+    data = solve(prob, Tsit5(), saveat=ts, rtol=1e-8, atol=1e-10).ys
+
+    def loss(p):
+        sol = solve(
+            ODEProblem(prob.f, prob.u0, prob.tspan, p), Tsit5(), saveat=ts,
+            rtol=1e-8, atol=1e-10, sensealg=GaussAdjoint(), max_steps=8192,
+        )
+        return jnp.sum((sol.ys - data) ** 2)
+
+    import optax
+
+    p = jnp.array([1.4, 0.6])
+    opt = optax.adam(0.05)
+    state = opt.init(p)
+    vg = jax.jit(jax.value_and_grad(loss))
+    for _ in range(150):
+        l, g = vg(p)
+        up, state = opt.update(g, state)
+        p = p + up
+    assert np.allclose(np.asarray(p), [1.0, 1.0], atol=2e-2), np.asarray(p)
+
+
+def test_brusselator_2d_adjoint():
+    # Reference docs/src/examples/pde/brusselator.md: 2-D stiff
+    # reaction-diffusion; gradient of a terminal functional wrt [A, B]
+    # cross-checked against forward mode (32x32 grid = 2048 states).
+    from scimlsensitivity_jl_tpu import InterpolatingAdjoint
+    from scimlsensitivity_jl_tpu.models.pde import brusselator_2d_problem
+
+    prob = brusselator_2d_problem(n=16, T=0.5)
+
+    def loss(p, alg):
+        sol = solve(
+            ODEProblem(prob.f, prob.u0, prob.tspan, p), Tsit5(),
+            rtol=1e-6, atol=1e-8, sensealg=alg, max_steps=16384,
+        )
+        return jnp.mean(sol.ys[-1] ** 2)
+
+    from scimlsensitivity_jl_tpu import DirectAdjoint
+
+    g_adj = jax.grad(lambda p: loss(p, InterpolatingAdjoint()))(prob.p)
+    v = jnp.array([1.0, -0.5])
+    # jvp oracle rides the plain-AD scan driver (custom_vjp rules reject jvp)
+    _, dv = jax.jvp(lambda p: loss(p, DirectAdjoint()), (prob.p,), (v,))
+    assert np.isclose(float(g_adj @ v), float(dv), rtol=1e-4), (
+        float(g_adj @ v), float(dv))

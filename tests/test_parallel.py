@@ -132,3 +132,19 @@ def test_nilss_shard_map_segments():
     assert np.allclose(np.asarray(res_mesh), np.asarray(res_vmap),
                        rtol=1e-6, atol=1e-8), (res_mesh, res_vmap)
     assert np.isclose(float(res_mesh[0]), 1.01, atol=0.3), float(res_mesh[0])
+
+
+def test_ensemble_output_func_and_reduction():
+    # reference EnsembleProblem output_func + reduction: per-trajectory
+    # post-processing fused into the batched solve
+    ens = EnsembleProblem(
+        BASE, prob_func,
+        output_func=lambda sol, i: sol.ys[-1, 0] * (i + 1),
+    )
+    outs = solve_ensemble(ens, Tsit5(), trajectories=8)
+    expect = (1.0 + np.arange(8) / 10.0) * np.exp(-1.0) * (np.arange(8) + 1)
+    assert np.allclose(np.asarray(outs), expect, rtol=1e-6)
+
+    total = solve_ensemble(ens, Tsit5(), trajectories=8,
+                           reduction=lambda o: jnp.sum(o))
+    assert np.isclose(float(total), expect.sum(), rtol=1e-6)

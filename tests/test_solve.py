@@ -219,3 +219,11 @@ def test_gbs_high_accuracy_adjoint():
 
     g = jax.grad(loss)(jnp.asarray(0.7))
     assert np.isclose(float(g), -2 * np.exp(-1.4), rtol=1e-9)
+
+
+def test_solution_reference_aliases():
+    # sol.t / sol.u (the reference's field names) alias ts / ys
+    prob = ODEProblem(lambda u, p, t: -u, jnp.ones(2), (0.0, 1.0), None)
+    sol = solve(prob, Tsit5(), saveat=jnp.linspace(0.0, 1.0, 3))
+    assert sol.t is sol.ts
+    assert sol.u is sol.ys
