@@ -155,3 +155,56 @@ def test_second_order_over_continuous_adjoint():
     hv_g = np.asarray(second_order_sensitivity_product(
         loss, prob, v, Tsit5(), sensealg=GaussAdjoint(), **kw))
     np.testing.assert_allclose(hv_g, hv_d, rtol=1e-4, atol=1e-6)
+
+
+def test_continuous_cost_all_families():
+    # The reference runs the continuous-cost configs under every continuous
+    # adjoint family (sensitivity_interface.jl): Interpolating joined
+    # [λ;q], Gauss in-solve hook, Quadrature post-hoc GK, Backsolve
+    # augmented — all must agree on ∫ sum(u²) dt.
+    from scimlsensitivity_jl_tpu import QuadratureAdjoint
+
+    prob = ODEProblem(lv, LV_U0, (0.0, 5.0), LV_P)
+    sol = solve(prob, Tsit5(), rtol=1e-11, atol=1e-13, dense=True)
+
+    def g(u, p, t):
+        return jnp.sum(u ** 2)
+
+    ref = None
+    for sa in [InterpolatingAdjoint(), GaussAdjoint(), QuadratureAdjoint(),
+               BacksolveAdjoint()]:
+        du0, dp = adjoint_sensitivities(
+            sol, Tsit5(), t=jnp.asarray([0.0, 5.0]), g=g, sensealg=sa,
+            rtol=1e-10, atol=1e-12,
+        )
+        got = np.concatenate([np.asarray(du0), np.asarray(dp)])
+        if ref is None:
+            ref = got
+        else:
+            np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-7,
+                                       err_msg=repr(sa))
+
+
+def test_discrete_cost_quadrature_family():
+    # QuadratureAdjoint through the direct API on the canonical discrete
+    # config (it runs a λ-only dense reverse + post-hoc adaptive GK —
+    # a different design than the joined families tested above).
+    from scimlsensitivity_jl_tpu import QuadratureAdjoint
+
+    prob = ODEProblem(lv, LV_U0, (0.0, 10.0), LV_P)
+    sol = solve(prob, Tsit5(), saveat=TS, rtol=1e-10, atol=1e-12, dense=True)
+
+    def dgdu(u, p, t, i):
+        return 2.0 * (u - 1.0)
+
+    du0, dp = adjoint_sensitivities(
+        sol, Tsit5(), t=TS, dgdu_discrete=dgdu, sensealg=QuadratureAdjoint(),
+        rtol=1e-10, atol=1e-12,
+    )
+    du0_ref, dp_ref = adjoint_sensitivities(
+        sol, Tsit5(), t=TS, dgdu_discrete=dgdu, sensealg=GaussAdjoint(),
+        rtol=1e-10, atol=1e-12,
+    )
+    np.testing.assert_allclose(np.asarray(dp), np.asarray(dp_ref), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(du0), np.asarray(du0_ref),
+                               rtol=1e-6)
