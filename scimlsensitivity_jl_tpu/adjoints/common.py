@@ -266,3 +266,20 @@ def forward_saveat_solve(
     return fwd, extra_carry
 
 
+
+
+def match_cotangents(du0, dp, primals):
+    """custom_vjp contract: cotangent dtypes match the primals'. Complex
+    states with real parameters otherwise leak complex-with-zero-imag
+    gradients to jax.grad (the real gradient IS the real part — the vjp
+    kernels already performed the conjugate contraction)."""
+    u0_p, p_p = primals
+
+    def m(c, x):
+        x = jnp.asarray(x)
+        if jnp.iscomplexobj(c) and not jnp.iscomplexobj(x):
+            c = c.real
+        return c.astype(x.dtype)
+
+    return (jax.tree_util.tree_map(m, du0, u0_p),
+            jax.tree_util.tree_map(m, dp, p_p))

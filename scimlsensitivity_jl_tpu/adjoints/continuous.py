@@ -53,7 +53,8 @@ from ..sensealg import (
 )
 from ..solvers.integrate import Stats, integrate
 from ..utils.pytree import ravel_pytree
-from .common import forward_saveat_solve, reverse_joined_solve
+from .common import (forward_saveat_solve, match_cotangents,
+                     reverse_joined_solve)
 
 __all__ = ["SolveOptions", "AuxOut", "make_ode_solve_fn"]
 
@@ -570,22 +571,6 @@ def make_ode_solve_fn(f, solver, sensealg, opts: SolveOptions, t0, t1, *,
         return (u0, p, saveat, fwd, u0vec, unravel_u, unravel_p, kern, n,
                 npf, times, jumps, event_set)
 
-    def _match_cotangents(du0, dp, primals):
-        # custom_vjp contract: cotangent dtypes match the primals'. Complex
-        # states with real parameters otherwise leak complex-with-zero-imag
-        # gradients to jax.grad (the real gradient IS the real part — the
-        # vjp kernels already performed the conjugate contraction).
-        u0_p, p_p = primals
-
-        def m(c, x):
-            x = jnp.asarray(x)
-            if jnp.iscomplexobj(c) and not jnp.iscomplexobj(x):
-                c = c.real
-            return c.astype(x.dtype)
-
-        return (jax.tree_util.tree_map(m, du0, u0_p),
-                jax.tree_util.tree_map(m, dp, p_p))
-
     def _returns(unravel_u, unravel_p, lam0, qflat, saveat, retcode=None,
                  primals=None):
         if retcode is not None:
@@ -615,7 +600,7 @@ def make_ode_solve_fn(f, solver, sensealg, opts: SolveOptions, t0, t1, *,
         du0 = unravel_u(lam0)
         dp = unravel_p(qflat)
         if primals is not None:
-            du0, dp = _match_cotangents(du0, dp, primals)
+            du0, dp = match_cotangents(du0, dp, primals)
         return du0, dp, jnp.zeros_like(saveat)
 
     # -- InterpolatingAdjoint (dense) / checkpointing variant ------------
@@ -1042,8 +1027,8 @@ def make_ode_solve_fn(f, solver, sensealg, opts: SolveOptions, t0, t1, *,
         ).reshape(-1)[:n_dirs]
         du0 = contracted[:n]
         dp = contracted[n:]
-        du0_t, dp_t = _match_cotangents(unravel_u(du0), unravel_p(dp),
-                                        (u0, p))
+        du0_t, dp_t = match_cotangents(unravel_u(du0), unravel_p(dp),
+                                       (u0, p))
         return du0_t, dp_t, jnp.zeros_like(saveat)
 
     if isinstance(sensealg, InterpolatingAdjoint) or gauss_ckpt:

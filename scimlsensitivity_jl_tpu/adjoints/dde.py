@@ -66,6 +66,13 @@ def solve_dde(prob: DDEProblem, solver=None, *, dt, saveat=None,
             "size the pre-t0 history buffer"
         )
     max_lag = prob.max_lag if prob.max_lag is not None else max(const_lags)
+    if const_lags and max_lag < max(const_lags) - 1e-12:
+        # an undersized history buffer would silently clamp the gather and
+        # extrapolate the first Hermite interval — wrong answers, retcode 0
+        raise ValueError(
+            f"DDEProblem.max_lag={max_lag} is smaller than the largest "
+            f"constant lag {max(const_lags)}; max_lag must bound EVERY lag"
+        )
     n_steps = max(int(round((t1 - t0) / dt_f)), 1)
 
     u0vec, unravel_u = ravel_pytree(prob.u0)
@@ -139,7 +146,8 @@ def solve_dde(prob: DDEProblem, solver=None, *, dt, saveat=None,
         for lag_fn, la in zip(prob.lags, lags_a):
             if la is None:
                 lv = jnp.asarray(lag_fn(u, p, t), dtype)
-                bad = bad | (lv < dt_a) | (lv > max_lag_a * (1 + 1e-12))
+                bad = (bad | (lv < dt_a * (1.0 - 1e-12))
+                       | (lv > max_lag_a * (1 + 1e-12)))
                 # clamp keeps the gather in the published/explicit region;
                 # when the solve is healthy the clamp is inactive (td = t-lv
                 # carries the ∂τ/∂u gradient), and when it trips the result
@@ -158,6 +166,12 @@ def solve_dde(prob: DDEProblem, solver=None, *, dt, saveat=None,
         raise NotImplementedError(
             f"stiff method-of-steps implements TRBDF2(); got {solver.name}"
         )
+    if solver is not None and not implicit:
+        # no silent no-op knobs: the DDE path has exactly two steppers
+        raise NotImplementedError(
+            f"DDE method of steps supports solver=None (explicit RK4) or "
+            f"TRBDF2() (stiff, implicit); got {solver!r}"
+        )
     if implicit:
         import math as _math
 
@@ -168,16 +182,18 @@ def solve_dde(prob: DDEProblem, solver=None, *, dt, saveat=None,
         c_bdf3 = (1.0 - gam) / (2.0 - gam)
         eye_n = jnp.eye(n, dtype=dtype)
 
-        def newton(res_fn, v0, a_coef):
-            """Damped-free dense Newton, fixed 6 sweeps (n is small for
-            DDEs; jacfwd through fvec incl. the Hermite gather)."""
+        def newton(res_fn, v0):
+            """Dense Newton, fixed 6 sweeps (n is small for DDEs; jacfwd
+            through fvec incl. the Hermite gather). res_fn -> (residual,
+            bad); returns (solution, bad at the last iterate) so lag
+            violations are read off evaluations Newton performs anyway."""
             def one(v, _):
-                r = res_fn(v)
-                J = jax.jacfwd(res_fn)(v)
-                return v - jnp.linalg.solve(J, r), None
+                r, bad = res_fn(v)
+                J = jax.jacfwd(lambda w: res_fn(w)[0])(v)
+                return v - jnp.linalg.solve(J, r), bad
 
-            v, _ = jax.lax.scan(one, v0, None, length=6)
-            return v
+            v, bads = jax.lax.scan(one, v0, None, length=6)
+            return v, bads[-1]
 
     def body(carry, i):
         ubuf, fbuf, bad = carry
@@ -190,18 +206,17 @@ def solve_dde(prob: DDEProblem, solver=None, *, dt, saveat=None,
             t_g = t + gam * dt_a
 
             def res_tr(v):
-                return (v - uvec
-                        - 0.5 * gam * dt_a * (k1 + fvec(v, ubuf, fbuf, t_g)[0]))
+                fv, bad = fvec(v, ubuf, fbuf, t_g)
+                return v - uvec - 0.5 * gam * dt_a * (k1 + fv), bad
 
-            u_g = newton(res_tr, uvec + gam * dt_a * k1, 0.5 * gam)
+            u_g, b2 = newton(res_tr, uvec + gam * dt_a * k1)
 
             def res_bdf(w):
+                fw, bad = fvec(w, ubuf, fbuf, t + dt_a)
                 return (w - c_bdf1 * u_g - c_bdf2 * uvec
-                        - c_bdf3 * dt_a * fvec(w, ubuf, fbuf, t + dt_a)[0])
+                        - c_bdf3 * dt_a * fw), bad
 
-            u1 = newton(res_bdf, u_g, c_bdf3)
-            b2 = fvec(u_g, ubuf, fbuf, t_g)[1]
-            b3 = fvec(u1, ubuf, fbuf, t + dt_a)[1]
+            u1, b3 = newton(res_bdf, u_g)
             b4 = jnp.asarray(False)
         else:
             k2, b2 = fvec(uvec + 0.5 * dt_a * k1, ubuf, fbuf, t + 0.5 * dt_a)
@@ -233,7 +248,10 @@ def solve_dde(prob: DDEProblem, solver=None, *, dt, saveat=None,
     stats = Stats(
         n_accepted=jnp.asarray(n_steps, jnp.int32),
         n_rejected=jnp.asarray(0, jnp.int32),
-        n_fevals=jnp.asarray(4 * n_steps, jnp.int32),
+        n_fevals=jnp.asarray(
+            (1 + 2 * 6 * 2) * n_steps if implicit else 4 * n_steps,
+            jnp.int32,
+        ),
         retcode=retcode,
     )
     return ODESolution(

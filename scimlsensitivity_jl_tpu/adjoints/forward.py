@@ -24,7 +24,7 @@ import jax.numpy as jnp
 from ..ops.vjp import make_vjp_kernels
 from ..problems import ODEProblem
 from ..utils.pytree import ravel_pytree
-from .common import forward_saveat_solve
+from .common import forward_saveat_solve, match_cotangents
 from .continuous import AuxOut, SolveOptions
 
 __all__ = [
@@ -128,17 +128,8 @@ def make_forward_sensitivity_solve_fn(f, solver, sensealg, opts: SolveOptions, t
         lam = jax.vmap(lambda s: ravel_pytree(s)[0])(d_ys)  # (nt, n)
         # dL/d(dir_k) = Σ_t Δ_t · S_t[k]
         contracted = jnp.einsum("ti,tki->k", lam, S_save)
-
-        # cotangent dtypes must match the primals' (complex state + real
-        # params would otherwise leak a complex-with-zero-imag gradient)
-        def m(c, x):
-            x = jnp.asarray(x)
-            if jnp.iscomplexobj(c) and not jnp.iscomplexobj(x):
-                c = c.real
-            return c.astype(x.dtype)
-
-        du0 = jax.tree_util.tree_map(m, unravel_u(contracted[:n]), u0)
-        dp = jax.tree_util.tree_map(m, unravel_p(contracted[n:]), p)
+        du0, dp = match_cotangents(unravel_u(contracted[:n]),
+                                   unravel_p(contracted[n:]), (u0, p))
         return du0, dp, jnp.zeros_like(saveat)
 
     solve_fn.defvjp(_fwd, _bwd)

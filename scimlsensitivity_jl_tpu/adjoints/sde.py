@@ -50,6 +50,28 @@ from ..utils.pytree import ravel_pytree
 __all__ = ["solve_sde", "solve_rode"]
 
 
+
+def _grid_save_steps(saveat, t0, t1, n_steps, dt_a, kind):
+    """Map save times to fixed-grid node indices. Validated eagerly (must
+    lie on the dt grid); under an outer jit the saveat is a tracer and the
+    grid alignment is trusted (same pattern as the fixed-grid ODE driver).
+    """
+    import numpy as _np
+
+    try:
+        steps_f = (_np.asarray(saveat) - t0) / float((t1 - t0) / n_steps)
+        save_steps_np = _np.rint(steps_f).astype(int)
+        if not _np.allclose(steps_f, save_steps_np, atol=1e-8):
+            raise ValueError(
+                f"{kind} saveat times must lie on the dt grid; got offsets "
+                f"{steps_f}"
+            )
+        return jnp.asarray(save_steps_np)
+    except jax.errors.TracerArrayConversionError:
+        return jnp.clip(
+            jnp.rint((saveat - t0) / dt_a).astype(jnp.int32), 0, n_steps
+        )
+
 def solve_rode(
     prob,
     *,
@@ -93,19 +115,7 @@ def solve_rode(
         saveat = jnp.asarray([t0, t1], dtype)
     else:
         saveat = jnp.asarray(saveat, dtype)
-    import numpy as _np
-
-    # validated eagerly; trusted under an outer jit (staged saveat)
-    try:
-        steps_f = (_np.asarray(saveat) - t0) / ((t1 - t0) / n_steps)
-        save_steps_np = _np.rint(steps_f).astype(int)
-        if not _np.allclose(steps_f, save_steps_np, atol=1e-8):
-            raise ValueError("RODE saveat times must lie on the dt grid")
-        save_steps = jnp.asarray(save_steps_np)
-    except jax.errors.TracerArrayConversionError:
-        save_steps = jnp.clip(
-            jnp.rint((saveat - t0) / dt_a).astype(jnp.int32), 0, n_steps
-        )
+    save_steps = _grid_save_steps(saveat, t0, t1, n_steps, dt_a, "RODE")
     ns = save_steps.shape[0]
     f_user = prob.f
 
@@ -272,26 +282,7 @@ def solve_sde(
         saveat = jnp.asarray([t0, t1], dtype)
     else:
         saveat = jnp.asarray(saveat, dtype)
-    # Save times must sit on the grid (fixed-shape capture by node index).
-    # Validated eagerly; under an outer jit (saveat staged to a tracer —
-    # even endpoint defaults) the grid alignment is trusted, same pattern
-    # as the fixed-grid ODE driver.
-    import numpy as _np
-
-    try:
-        sv = _np.asarray(saveat)
-        steps_f = (sv - t0) / float((t1 - t0) / n_steps)
-        save_steps_np = _np.rint(steps_f).astype(int)
-        if not _np.allclose(steps_f, save_steps_np, atol=1e-8):
-            raise ValueError(
-                f"SDE saveat times must lie on the dt grid; got offsets "
-                f"{steps_f}"
-            )
-        save_steps = jnp.asarray(save_steps_np)
-    except jax.errors.TracerArrayConversionError:
-        save_steps = jnp.clip(
-            jnp.rint((saveat - t0) / dt_a).astype(jnp.int32), 0, n_steps
-        )
+    save_steps = _grid_save_steps(saveat, t0, t1, n_steps, dt_a, "SDE")
     ns = save_steps.shape[0]
 
     f_user, g_user = prob.f, prob.g

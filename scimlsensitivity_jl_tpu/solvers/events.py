@@ -144,8 +144,11 @@ def process_step_events(event_set, fvec, t_a, dt_eff, u_a, f_a, u_b, f_b,
 
         def _cont_fire(_):
             t_e = t_a + theta_min * dt_eff
-            u_pre0 = hermite_eval(t_e, t_a, t_b, u_a_, f_a_, u_b_, f_b_)
-            f_pre0 = fvec(u_pre0, t_e)
+            # sub-f32 states: the (>= f32) event time promotes the Hermite
+            # result; restore the state dtype so the cond branches agree
+            u_pre0 = hermite_eval(t_e, t_a, t_b, u_a_, f_a_, u_b_,
+                                  f_b_).astype(u_a_.dtype)
+            f_pre0 = fvec(u_pre0, t_e).astype(u_a_.dtype)
             # apply ALL conditions crossing within √eps of θ_min, in
             # callback order, composing the state
             tol_th = jnp.sqrt(eps)
@@ -162,7 +165,9 @@ def process_step_events(event_set, fvec, t_a, dt_eff, u_a, f_a, u_b, f_b,
                     state,
                 )
                 fires = fires.at[j].set(fire_j)
-            return t_e, u_pre0, f_pre0, state, fvec(state, t_e), fires, u_pres
+            state = state.astype(u_a_.dtype)
+            return (t_e, u_pre0, f_pre0, state,
+                    fvec(state, t_e).astype(u_a_.dtype), fires, u_pres)
 
         def _disc_check(_):
             fires = jnp.zeros((K,), bool)
@@ -181,7 +186,9 @@ def process_step_events(event_set, fvec, t_a, dt_eff, u_a, f_a, u_b, f_b,
                         state,
                     )
                     fires = fires.at[j].set(fire_j)
-            return (t_b, u_b_, f_b_, state, fvec(state, t_b), fires, u_pres)
+            state = state.astype(u_a_.dtype)
+            return (t_b, u_b_, f_b_, state,
+                    fvec(state, t_b).astype(u_a_.dtype), fires, u_pres)
 
         return jax.lax.cond(any_c, _cont_fire, _disc_check, None)
 
@@ -208,12 +215,16 @@ def process_step_events(event_set, fvec, t_a, dt_eff, u_a, f_a, u_b, f_b,
         )
         ev_count = ev_count + fire.astype(jnp.int32)
 
+    # State outputs restored to the integration state's dtype: interpolation
+    # at the (>= f32) event time promotes sub-f32 states, which would
+    # otherwise collide with the bf16/f16 loop carry in the drivers' merges.
+    sd = u_a.dtype
     return StepEvents(
         fired=any_fired,
         t_e=t_e,
-        u_pre=u_pre0,
-        f_pre=f_pre0,
-        u_post=u_post,
-        f_post=f_post,
+        u_pre=u_pre0.astype(sd),
+        f_pre=f_pre0.astype(sd),
+        u_post=u_post.astype(sd),
+        f_post=f_post.astype(sd),
         events=(ev_ts, ev_upre, ev_idx, ev_count),
     )

@@ -221,3 +221,23 @@ def test_dde_stiff_trbdf2_gradient_vs_fd():
     eps = 1e-6
     fd = (float(loss(p0 + eps)) - float(loss(p0 - eps))) / (2 * eps)
     assert np.isclose(float(g), fd, rtol=1e-5), (float(g), fd)
+
+
+def test_dde_max_lag_must_cover_constant_lags():
+    import pytest
+
+    prob = DDEProblem(lambda u, h, p, t: -h[0], jnp.array([1.0]),
+                      (0.0, 1.0), None, lags=(1.0,), max_lag=0.5)
+    with pytest.raises(ValueError, match="max_lag"):
+        solve(prob, dt=0.05)
+
+
+def test_dde_rejects_explicit_solver():
+    import pytest
+
+    from scimlsensitivity_jl_tpu import Tsit5
+
+    prob = DDEProblem(lambda u, h, p, t: -h[0], jnp.array([1.0]),
+                      (0.0, 1.0), None, lags=(0.5,))
+    with pytest.raises(NotImplementedError, match="RK4"):
+        solve(prob, Tsit5(), dt=0.01)

@@ -301,3 +301,36 @@ def test_complex_state_real_params_all_sensealgs(algname):
     g_exact = float(np.sum(-0.6 * t * np.exp(-0.6 * 1.1 * t)))
     assert not jnp.iscomplexobj(g), g.dtype
     assert np.isclose(float(g), g_exact, rtol=1e-6), (float(g), g_exact)
+
+
+def test_bfloat16_with_events():
+    # Mixed precision × events: the (>= f32) event-time interpolation must
+    # not leak promoted states into the bf16 loop carry (regression for the
+    # tdtype-promotion change).
+    from scimlsensitivity_jl_tpu import ContinuousCallback, DiscreteCallback
+
+    cb = DiscreteCallback(
+        condition=lambda u, p, t: jnp.abs(t - 0.5) < 1e-6,
+        affect=lambda u, p, t: u + 1.0,
+    )
+    sol = solve(ODEProblem(lambda u, p, t: -u, jnp.ones(2, jnp.bfloat16),
+                           (0.0, 1.0), None), Tsit5(), rtol=1e-2, atol=1e-2,
+                callback=cb, tstops=jnp.array([0.5]))
+    assert sol.ys.dtype == jnp.bfloat16
+    # e^{-0.5}; +1 dose; decay 0.5 more -> (e^{-0.5}+1)e^{-0.5} ~ 0.974
+    assert np.allclose(np.asarray(sol.ys[-1], np.float64), 0.974, rtol=0.05)
+
+    bounce = ContinuousCallback(
+        condition=lambda u, p, t: u[0],
+        affect=lambda u, p, t: jnp.array([u[0], -0.8 * u[1]], u.dtype),
+        direction=-1,
+    )
+    sol2 = solve(
+        ODEProblem(
+            lambda u, p, t: jnp.array(
+                [u[1], -jnp.ones((), u.dtype) * 9.8], u.dtype),
+            jnp.array([1.0, 0.0], jnp.bfloat16), (0.0, 1.0), None),
+        Tsit5(), rtol=1e-2, atol=1e-2, callback=bounce)
+    assert sol2.ys.dtype == jnp.bfloat16
+    assert int(sol2.retcode) == 0
+    assert int(sol2.events[3]) >= 1  # the bounce fired
