@@ -57,7 +57,20 @@ class NILSASProblem:
 
 def nilsas_shadow_adjoint(nprob: NILSASProblem, solver=None, *, rtol=1e-8,
                           atol=1e-10, fwd_rtol=1e-11, fwd_atol=1e-13,
-                          max_steps=16384, max_steps_per_segment=4096):
+                          max_steps=16384, max_steps_per_segment=4096,
+                          segment_parallel: bool = False, mesh=None):
+    """segment_parallel=True switches the adjoint stage to the two-pass
+    transfer-operator design (the adjoint analogue of NILSS's): each
+    segment solves the FULL backward transfer basis [v*₀; Φ (n identity-
+    seeded homogeneous adjoints)] plus the bilinear quadrature carriers
+    G=∫ΦΦᵀ, h=∫Φv*₀, pf=∫Φf, GP=∫(-Φᵀ∂f/∂p) — independent across
+    segments (vmapped, or shard_mapped over `mesh`'s first axis; nseg must
+    divide by the mesh size). Because adjoint propagation is linear in the
+    terminal value, the right-to-left interface QR recursion collapses to
+    dense algebra on segment-end transfer values, and every recorded
+    quadrature is a bilinear form: C=W₀GW₀ᵀ, dwv=W₀(h+Gv₀), dwf=W₀pf,
+    dvf=vf+v₀·pf, gW=W₀GP, gv=gv₀+v₀·GP. Costs n (not M) homogeneous
+    adjoints per segment — the price of parallelism."""
     from ...solve import solve as _solve
     from ...solvers.explicit import Tsit5
 
@@ -180,33 +193,137 @@ def nilsas_shadow_adjoint(nprob: NILSASProblem, solver=None, *, rtol=1e-8,
     dwfs_seg = jnp.zeros((nseg, M, npf), dtype)
     worst = jnp.asarray(fwd_retcode, jnp.int32)
 
-    for iseg in range(nseg - 1, -1, -1):
-        t_a = t0 + (iseg + 1) * T_seg
-        t_b = t0 + iseg * T_seg
-        res = integrate(
-            solver, aug_rhs, t_a, t_b, z,
-            rtol=rtol, atol=atol, max_steps=max_steps_per_segment,
-            store_dense=False, err_weights=wts,
+    if segment_parallel:
+        # ---- per-segment transfer solves (PARALLEL over segments) -------
+        # state: [v*₀(n); Φ(n²); gv₀(npf); GP(n·npf); G(n²); h(n); pf(n);
+        #         vf(1); dJs(npf)] — Φ rows seeded with the identity, so
+        #         any terminal adjoint value reconstructs by linearity.
+        pW = n
+        pgv = pW + n * n
+        pGP = pgv + npf
+        pG = pGP + n * npf
+        ph = pG + n * n
+        ppf = ph + n
+        pvf = ppf + n
+        pdJ = pvf + 1
+        ptot = pdJ + npf
+
+        def aug_rhs_T(zz, t):
+            y = dense_eval(dense, t)
+            vstar = zz[:n]
+            Phi = zz[pW:pgv].reshape(n, n)
+            lams = jnp.concatenate([vstar[None], Phi], axis=0)  # (n+1, n)
+            fval = kern.fvec(y, p, t)
+
+            def pull(lam):
+                _, ubar, pbar = kern.f_and_vjp(y, p, t, lam)
+                return ubar, ravel_pytree(pbar)[0]
+
+            ubars, pbars = jax.vmap(pull)(lams)
+            gu = dgdu(y, t)
+            return jnp.concatenate([
+                -ubars[0] - gu,
+                (-ubars[1:]).reshape(-1),
+                -pbars[0],
+                (-pbars[1:]).reshape(-1),
+                (-(Phi @ Phi.T)).reshape(-1),
+                -(Phi @ vstar),
+                -(Phi @ fval),
+                -jnp.dot(vstar, fval)[None],
+                -dgdp(y, t),
+            ])
+
+        wtsT = jnp.zeros(ptot, dtype).at[:pgv].set(1.0)
+        z0T = jnp.zeros(ptot, dtype).at[pW:pgv].set(
+            jnp.eye(n, dtype=dtype).reshape(-1)
         )
-        worst = jnp.maximum(worst, res.stats.retcode)
-        ze = res.u_final
-        vstar = ze[:n]
-        W = ze[oW:ogv].reshape(M, n).T  # (n, M) columns = adjoints
+        t_his = t0 + T_seg * (jnp.arange(nseg, dtype=dtype) + 1.0)
 
-        Q, R = jnp.linalg.qr(W)
-        b = Q.T @ vstar
+        def seg_transfer(t_hi):
+            res = integrate(
+                solver, aug_rhs_T, t_hi, t_hi - T_seg, z0T,
+                rtol=rtol, atol=atol, max_steps=max_steps_per_segment,
+                store_dense=False, err_weights=wtsT,
+            )
+            return res.u_final, res.stats.retcode
 
-        Rs = Rs.at[iseg].set(R)
-        bs = bs.at[iseg].set(b)
-        C_seg = C_seg.at[iseg].set(ze[oC:odwv].reshape(M, M))
-        dwv_seg = dwv_seg.at[iseg].set(ze[odwv:odwf])
-        dwf_seg = dwf_seg.at[iseg].set(ze[odwf:odvf])
-        dvf_seg = dvf_seg.at[iseg].set(ze[odvf])
-        dJs_seg = dJs_seg.at[iseg].set(ze[odJs:])
-        dvfs_seg = dvfs_seg.at[iseg].set(ze[ogv:ogW])
-        dwfs_seg = dwfs_seg.at[iseg].set(ze[ogW:oC].reshape(M, npf))
+        if mesh is not None:
+            import numpy as _onp
+            from jax.sharding import PartitionSpec as P
 
-        z = pack(vstar - Q @ b, Q)
+            axisname = mesh.axis_names[0]
+            nd = int(_onp.prod(mesh.devices.shape))
+            if nseg % nd != 0:
+                raise ValueError(
+                    f"segment_parallel over a mesh needs nseg divisible by "
+                    f"the mesh size; got nseg={nseg}, devices={nd}"
+                )
+            sweep = jax.shard_map(
+                lambda ts_: jax.vmap(seg_transfer)(ts_),
+                mesh=mesh, in_specs=P(axisname),
+                out_specs=(P(axisname), P(axisname)), check_vma=False,
+            )
+        else:
+            sweep = jax.vmap(seg_transfer)
+        zT, rcs = sweep(t_his)
+        worst = jnp.maximum(worst, jnp.max(rcs))
+
+        # ---- right-to-left interface recursion on segment-END transfer
+        # values (renormalize!, nilsas.jl:349-377 — now dense algebra) ----
+        W_rows = W_init.T   # (M, n) terminal homogeneous adjoints (rows)
+        v_row = vstar_init  # (n,)
+        for iseg in range(nseg - 1, -1, -1):
+            ze = zT[iseg]
+            Phi_e = ze[pW:pgv].reshape(n, n)
+            G = ze[pG:ph].reshape(n, n)
+            GP = ze[pGP:pG].reshape(n, npf)
+
+            C_seg = C_seg.at[iseg].set(W_rows @ G @ W_rows.T)
+            dwv_seg = dwv_seg.at[iseg].set(
+                W_rows @ (ze[ph:ppf] + G @ v_row)
+            )
+            dwf_seg = dwf_seg.at[iseg].set(W_rows @ ze[ppf:pvf])
+            dvf_seg = dvf_seg.at[iseg].set(ze[pvf] + v_row @ ze[ppf:pvf])
+            dvfs_seg = dvfs_seg.at[iseg].set(ze[pgv:pGP] + v_row @ GP)
+            dwfs_seg = dwfs_seg.at[iseg].set(W_rows @ GP)
+            dJs_seg = dJs_seg.at[iseg].set(ze[pdJ:])
+
+            W_end = W_rows @ Phi_e          # (M, n)
+            v_end = ze[:n] + v_row @ Phi_e  # (n,)
+            Q, R = jnp.linalg.qr(W_end.T)   # (n, M)
+            b = Q.T @ v_end
+            Rs = Rs.at[iseg].set(R)
+            bs = bs.at[iseg].set(b)
+            W_rows = Q.T
+            v_row = v_end - Q @ b
+    else:
+        for iseg in range(nseg - 1, -1, -1):
+            t_a = t0 + (iseg + 1) * T_seg
+            t_b = t0 + iseg * T_seg
+            res = integrate(
+                solver, aug_rhs, t_a, t_b, z,
+                rtol=rtol, atol=atol, max_steps=max_steps_per_segment,
+                store_dense=False, err_weights=wts,
+            )
+            worst = jnp.maximum(worst, res.stats.retcode)
+            ze = res.u_final
+            vstar = ze[:n]
+            W = ze[oW:ogv].reshape(M, n).T  # (n, M) columns = adjoints
+
+            Q, R = jnp.linalg.qr(W)
+            b = Q.T @ vstar
+
+            Rs = Rs.at[iseg].set(R)
+            bs = bs.at[iseg].set(b)
+            C_seg = C_seg.at[iseg].set(ze[oC:odwv].reshape(M, M))
+            dwv_seg = dwv_seg.at[iseg].set(ze[odwv:odwf])
+            dwf_seg = dwf_seg.at[iseg].set(ze[odwf:odvf])
+            dvf_seg = dvf_seg.at[iseg].set(ze[odvf])
+            dJs_seg = dJs_seg.at[iseg].set(ze[odJs:])
+            dvfs_seg = dvfs_seg.at[iseg].set(ze[ogv:ogW])
+            dwfs_seg = dwfs_seg.at[iseg].set(ze[ogW:oC].reshape(M, npf))
+
+            z = pack(vstar - Q @ b, Q)
 
     # ---- nilsas_min (nilsas.jl:422-476) --------------------------------
     K = nseg

@@ -148,3 +148,36 @@ def test_ensemble_output_func_and_reduction():
     total = solve_ensemble(ens, Tsit5(), trajectories=8,
                            reduction=lambda o: jnp.sum(o))
     assert np.isclose(float(total), expect.sum(), rtol=1e-6)
+
+
+def test_nilsas_shard_map_segments():
+    # Adjoint shadowing on a mesh: segment transfer solves sharded over
+    # devices; result equals the vmapped segment_parallel mode.
+    from scimlsensitivity_jl_tpu import NILSAS
+    from scimlsensitivity_jl_tpu.adjoints.shadowing.nilsas import (
+        NILSASProblem,
+        nilsas_shadow_adjoint,
+    )
+
+    assert jax.device_count() >= 8
+
+    def lorenz_rho(u, p, t):
+        x, y, z = u
+        return jnp.array([10.0 * (y - x), x * (p[0] - z) - y,
+                          x * y - (8.0 / 3.0) * z])
+
+    p = jnp.array([28.0])
+    u0 = jnp.array([-2.259143724332269, -2.47457604992522,
+                    18.939914218990612])
+    prob = ODEProblem(lorenz_rho, u0, (30.0, 54.0), p)
+    nprob = NILSASProblem(prob, NILSAS(nseg=24, nstep=81, M=2),
+                          g=lambda u, q, t: u[2])
+
+    r_vmap = nilsas_shadow_adjoint(nprob, fwd_rtol=1e-10, max_steps=32768,
+                                   segment_parallel=True)
+    mesh = make_mesh(8, axis="seg")
+    r_mesh = nilsas_shadow_adjoint(nprob, fwd_rtol=1e-10, max_steps=32768,
+                                   segment_parallel=True, mesh=mesh)
+    assert np.allclose(np.asarray(r_mesh), np.asarray(r_vmap),
+                       rtol=1e-6, atol=1e-8), (r_mesh, r_vmap)
+    assert np.isclose(float(r_mesh[0]), 1.01, atol=0.3), float(r_mesh[0])

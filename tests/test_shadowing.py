@@ -147,3 +147,24 @@ def test_nilss_segment_parallel_matches_oracle():
                          segment_parallel=True)
     assert res.shape == (1,)
     assert np.isclose(float(res[0]), RHO_SENS, atol=0.25), float(res[0])
+
+
+def test_nilsas_segment_parallel_matches_sequential():
+    # Adjoint transfer-operator mode: both modes ride the SAME dense
+    # primal, so unlike the forward case they agree tightly (the interface
+    # recursion is exact linear algebra on the transfer values).
+    from scimlsensitivity_jl_tpu import NILSAS
+    from scimlsensitivity_jl_tpu.adjoints.shadowing.nilsas import (
+        NILSASProblem,
+        nilsas_shadow_adjoint,
+    )
+
+    p = jnp.array([28.0])
+    u0 = jnp.array([-2.259143724332269, -2.47457604992522, 18.939914218990612])
+    prob = ODEProblem(lorenz_rho, u0, (30.0, 60.0), p)
+    nprob = NILSASProblem(prob, NILSAS(nseg=30, nstep=101, M=2), g=g)
+    r_seq = nilsas_shadow_adjoint(nprob, fwd_rtol=1e-10, max_steps=32768)
+    r_par = nilsas_shadow_adjoint(nprob, fwd_rtol=1e-10, max_steps=32768,
+                                  segment_parallel=True)
+    assert np.isclose(float(r_par[0]), float(r_seq[0]), rtol=1e-4)
+    assert np.isclose(float(r_par[0]), RHO_SENS, atol=0.25), float(r_par[0])
