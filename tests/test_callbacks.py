@@ -265,3 +265,34 @@ def test_two_simultaneous_events_one_step():
         g = jax.grad(lambda pp: loss(pp, alg))(p)
         assert np.allclose(g, g_ref, rtol=1e-5, atol=1e-8), (
             type(alg).__name__, np.asarray(g), np.asarray(g_ref))
+
+
+def test_events_with_vjp_backends():
+    # events × vjp-backend sweep: the reference restricts callback VJPs to
+    # supports_callback_vjp backends (callback_tracking.jl:301-307); here
+    # every backend works because the event-jump VJP is the same jax.vjp
+    # machinery as the field's.
+    from scimlsensitivity_jl_tpu import FiniteDiffVJP, JacVJP
+    from scimlsensitivity_jl_tpu.sensealg import setvjp
+
+    cb = ContinuousCallback(
+        condition=lambda u, p, t: u[0],
+        affect=lambda u, p, t: jnp.array([u[0], -p[1] * u[1]]),
+        direction=-1,
+    )
+    p0 = jnp.array([9.8, 0.8])
+
+    def loss(p, alg):
+        sol = solve(ODEProblem(lambda u, q, t: jnp.array([u[1], -q[0]]),
+                               jnp.array([1.0, 0.0]), (0.0, 1.2), p),
+                    Tsit5(), saveat=jnp.linspace(0.0, 1.2, 7), rtol=1e-8,
+                    atol=1e-10, callback=cb, sensealg=alg, max_steps=512)
+        return jnp.sum(sol.ys[:, 0] ** 2)
+
+    g_ref = np.asarray(jax.grad(
+        lambda p: loss(p, ForwardDiffSensitivity()))(p0))
+    for alg in [setvjp(GaussAdjoint(), JacVJP()),
+                setvjp(InterpolatingAdjoint(), JacVJP()),
+                setvjp(GaussAdjoint(), FiniteDiffVJP())]:
+        g = np.asarray(jax.grad(lambda p: loss(p, alg))(p0))
+        np.testing.assert_allclose(g, g_ref, rtol=1e-3, err_msg=repr(alg))
