@@ -151,7 +151,7 @@ def make_direct_solve_fn(f, solver, sensealg, opts: SolveOptions, t0, t1,
             rtol=opts.rtol, atol=opts.atol, dt0=opts.dt0,
             max_steps=max_steps, tstops=stops,
             hook=hook, hook_carry=(buf0, k0),
-            event_set=es, unroll=unroll,
+            event_set=es, unroll=unroll, remat=sensealg.remat,
         )
         ys_save, _ = res.hook_carry
         ys = jax.vmap(unravel_u)(ys_save)

@@ -540,6 +540,7 @@ def _solve_sde_adaptive(prob, *, saveat, key, sensealg, max_steps, rtol,
                 stepper, fvec, t0, t1, u0v, rtol=rtol, atol=atol,
                 max_steps=max_steps, tstops=saveat, hook=hook,
                 hook_carry=carry0, always_accept=True,
+                remat=getattr(sensealg, "remat", False),
             )
             (sbuf, _k), n_node, ts_nodes, us_nodes = res.hook_carry
             return sbuf, res.stats, res.u_final, n_node, ts_nodes, us_nodes
@@ -547,6 +548,7 @@ def _solve_sde_adaptive(prob, *, saveat, key, sensealg, max_steps, rtol,
             stepper, fvec, t0, t1, u0v, rtol=rtol, atol=atol,
             max_steps=max_steps, tstops=saveat, hook=save_hook,
             hook_carry=(buf0, k0), always_accept=True,
+            remat=getattr(sensealg, "remat", False),
         )
         buf, _ = res.hook_carry
         return buf, res.stats, res.u_final, None, None, None

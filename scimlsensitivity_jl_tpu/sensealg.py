@@ -225,9 +225,13 @@ class DirectAdjoint(AbstractSensealg):
     whole TrackerAdjoint/ReverseDiffAdjoint/ZygoteAdjoint/EnzymeAdjoint
     family (reference: src/concrete_solve.jl:1722-2415). Uses a
     `lax.scan` with masked fixed trip count so XLA can build the reverse
-    pass; memory O(max_steps) and exact gradients of the discrete scheme."""
+    pass; memory O(max_steps) and exact gradients of the discrete scheme.
+    remat=True rematerializes each step in the backward pass
+    (jax.checkpoint) — residual memory drops from O(max_steps·stages·n)
+    to O(max_steps·n) for one extra forward evaluation per step."""
 
     max_steps: int = 0  # 0 => inherit solve's max_steps
+    remat: bool = False
 
 
 @dataclass(frozen=True)

@@ -451,6 +451,7 @@ def integrate_scan(
     always_accept: bool = False,
     event_set=None,
     unroll: bool = False,
+    remat: bool = False,
 ) -> IntegrateResult:
     """Adaptive integration with a *fixed* trip count (`lax.scan` with
     masking) — reverse-mode differentiable, unlike the while_loop driver.
@@ -584,8 +585,13 @@ def integrate_scan(
         jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32),
         jnp.asarray(-1, jnp.int32), hook_carry, ev0,
     )
+    # remat: recompute the step in the backward pass instead of storing
+    # every stage residual — O(1) residual memory per step in exchange for
+    # one extra forward evaluation (jax.checkpoint over the scan body; the
+    # SURVEY §5 checkpoint/remat mapping for long trajectories).
+    body_fn = jax.checkpoint(body, prevent_cse=False) if remat else body
     (t, u, f, dt, _, n_acc, n_rej, status, hc, ev_fin), _ = jax.lax.scan(
-        body, init, None, length=max_steps, unroll=True if unroll else 1
+        body_fn, init, None, length=max_steps, unroll=True if unroll else 1
     )
     status = jnp.where(status < 0, RETCODE_MAXITERS, status).astype(jnp.int32)
 
