@@ -190,7 +190,7 @@ def bench_spiral_adaptive_menu():
             break
         try:
             grad_fn = jax.jit(jax.grad(_spiral_loss_factory(alg)))
-            ms = _time_fn(grad_fn, args, 20)
+            ms = _time_fn(grad_fn, args, 40)
             _emit(name, ms, ref)
             if name == "spiral_gauss_adjoint":
                 gauss_ms = ms
@@ -216,7 +216,7 @@ def bench_spiral_adaptive_menu():
                 return jnp.sum((sol.ys - data) ** 2)
 
             fwd_fn = jax.jit(fwd_only)
-            fwd_ms = _time_fn(fwd_fn, args, 20)
+            fwd_ms = _time_fn(fwd_fn, args, 40)
             rec = {"metric": "spiral_fwd_grad_ratio",
                    "value": round(gauss_ms / fwd_ms, 3), "unit": "x",
                    "vs_baseline": round(1.5 / (gauss_ms / fwd_ms), 3)}
