@@ -52,8 +52,10 @@ def reverse_joined_solve(
     event_times: Optional[jnp.ndarray] = None,
     event_count=None,
     event_apply: Optional[Callable] = None,
+    t_span=None,
+    jump_unroll: int = 3,
 ):
-    """ONE adaptive reverse solve over [times[-1] -> times[0]] with the
+    """ONE adaptive reverse solve over [t_hi -> t_lo] with the
     discrete loss cotangents `lam_jumps[k]` added into z[:n_lam] exactly when
     the integrator lands on times[k] (ReverseLossCallback jumps applied via
     the driver's stop_transform — no per-segment loop restarts, so the
@@ -63,6 +65,12 @@ def reverse_joined_solve(
     all their jumps at once. snap_values (m, k)+snap_start: overwrite
     z[snap_start:snap_start+k] with snap_values[j] at times[j] (Backsolve's
     checkpoint snap). hook: per-accepted-step hook over the user carry.
+    t_span=(t_lo, t_hi): the actual integration span — required when `times`
+    carries out-of-span sentinel rows (dense-output cotangent merging pads
+    invalid dense rows with times below t_lo so they never match a stop);
+    defaults to (times[0], times[-1]). jump_unroll: max number of coincident
+    jump rows consumed per stop (3 covers saveat + the t0/t1 extension; the
+    dense-node merge raises it because save times are also step nodes).
 
     Returns (z_at_t0_after_all_jumps, hook_carry, retcode, dense).
     """
@@ -70,16 +78,22 @@ def reverse_joined_solve(
     tdtype = jnp.promote_types(jnp.zeros((), dtype).real.dtype, jnp.float32)
     times = jnp.asarray(times, tdtype)
     m = times.shape[0]
-    t_hi = times[-1]
-    t_lo = times[0]
+    if t_span is None:
+        t_hi = times[-1]
+        t_lo = times[0]
+    else:
+        t_lo = jnp.asarray(t_span[0], tdtype)
+        t_hi = jnp.asarray(t_span[1], tdtype)
     eps = jnp.finfo(tdtype).eps
 
     def apply_at(t, z, k):
         # Unrolled (not a while_loop — nested whiles explode TPU compile
-        # times): at most 3 times can coincide (a saveat point duplicated by
-        # the t0/t1 extension), since saveat is validated strictly monotone.
+        # times): jump_unroll=3 covers a saveat point duplicated by the t0/t1
+        # extension (saveat is validated strictly monotone); callers that
+        # merge extra jump rows at save times (dense-node cotangents) raise
+        # jump_unroll accordingly.
         tol = 64.0 * eps * jnp.maximum(jnp.maximum(jnp.abs(t), jnp.abs(t_hi)), 1.0)
-        for _ in range(3):
+        for _ in range(jump_unroll):
             kc = jnp.maximum(k, 0)
             match = (k >= 0) & (jnp.abs(times[kc] - t) <= tol)
             z = z.at[:n_lam].add(jnp.where(match, lam_jumps[kc], 0.0))

