@@ -65,6 +65,7 @@ from .adjoints.second_order import (
     second_order_sensitivity_product,
 )
 from .callbacks import CallbackSet, ContinuousCallback, DiscreteCallback
+from .ops.brownian import NoiseGrid, VirtualBrownianTree
 from .parallel.ensemble import EnsembleProblem, make_mesh, solve_ensemble
 from .solvers.explicit import BS3, Dopri5, Euler, Heun, Midpoint, Tsit5
 from .solvers.extrapolation import GBS, Vern9Like
@@ -81,6 +82,8 @@ __version__ = "0.1.0"
 __all__ = [
     "ODEProblem",
     "SDEProblem",
+    "NoiseGrid",
+    "VirtualBrownianTree",
     "RODEProblem",
     "NonlinearProblem",
     "SteadyStateProblem",

@@ -54,6 +54,7 @@ def reverse_joined_solve(
     event_apply: Optional[Callable] = None,
     t_span=None,
     jump_unroll: int = 3,
+    event_unroll: int = 3,
 ):
     """ONE adaptive reverse solve over [t_hi -> t_lo] with the
     discrete loss cotangents `lam_jumps[k]` added into z[:n_lam] exactly when
@@ -119,13 +120,15 @@ def reverse_joined_solve(
             tol = 64.0 * eps * jnp.maximum(
                 jnp.maximum(jnp.abs(t), jnp.abs(t_hi)), 1.0
             )
-            # Unrolled (not a while_loop): up to 3 events may share a time
-            # (e.g. a vector of conditions crossing simultaneously); they are
-            # applied last-recorded-first, the correct reverse composition
-            # order (the reference dedups/duplicates at atol 1e-14,
-            # callback_tracking.jl:126-130, adjoint_common.jl:824-868).
+            # Unrolled (not a while_loop): `event_unroll` events may share a
+            # time (callers pass max(3, n_cont + n_disc) — the forward
+            # engine composes and records at most one firing per callback
+            # per instant); they are applied last-recorded-first, the
+            # correct reverse composition order (the reference
+            # dedups/duplicates at atol 1e-14, callback_tracking.jl:126-130,
+            # adjoint_common.jl:824-868).
             ke2 = ke
-            for _ in range(3):
+            for _ in range(event_unroll):
                 kec = jnp.maximum(ke2, 0)
                 match = (ke2 >= 0) & (jnp.abs(event_times[kec] - t) <= tol)
 

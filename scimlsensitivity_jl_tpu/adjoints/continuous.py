@@ -907,6 +907,7 @@ def make_ode_solve_fn(f, solver, sensealg, opts: SolveOptions, t0, t1, *,
                     dae_ev_kwargs = dict(
                         event_times=fwd.events[0],
                         event_count=fwd.events[3],
+                        event_unroll=max(3, event_set.n_cont + event_set.n_disc),
                         event_apply=_make_dae_event_apply(
                             kern, p, event_set, fwd.events, n, npf, M_fwd,
                             u0vec.dtype, q_slice=n,
@@ -951,6 +952,7 @@ def make_ode_solve_fn(f, solver, sensealg, opts: SolveOptions, t0, t1, *,
             if event_set is not None:
                 ev_kwargs = dict(
                     event_times=fwd.events[0], event_count=fwd.events[3],
+                    event_unroll=max(3, event_set.n_cont + event_set.n_disc),
                     event_apply=_make_event_apply(
                         kern, p, event_set, fwd.events, n, npf, q_slice=n
                     ),
@@ -991,11 +993,15 @@ def make_ode_solve_fn(f, solver, sensealg, opts: SolveOptions, t0, t1, *,
             tdt = times.dtype
             eps_t = jnp.finfo(tdt).eps
 
+            ev_unroll = max(3, event_set.n_cont + event_set.n_disc)
+
             def _match_events(t, zz, ke):
-                """Apply (up to 3 same-time) recorded events at time t."""
+                """Apply all same-time recorded events at time t (the
+                forward engine composes at most one firing per callback
+                per instant, so n_cont + n_disc bounds the coincidences)."""
                 tol = 64.0 * eps_t * jnp.maximum(jnp.abs(t), 1.0)
                 fired = jnp.asarray(False)
-                for _ in range(3):
+                for _ in range(ev_unroll):
                     kc = jnp.maximum(ke, 0)
                     match = (ke >= 0) & (jnp.abs(ev_ts_all[kc] - t) <= tol)
 
@@ -1101,6 +1107,7 @@ def make_ode_solve_fn(f, solver, sensealg, opts: SolveOptions, t0, t1, *,
         if event_set is not None:
             ev_kwargs = dict(
                 event_times=fwd.events[0], event_count=fwd.events[3],
+                    event_unroll=max(3, event_set.n_cont + event_set.n_disc),
                 event_apply=_make_event_apply(
                     kern, p, event_set, fwd.events, n, npf,
                     q_slice=n, u_snap_start=n + npf,
@@ -1154,6 +1161,7 @@ def make_ode_solve_fn(f, solver, sensealg, opts: SolveOptions, t0, t1, *,
             if event_set is not None:
                 dae_ev_kwargs = dict(
                     event_times=fwd.events[0], event_count=fwd.events[3],
+                    event_unroll=max(3, event_set.n_cont + event_set.n_disc),
                     event_apply=_make_dae_event_apply(
                         kern, p, event_set, fwd.events, n, npf, M_fwd,
                         u0vec.dtype, q_in_hc=True,
@@ -1176,6 +1184,7 @@ def make_ode_solve_fn(f, solver, sensealg, opts: SolveOptions, t0, t1, *,
         if event_set is not None:
             ev_kwargs = dict(
                 event_times=fwd.events[0], event_count=fwd.events[3],
+                    event_unroll=max(3, event_set.n_cont + event_set.n_disc),
                 event_apply=_make_event_apply(
                     kern, p, event_set, fwd.events, n, npf, q_in_hc=True
                 ),
@@ -1225,6 +1234,7 @@ def make_ode_solve_fn(f, solver, sensealg, opts: SolveOptions, t0, t1, *,
             if event_set is not None:
                 ev_kwargs = dict(
                     event_times=fwd.events[0], event_count=fwd.events[3],
+                    event_unroll=max(3, event_set.n_cont + event_set.n_disc),
                     event_apply=_make_dae_event_apply(
                         kern, p, event_set, fwd.events, n, npf, M_fwd,
                         u0vec.dtype, q_in_hc=True,
@@ -1238,6 +1248,7 @@ def make_ode_solve_fn(f, solver, sensealg, opts: SolveOptions, t0, t1, *,
             if event_set is not None:
                 ev_kwargs = dict(
                     event_times=fwd.events[0], event_count=fwd.events[3],
+                    event_unroll=max(3, event_set.n_cont + event_set.n_disc),
                     event_apply=_make_event_apply(
                         kern, p, event_set, fwd.events, n, npf, q_in_hc=True
                     ),

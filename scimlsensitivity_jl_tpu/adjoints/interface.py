@@ -180,6 +180,7 @@ def adjoint_sensitivities(
             return {}
         return dict(
             event_times=fwd_events[0], event_count=fwd_events[3],
+            event_unroll=max(3, event_set.n_cont + event_set.n_disc),
             event_apply=_make_event_apply(
                 kern, p, event_set, fwd_events, n, npf,
                 q_slice=q_slice, u_snap_start=u_snap_start, q_in_hc=q_in_hc,

@@ -53,9 +53,13 @@ __all__ = ["solve_sde", "solve_rode"]
 
 def _grid_save_steps(saveat, t0, t1, n_steps, dt_a, kind):
     """Map save times to fixed-grid node indices. Validated eagerly (must
-    lie on the dt grid); under an outer jit the saveat is a tracer and the
-    grid alignment is trusted (same pattern as the fixed-grid ODE driver).
-    """
+    lie on the dt grid); under an outer jit the saveat is a tracer, so
+    misaligned times cannot raise — they are flagged instead and the caller
+    NaN-poisons those save rows (fail-loudly, matching the DDE lag check;
+    silently snapping to the nearest node would return values at shifted
+    times with no signal).
+
+    Returns (save_steps, bad_mask_or_None)."""
     import numpy as _np
 
     try:
@@ -66,11 +70,13 @@ def _grid_save_steps(saveat, t0, t1, n_steps, dt_a, kind):
                 f"{kind} saveat times must lie on the dt grid; got offsets "
                 f"{steps_f}"
             )
-        return jnp.asarray(save_steps_np)
+        return jnp.asarray(save_steps_np), None
     except jax.errors.TracerArrayConversionError:
-        return jnp.clip(
-            jnp.rint((saveat - t0) / dt_a).astype(jnp.int32), 0, n_steps
-        )
+        steps_f = (saveat - t0) / dt_a
+        steps = jnp.clip(jnp.rint(steps_f).astype(jnp.int32), 0, n_steps)
+        bad = (jnp.abs(steps_f - jnp.rint(steps_f)) > 1e-8)
+        bad = bad | (steps_f < -1e-8) | (steps_f > n_steps + 1e-8)
+        return steps, bad
 
 def solve_rode(
     prob,
@@ -115,7 +121,8 @@ def solve_rode(
         saveat = jnp.asarray([t0, t1], dtype)
     else:
         saveat = jnp.asarray(saveat, dtype)
-    save_steps = _grid_save_steps(saveat, t0, t1, n_steps, dt_a, "RODE")
+    save_steps, save_bad = _grid_save_steps(saveat, t0, t1, n_steps, dt_a,
+                                        "RODE")
     ns = save_steps.shape[0]
     f_user = prob.f
 
@@ -205,6 +212,9 @@ def solve_rode(
     else:
         raise NotImplementedError(f"RODE sensealg {sensealg!r} unsupported")
 
+    if save_bad is not None:
+        # traced saveat off the dt grid: loud NaN rows, not shifted values
+        ys_flat = jnp.where(save_bad[:, None], jnp.nan, ys_flat)
     ys = jax.vmap(unravel_u)(ys_flat)
     stats = Stats(
         n_accepted=jnp.asarray(n_steps, jnp.int32),
@@ -248,6 +258,13 @@ def solve_sde(
         # retries): step-doubling Euler-Maruyama or Milstein-error control.
         from ..solvers.sde import AdaptiveMilstein, Milstein
 
+        if getattr(prob, "noise_process", None) is not None:
+            raise NotImplementedError(
+                "user-supplied noise_process runs on the fixed grid: pass "
+                "dt=... (the adaptive path draws from its own "
+                "VirtualBrownianTree)"
+            )
+
         if solver is None or isinstance(solver, (EulerMaruyama, AdaptiveEM)):
             adaptive_kind = "em"
         elif isinstance(solver, (Milstein, AdaptiveMilstein)):
@@ -282,7 +299,8 @@ def solve_sde(
         saveat = jnp.asarray([t0, t1], dtype)
     else:
         saveat = jnp.asarray(saveat, dtype)
-    save_steps = _grid_save_steps(saveat, t0, t1, n_steps, dt_a, "SDE")
+    save_steps, save_bad = _grid_save_steps(saveat, t0, t1, n_steps, dt_a,
+                                        "SDE")
     ns = save_steps.shape[0]
 
     f_user, g_user = prob.f, prob.g
@@ -312,11 +330,63 @@ def solve_sde(
 
     needs_dz = bool(getattr(solver, "needs_dz", False))
 
+    noise_src = getattr(prob, "noise_process", None)
+    if noise_src is not None:
+        # User-supplied driving path (NoiseGrid analogue): the solvers
+        # consume its increments; the reverse pass reads the SAME
+        # increments, so gradients are exact discrete adjoints over the
+        # given path (reference workflow: fitting against an observed
+        # Brownian path, DiffEqNoiseProcess / SURVEY §2 item 7).
+        if needs_dz:
+            raise NotImplementedError(
+                f"{solver!r} needs iterated integrals ∫(W(s)-W(t))ds, which "
+                "an observed path does not determine; use "
+                "EulerMaruyama/EulerHeun/Milstein with noise_process"
+            )
+        from ..ops.brownian import NoiseGrid
+
+        if isinstance(noise_src, NoiseGrid):
+            Wgrid = jnp.asarray(noise_src.W)
+            if Wgrid.shape[0] != n_steps + 1 or Wgrid.shape[1:] != w_shape:
+                raise ValueError(
+                    f"NoiseGrid.W must have shape (n_steps+1,)+noise_shape ="
+                    f" {(n_steps + 1,) + w_shape}; got {Wgrid.shape}"
+                )
+            import numpy as _np
+
+            try:
+                ts_u = _np.asarray(noise_src.ts, float)
+                if not _np.allclose(ts_u, _np.asarray(ts_nodes, float),
+                                    atol=1e-9 * max(1.0, abs(t1 - t0))):
+                    raise ValueError(
+                        "NoiseGrid.ts must equal the solve grid "
+                        f"t0 + i*dt (dt={float(dt_a)}, n_steps={n_steps})"
+                    )
+            except (TypeError, jax.errors.TracerArrayConversionError,
+                    jax.errors.ConcretizationTypeError):
+                pass  # traced: trust the caller
+
+            def dw_at(i):
+                return (Wgrid[i + 1] - Wgrid[i]).astype(dtype)
+        elif callable(noise_src):
+            def dw_at(i):
+                wa = jnp.asarray(noise_src(ts_nodes[i]))
+                wb = jnp.asarray(noise_src(ts_nodes[i + 1]))
+                return jnp.broadcast_to(wb - wa, w_shape).astype(dtype)
+        else:
+            raise TypeError(
+                f"noise_process: NoiseGrid or callable W(t), got "
+                f"{noise_src!r}"
+            )
+    else:
+        def dw_at(i):
+            return grid_increment(key, i, w_shape, dt_a).astype(dtype)
+
     def step_map(uv, p, i):
         """One scheme step from node i to i+1 — the unit of adjoint vjp."""
         fvec, gvec = make_field(p)
         t = ts_nodes[i]
-        dw = grid_increment(key, i, w_shape, dt_a).astype(dtype)
+        dw = dw_at(i)
         if needs_dz:
             dz = grid_iterated(key, i, w_shape, dt_a, dw).astype(dtype)
             return solver.step(fvec, gvec, t, dt_a, uv, dw, dz)
@@ -421,6 +491,9 @@ def solve_sde(
     else:
         raise NotImplementedError(f"SDE sensealg {sensealg!r} unsupported")
 
+    if save_bad is not None:
+        # traced saveat off the dt grid: loud NaN rows, not shifted values
+        ys_flat = jnp.where(save_bad[:, None], jnp.nan, ys_flat)
     ys = jax.vmap(unravel_u)(ys_flat)
     stats = Stats(
         n_accepted=jnp.asarray(n_steps, jnp.int32),
@@ -591,12 +664,18 @@ def _solve_sde_adaptive(prob, *, saveat, key, sensealg, max_steps, rtol,
             )
 
             def jump_and_snap(lam, u_rec, kk, t_node):
-                kc = jnp.clip(kk, 0, nt - 1)
-                hit = (kk >= 0) & (jnp.abs(saveat[kc] - t_node) <= tolt)
-                lam = lam + jnp.where(hit, d_buf[kc], jnp.zeros_like(lam))
-                if snap:
-                    u_rec = jnp.where(hit, sbuf[kc], u_rec)
-                kk = kk - hit.astype(kk.dtype)
+                # Unrolled x3 like the ODE reverse matcher: duplicate
+                # saveat times share one grid node, and every coincident
+                # row's cotangent must be applied (ADVICE r2 — a single
+                # decrement silently dropped the second row's d_buf).
+                for _ in range(3):
+                    kc = jnp.clip(kk, 0, nt - 1)
+                    hit = (kk >= 0) & (jnp.abs(saveat[kc] - t_node) <= tolt)
+                    lam = lam + jnp.where(hit, d_buf[kc],
+                                          jnp.zeros_like(lam))
+                    if snap:
+                        u_rec = jnp.where(hit, sbuf[kc], u_rec)
+                    kk = kk - hit.astype(kk.dtype)
                 return lam, u_rec, kk
 
             def body(carry, j):

@@ -40,8 +40,23 @@ from ..utils.pytree import ravel_pytree
 
 __all__ = ["second_order_sensitivities", "second_order_sensitivity_product"]
 
-_CONTINUOUS = (GaussAdjoint, GaussKronrodAdjoint, InterpolatingAdjoint,
-               QuadratureAdjoint)
+_CONTINUOUS = (GaussAdjoint, InterpolatingAdjoint)
+# QuadratureAdjoint/GaussKronrodAdjoint are rejected for second order: the
+# jvp-differentiable gradient program runs one fixed Gauss-hook quadrature,
+# so their abstol/reltol/max_depth knobs would be silently ignored
+# (ADVICE r2) — requesting them must fail loudly, not quietly downgrade.
+_CONTINUOUS_REJECT = (GaussKronrodAdjoint, QuadratureAdjoint)
+
+
+def _check_second_order_sensealg(sensealg):
+    if isinstance(sensealg, _CONTINUOUS_REJECT):
+        raise NotImplementedError(
+            f"{type(sensealg).__name__} quadrature-control knobs "
+            "(abstol/reltol/max_depth) have no effect in the fixed "
+            "Gauss-hook Hessian program; use GaussAdjoint or "
+            "InterpolatingAdjoint (equivalent gradients), or DirectAdjoint "
+            "for the discrete path"
+        )
 
 
 def _loss_of_p(loss, prob, solver, sensealg, solve_kwargs):
@@ -154,6 +169,7 @@ def second_order_sensitivities(loss, prob, solver=None, *, sensealg=None,
     (GaussAdjoint/InterpolatingAdjoint — the ForwardDiffOverAdjoint path).
     """
     sensealg = sensealg or DirectAdjoint()
+    _check_second_order_sensealg(sensealg)
     pflat, unravel_p = ravel_pytree(prob.p)
 
     if isinstance(sensealg, _CONTINUOUS):
@@ -173,6 +189,7 @@ def second_order_sensitivity_product(loss, prob, v, solver=None, *,
     """Hessian-vector product H·v wrt prob.p without materializing H —
     one jvp of the gradient in direction v (reference :15-28)."""
     sensealg = sensealg or DirectAdjoint()
+    _check_second_order_sensealg(sensealg)
     pflat, unravel_p = ravel_pytree(prob.p)
     vflat = ravel_pytree(v)[0] if not isinstance(v, jnp.ndarray) else jnp.asarray(v)
 

@@ -27,8 +27,25 @@ __all__ = [
     "grid_increment",
     "grid_iterated",
     "grid_path",
+    "NoiseGrid",
     "VirtualBrownianTree",
 ]
+
+
+class NoiseGrid(NamedTuple):
+    """User-supplied (observed) Brownian path at grid nodes — the
+    DiffEqNoiseProcess NoiseGrid analogue (SURVEY §2 item 7): fitting
+    against a *measured* path instead of framework-generated noise.
+
+    ts: (N+1,) node times — must equal the solve's fixed grid
+        (t0 + i·dt); validated eagerly when concrete.
+    W:  (N+1,) + noise-shape path values; the solvers consume increments
+        ΔW_i = W[i+1] − W[i]. Reverse passes read the same increments, so
+        gradients are exact discrete adjoints over the given path.
+    """
+
+    ts: jnp.ndarray
+    W: jnp.ndarray
 
 
 def grid_increment(key, i, shape, dt):
@@ -93,7 +110,10 @@ class VirtualBrownianTree(NamedTuple):
         def bisect(carry, _):
             key, ta, tb, wa, wb = carry
             tm = 0.5 * (ta + tb)
-            # Deterministic per-node key: fold in the bit-pattern of tm.
+            # Deterministic per-node key: `key` encodes the left/right path
+            # prefix down the tree (split-and-select below), so tagging it
+            # with a constant yields a distinct, replayable key per node —
+            # the midpoint sample depends only on the node's position.
             knode = jax.random.fold_in(
                 key, jnp.asarray(0, jnp.uint32)
             )

@@ -105,6 +105,10 @@ class SDEProblem(AbstractProblem):
     noise: str = "diagonal"
     interpretation: str = "ito"
     noise_dim: Optional[int] = None  # m for general noise
+    # user-supplied driving path (DiffEqNoiseProcess NoiseGrid analogue):
+    # a NoiseGrid(ts, W) on the solve grid, or a callable W(t) (e.g. a
+    # VirtualBrownianTree); None -> framework-generated counter-based noise
+    noise_process: Any = None
 
 
 @dataclass(frozen=True)
@@ -172,7 +176,9 @@ class SteadyStateProblem(AbstractProblem):
 for _cls, _data, _meta in [
     (ODEProblem, ("u0", "tspan", "p", "mass_matrix"), ("f", "jac", "vjp", "paramjac")),
     (DDEProblem, ("u0", "tspan", "p"), ("f", "lags", "history", "max_lag")),
-    (SDEProblem, ("u0", "tspan", "p"), ("f", "g", "noise", "interpretation", "noise_dim")),
+    # noise_process rides as a data field: NoiseGrid is an array pytree;
+    # a callable path is an opaque leaf (fine eagerly, not jit-traversable)
+    (SDEProblem, ("u0", "tspan", "p", "noise_process"), ("f", "g", "noise", "interpretation", "noise_dim")),
     (RODEProblem, ("u0", "tspan", "p"), ("f", "noise_dim")),
     (NonlinearProblem, ("u0", "p"), ("f",)),
     (SteadyStateProblem, ("u0", "p"), ("f",)),

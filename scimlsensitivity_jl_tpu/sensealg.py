@@ -164,10 +164,17 @@ class BacksolveAdjoint(AbstractAdjointSensealg):
 class InterpolatingAdjoint(AbstractAdjointSensealg):
     """Adjoint ODE over [λ; q] with the forward trajectory supplied by
     dense interpolation — or by per-interval re-solves when checkpointing
-    (reference: src/interpolating_adjoint.jl)."""
+    (reference: src/interpolating_adjoint.jl).
+
+    checkpoints: optional tuple of times (static floats) used as ADDITIONAL
+    re-solve interval boundaries, decoupled from saveat (the reference
+    accepts an independent checkpoint grid, interpolating_adjoint.jl:43-126)
+    — denser checkpoints trade forward-state memory for shorter (cheaper,
+    better-bounded) per-interval re-solves."""
 
     autojacvec: VJPChoice = AutoVJP()
     checkpointing: bool = False
+    checkpoints: Optional[tuple] = None
 
 
 @dataclass(frozen=True)
@@ -198,6 +205,7 @@ class GaussAdjoint(AbstractAdjointSensealg):
     autojacvec: VJPChoice = AutoVJP()
     checkpointing: bool = False
     n_nodes: int = 7  # Gauss-Legendre nodes per accepted reverse step
+    checkpoints: Optional[tuple] = None  # see InterpolatingAdjoint
 
 
 @dataclass(frozen=True)

@@ -328,12 +328,43 @@ def _solve_ode(prob, solver, *, saveat, rtol, atol, dt0, dt, max_steps,
                                       n_steps=n_steps, unroll=unroll)
         ys, aux = fn(prob.u0, prob.p, saveat)
     elif isinstance(sensealg, _CONTINUOUS_RULES):
+        # Custom checkpoint grid (reference interpolating_adjoint.jl:43-126):
+        # fold the checkpoint times into the internal save grid so the
+        # forward pass captures states there and the checkpointed reverse
+        # re-solves the finer intervals; user-visible rows gathered back out.
+        ckpts = getattr(sensealg, "checkpoints", None)
+        user_rows = None
+        saveat_solve = saveat
+        if ckpts is not None:
+            if not getattr(sensealg, "checkpointing", False):
+                raise ValueError(
+                    "checkpoints=... requires checkpointing=True"
+                )
+            import numpy as _np
+
+            try:
+                sv = _np.asarray(saveat, float)
+            except (TypeError, jax.errors.TracerArrayConversionError,
+                    jax.errors.ConcretizationTypeError):
+                raise NotImplementedError(
+                    "checkpoints=... needs concrete (non-traced) saveat "
+                    "times: the merged grid is built at trace time"
+                )
+            ck = _np.asarray(ckpts, float)
+            if ck.size and (ck.min() < float(min(t0, t1)) - 1e-12
+                            or ck.max() > float(max(t0, t1)) + 1e-12):
+                raise ValueError("checkpoints must lie inside tspan")
+            merged = _np.union1d(sv, ck)
+            user_rows = jnp.asarray(_np.searchsorted(merged, sv), jnp.int32)
+            saveat_solve = jnp.asarray(merged, saveat.dtype)
         fn = make_ode_solve_fn(
             prob.f, solver, sensealg, opts, t0, t1,
             user_jac=prob.jac, user_vjp=prob.vjp, user_paramjac=prob.paramjac,
             bwd_solver=bwd_solver,
         )
-        ys, aux = fn(prob.u0, prob.p, saveat)
+        ys, aux = fn(prob.u0, prob.p, saveat_solve)
+        if user_rows is not None:
+            ys = jax.tree_util.tree_map(lambda a: a[user_rows], ys)
     elif isinstance(sensealg, ForwardSensitivity):
         from .adjoints.forward import make_forward_sensitivity_solve_fn
 

@@ -556,6 +556,11 @@ def integrate_scan(
             # post-affect state; gradients flow through the Newton-polished τ
             # and the affect map — the discrete analogue of the reference's
             # AD-through-solver event handling (concrete_solve.jl:1351-1364).
+            # Save convention at event-coincident times: save times are
+            # merged into tstops, so a save time can never fall strictly
+            # inside an (event-truncated) step; a save EXACTLY at τ records
+            # the post-affect state — the right limit, same as the
+            # while_loop driver — so both execution engines agree.
             se = process_step_events(
                 event_set, fvec, t, dt_eff, u, f, u1, f1, accept, ev, tdtype
             )
