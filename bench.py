@@ -434,6 +434,229 @@ def bench_pde_pallas():
                       "plain_ms": round(ms_plain, 4)}), flush=True)
 
 
+# ---------------------------------------------------------------------------
+# Compute-bound scaling benches (round-3). These run in their OWN subprocess:
+# the slope-timing D2H fence drops the process onto the slow dispatch channel,
+# which must never happen in the dispatch-bound extras/headline process.
+#
+# Measurement method (validated on this runtime): `block_until_ready` on the
+# axon tunnel does NOT wait for device compute — an 8192³ bf16 matmul
+# "completes" in ~0.045 ms (a nonsensical 24 PFLOP/s). True device time is
+# recovered as the marginal slope of K chained executions fenced by a scalar
+# device→host read: the same matmul then measures ~6-7 ms ≈ 160-190 TF
+# ≈ v5e-8 single-chip peak (197 TF bf16), validating the method. All
+# round-2 sub-0.1 ms figures were dispatch-channel latencies (valid as
+# dispatch-bound comparisons, not device-compute measurements).
+# ---------------------------------------------------------------------------
+
+V5E_PEAK_FLOPS = 197e12  # bf16 MXU peak; the stencil runs f32 on the VPU
+V5E_HBM_GBPS = 819.0
+
+
+def _slope_time(fn, x0, extra, K1=1, K2=4, reps=3):
+    """Median marginal ms/call from K-chained executions with a scalar D2H
+    fence (dispatch + D2H constants cancel in the slope)."""
+    x = fn(x0, *extra)
+    _ = float(jnp.sum(jnp.ravel(x)[:8]))  # warm + first (poisoning) D2H
+    med = []
+    for _ in range(reps):
+        ts = []
+        for K in (K1, K2):
+            x = x0
+            t0 = time.perf_counter()
+            for _ in range(K):
+                x = fn(x, *extra)
+            _ = float(jnp.sum(jnp.ravel(x)[:8]))
+            ts.append(time.perf_counter() - t0)
+        med.append((ts[1] - ts[0]) / (K2 - K1))
+    med.sort()
+    return 1e3 * med[len(med) // 2]
+
+
+def bench_pde_scaling():
+    """Fixed-grid Tsit5 scan over a 1-D reaction-diffusion field at
+    n = 1k/16k/256k/1M states, 64 steps: device ms, estimated achieved
+    FLOP/s, MFU vs the v5e bf16 peak (the stencil is f32/VPU-bound — MFU is
+    reported for cross-framework comparability; the binding roofline is
+    VPU/bandwidth), and the fwd/grad cost ratio in the compute-bound regime
+    (reference claim to beat: >30x torchdiffeq up to ~1M states,
+    docs/src/Benchmark.md:16)."""
+    from scimlsensitivity_jl_tpu import ODEProblem, Tsit5, solve
+    from scimlsensitivity_jl_tpu.ops.pallas_pde import rd1d_reference
+
+    STEPS = 64
+    # flops/point/step estimate: 7 Tsit5 stages x (9 stencil+reaction flops
+    # + ~12 axpy-combination flops)
+    FPPS = 7 * (9 + 12)
+    dtype = jnp.float32
+    for n in [1024, 16384, 262144, 1048576]:
+        if _left() < 240:
+            break
+        inv_dx2 = float(n) * float(n)
+        dt = 1e-9
+        u0 = jnp.exp(-(((jnp.arange(n, dtype=dtype) / n) - 0.5) ** 2)
+                     * 100.0)
+        p = jnp.array([1e-7, 1.5], dtype)
+
+        def field(u, q, t):
+            return rd1d_reference(u, q[0], q[1], inv_dx2)
+
+        t1 = STEPS * dt
+        ts = jnp.array([0.0, t1], dtype)
+
+        @jax.jit
+        def fwd(u, q):
+            sol = solve(ODEProblem(field, u, (0.0, t1), q), Tsit5(),
+                        saveat=ts, dt=dt, adaptive=False)
+            return sol.ys[-1]
+
+        @jax.jit
+        def grad_u(u, q):
+            return jax.grad(
+                lambda uu: jnp.sum(fwd(uu, q) ** 2))(u)
+
+        try:
+            fwd_ms = _slope_time(fwd, u0, (p,))
+            grad_ms = _slope_time(grad_u, u0, (p,))
+        except Exception as e:
+            print(json.dumps({"metric": f"pde_scaling_n{n}",
+                              "error": str(e)[:200]}), flush=True)
+            continue
+        flops = STEPS * FPPS * n
+        gflops = flops / (grad_ms * 1e-3) / 1e9 * 3  # grad ~ 3x fwd flops
+        rec = {
+            "metric": f"pde_scaling_n{n}",
+            "value": round(grad_ms, 3), "unit": "ms",
+            "fwd_ms": round(fwd_ms, 3),
+            "grad_over_fwd": round(grad_ms / fwd_ms, 2),
+            "steps": STEPS,
+            "est_fwd_gflops": round(flops / (fwd_ms * 1e-3) / 1e9, 1),
+            "mfu_fwd_pct": round(
+                100 * flops / (fwd_ms * 1e-3) / V5E_PEAK_FLOPS, 3),
+            "est_hbm_gbps_min": round(
+                2 * 4 * n * 1e-9 / (fwd_ms * 1e-3), 1),
+        }
+        print(json.dumps(rec), flush=True)
+        try:
+            with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   "bench_results.jsonl"), "a") as fh:
+                fh.write(json.dumps(rec) + "\n")
+        except OSError:
+            pass
+        if n >= 262144:
+            rec2 = {"metric": f"pde_fwd_grad_ratio_n{n}",
+                    "value": round(grad_ms / fwd_ms, 3), "unit": "x",
+                    "vs_baseline": round(1.5 / (grad_ms / fwd_ms), 3)}
+            print(json.dumps(rec2), flush=True)
+
+
+def bench_pde_megakernel():
+    """Whole-RK4-step Pallas megakernel (S=8 steps/launch, VMEM-resident
+    stages, hand-derived exact discrete pullback) vs plain XLA at 1M states.
+
+    Three honest lines: forward speedup; gradient vs non-remat XLA AD at 64
+    steps (the regime where XLA can afford to store residuals); gradient vs
+    per-step-remat XLA at 512 steps — the ONLY feasible XLA baseline there
+    (non-remat residuals are 32 GB > 16 GB HBM), while the megakernel's
+    block-checkpointed pullback stays exact and O(n)."""
+    from scimlsensitivity_jl_tpu.ops.pallas_pde import (
+        _rk4_one,
+        make_rd1d_rk4_block,
+    )
+
+    n = 1048576
+    S = 8
+    dtype = jnp.float32
+    u0 = jnp.exp(-(((jnp.arange(n, dtype=dtype) / n) - 0.5) ** 2) * 100.0)
+    D = jnp.asarray(1e-7, dtype)
+    k = jnp.asarray(1.5, dtype)
+    inv_dx2, h = float(n) * float(n), 1e-9
+    blk = make_rd1d_rk4_block(n, S, bwd_chunk=32768)
+
+    def mega_fwd_fn(nblocks):
+        @jax.jit
+        def f(u, DD, kk):
+            def body(uu, _):
+                return blk(uu, DD, kk, inv_dx2, h), None
+            out, _ = jax.lax.scan(body, u, None, length=nblocks)
+            return out
+        return f
+
+    def plain_fwd_fn(steps):
+        @jax.jit
+        def f(u, DD, kk):
+            def body(uu, _):
+                return _rk4_one(uu, DD, kk, inv_dx2, h), None
+            out, _ = jax.lax.scan(body, u[None, :], None, length=steps)
+            return out[0]
+        return f
+
+    try:
+        mf = mega_fwd_fn(8)
+        pf = plain_fwd_fn(64)
+        ms_mf = _slope_time(mf, u0, (D, k))
+        ms_pf = _slope_time(pf, u0, (D, k))
+        print(json.dumps({"metric": "pde1m_megakernel_fwd_speedup",
+                          "value": round(ms_pf / ms_mf, 3), "unit": "x",
+                          "mega_ms": round(ms_mf, 2),
+                          "plain_ms": round(ms_pf, 2),
+                          "steps": 64}), flush=True)
+
+        mg = jax.jit(lambda u, DD, kk: jax.grad(
+            lambda uu: jnp.sum(mf(uu, DD, kk) ** 2))(u))
+        pg = jax.jit(lambda u, DD, kk: jax.grad(
+            lambda uu: jnp.sum(pf(uu, DD, kk) ** 2))(u))
+        ms_mg = _slope_time(mg, u0, (D, k))
+        ms_pg = _slope_time(pg, u0, (D, k))
+        print(json.dumps({"metric": "pde1m_megakernel_grad_speedup",
+                          "value": round(ms_pg / ms_mg, 3), "unit": "x",
+                          "mega_ms": round(ms_mg, 2),
+                          "plain_ms": round(ms_pg, 2), "steps": 64}),
+              flush=True)
+
+        # 512 steps: non-remat XLA AD needs ~32 GB of residuals (> HBM);
+        # per-step remat is the feasible baseline
+        mf512 = mega_fwd_fn(64)
+        mg512 = jax.jit(lambda u, DD, kk: jax.grad(
+            lambda uu: jnp.sum(mf512(uu, DD, kk) ** 2))(u))
+
+        @jax.jit
+        def pg512_remat(u, DD, kk):
+            def loss(uu):
+                def body(vv, _):
+                    return _rk4_one(vv, DD, kk, inv_dx2, h), None
+                body_r = jax.checkpoint(body, prevent_cse=False)
+                out, _ = jax.lax.scan(body_r, uu[None, :], None, length=512)
+                return jnp.sum(out ** 2)
+            return jax.grad(loss)(u)
+
+        ms_mg512 = _slope_time(mg512, u0, (D, k), K1=1, K2=3, reps=2)
+        ms_pg512 = _slope_time(pg512_remat, u0, (D, k), K1=1, K2=3, reps=2)
+        print(json.dumps(
+            {"metric": "pde1m_512step_grad_speedup_vs_remat_xla",
+             "value": round(ms_pg512 / ms_mg512, 3), "unit": "x",
+             "mega_ms": round(ms_mg512, 1),
+             "plain_remat_ms": round(ms_pg512, 1),
+             "note": "non-remat XLA AD infeasible here (32GB residuals)"}),
+            flush=True)
+    except Exception as e:
+        print(json.dumps({"metric": "pde1m_megakernel",
+                          "error": str(e)[:200]}), flush=True)
+
+
+def run_scaling():
+    for fn in [bench_pde_scaling, bench_pde_megakernel]:
+        if _left() < 180:
+            print(json.dumps({"metric": "scaling_budget_exhausted",
+                              "skipped_from": fn.__name__}), flush=True)
+            break
+        try:
+            fn()
+        except Exception as e:  # pragma: no cover
+            print(json.dumps({"metric": fn.__name__,
+                              "error": str(e)[:200]}), flush=True)
+
+
 def run_extras():
     extras = [
         bench_loop_floor,
@@ -467,23 +690,40 @@ def main():
     import sys
 
     headline_reserve = 900.0
-    child_budget = max(_left() - headline_reserve, 0.0)
+    scaling_reserve = 600.0
+    child_budget = max(_left() - headline_reserve - scaling_reserve, 0.0)
+    env = dict(os.environ)
+    # propagate a config-level platform override (e.g. the CPU
+    # dry-run's jax.config.update) to the children, which only see env
+    plat = jax.config.jax_platforms
+    if plat:
+        env["JAX_PLATFORMS"] = plat
     if child_budget > 180:
-        env = dict(os.environ, BENCH_BUDGET_S=str(child_budget))
-        # propagate a config-level platform override (e.g. the CPU
-        # dry-run's jax.config.update) to the child, which only sees env
-        plat = jax.config.jax_platforms
-        if plat:
-            env["JAX_PLATFORMS"] = plat
         try:
             subprocess.run([sys.executable, os.path.abspath(__file__),
                             "--extras"], timeout=child_budget + 120,
-                           env=env,
+                           env=dict(env, BENCH_BUDGET_S=str(child_budget)),
                            cwd=os.path.dirname(os.path.abspath(__file__)))
         except subprocess.TimeoutExpired:
             print(json.dumps({"metric": "extras_timeout"}), flush=True)
     else:
         print(json.dumps({"metric": "extras_skipped_low_budget"}),
+              flush=True)
+
+    # compute-bound scaling benches: own subprocess — their D2H slope
+    # fences poison the dispatch channel, which must not leak into the
+    # extras above or the headline below
+    scaling_budget = max(_left() - headline_reserve, 0.0)
+    if scaling_budget > 120:
+        try:
+            subprocess.run([sys.executable, os.path.abspath(__file__),
+                            "--scaling"], timeout=scaling_budget + 120,
+                           env=dict(env, BENCH_BUDGET_S=str(scaling_budget)),
+                           cwd=os.path.dirname(os.path.abspath(__file__)))
+        except subprocess.TimeoutExpired:
+            print(json.dumps({"metric": "scaling_timeout"}), flush=True)
+    else:
+        print(json.dumps({"metric": "scaling_skipped_low_budget"}),
               flush=True)
 
     args = _spiral_setup()
@@ -498,5 +738,7 @@ if __name__ == "__main__":
 
     if "--extras" in _sys.argv:
         run_extras()
+    elif "--scaling" in _sys.argv:
+        run_scaling()
     else:
         main()

@@ -35,7 +35,8 @@ try:
 except Exception:  # pragma: no cover
     _HAVE_PALLAS = False
 
-__all__ = ["fused_rd1d", "rd1d_reference", "make_rd1d_field"]
+__all__ = ["fused_rd1d", "rd1d_reference", "make_rd1d_field",
+           "make_rd1d_rk4_block", "rd1d_rk4_scan_reference"]
 
 
 def _lap(u):
@@ -140,6 +141,317 @@ def _rd_bwd_rule(res, lam):
 
 
 fused_rd1d.defvjp(_rd_fwd_rule, _rd_bwd_rule)
+
+
+# ---------------------------------------------------------------------------
+# Whole-RK4-step megakernel (round-3): S fixed-grid RK4 steps of the
+# reaction-diffusion field per pallas_call, state VMEM-resident across all
+# 4·S stage evaluations — the HBM round trips XLA pays between scan
+# iterations/stage fusions collapse to one read + one write per S steps.
+# The pullback is the EXACT discrete adjoint of the S-step block, derived by
+# hand and fused into a second kernel (stage states recomputed from the
+# block's entry state — O(S²/2) extra VPU work traded for zero stage
+# storage, the remat trade that wins in the bandwidth-bound regime).
+# Reference seam: ext/SciMLSensitivityReactantExt.jl:32-134 (one compiled
+# call for the whole VJP); SURVEY §7 step 12.
+# ---------------------------------------------------------------------------
+
+
+def _rd_f(u, D, k, inv_dx2):
+    return D * inv_dx2 * _lap(u) + k * u * (1.0 - u)
+
+
+def _rk4_one(u, D, k, inv_dx2, h):
+    k1 = _rd_f(u, D, k, inv_dx2)
+    k2 = _rd_f(u + 0.5 * h * k1, D, k, inv_dx2)
+    k3 = _rd_f(u + 0.5 * h * k2, D, k, inv_dx2)
+    k4 = _rd_f(u + h * k3, D, k, inv_dx2)
+    return u + (h / 6.0) * (k1 + 2.0 * (k2 + k3) + k4)
+
+
+def rd1d_rk4_scan_reference(u, D, k, inv_dx2, h, n_steps: int):
+    """Plain-XLA fixed-grid RK4 scan over the rd1d field (what jax.grad
+    differentiates through directly)."""
+    u2 = u[None, :]
+
+    def body(uu, _):
+        return _rk4_one(uu, D, k, inv_dx2, h), None
+
+    out, _ = jax.lax.scan(body, u2, None, length=n_steps)
+    return out[0]
+
+
+def _chunk_geometry(n: int, S: int, chunk: int):
+    """Chunked-grid geometry: each program advances one length-C interior
+    chunk by S steps from a (C + 2H)-wide halo window (stencil reach is 4
+    cells per RK4 step, so H = 4(S+1) covers S steps plus the reverse pass's
+    stage reach). Windows are materialized by XLA (one cheap gather pass) so
+    the kernels stay simple single-block programs — overlapping BlockSpecs
+    are not expressible directly."""
+    C = min(chunk, n)
+    H = 0 if C >= n else 4 * (S + 1)
+    W = min(C + 2 * H, n)
+    G = -(-n // C)
+    if G * C != n:
+        raise ValueError(
+            f"rd1d megakernel needs n divisible by the chunk; "
+            f"n={n}, chunk={C}"
+        )
+    return C, H, W, G
+
+
+def _window_starts(n, C, H, W, G):
+    starts = jnp.clip(jnp.arange(G) * C - H, 0, n - W)
+    return starts
+
+
+def _make_windows(u, starts, W):
+    return jax.vmap(
+        lambda s: jax.lax.dynamic_slice(u, (s,), (W,))
+    )(starts)[:, None, :]  # (G, 1, W)
+
+
+def _rk4_fwd_kernel_factory(S: int, n: int, C: int, H: int, W: int):
+    def kern(u_ref, prm_ref, out_ref):
+        i = pl.program_id(0)
+        D = prm_ref[0, 0]
+        k = prm_ref[0, 1]
+        inv_dx2 = prm_ref[0, 2]
+        h = prm_ref[0, 3]
+        # interior offset inside this window (0 at the left edge, 2H at the
+        # right edge, H in the middle; the clipped-window arithmetic)
+        start = jnp.clip(i * C - H, 0, n - W)
+        off = i * C - start
+        u = u_ref[0]
+        u = jax.lax.fori_loop(
+            0, S, lambda s, uu: _rk4_one(uu, D, k, inv_dx2, h), u
+        )
+        if H == 0:
+            out_ref[0] = u
+        else:
+            # off in {0, H, 2H} (left-edge / interior / right-edge chunk);
+            # Mosaic has no dynamic_slice on values, so switch over the
+            # three static slices
+            out_ref[0] = jax.lax.switch(off // H, [
+                lambda: u[:, 0:C],
+                lambda: u[:, H:H + C],
+                lambda: u[:, 2 * H:2 * H + C],
+            ])
+
+    return kern
+
+
+def _rk4_bwd_kernel_factory(S: int, n: int, C: int, H: int, W: int):
+    """Exact discrete adjoint of S RK4 steps on one halo window. Per
+    reverse step s (stage states recomputed from the window's entry state —
+    O(S²/2) extra VPU work for zero stage storage):
+
+        w4 = (h/6)λ ;            s4 = J(u+h·k3)ᵀ w4
+        w3 = (2h/6)λ + h·s4 ;    s3 = J(u+h/2·k2)ᵀ w3
+        w2 = (2h/6)λ + h/2·s3 ;  s2 = J(u+h/2·k1)ᵀ w2
+        w1 = (h/6)λ + h/2·s2 ;   s1 = J(u)ᵀ w1
+        λ ← λ + s1 + s2 + s3 + s4
+        dD += Σ_interior (L u_i)·w_i / dx² ;  dk += Σ_interior u_i(1−u_i)·w_i
+
+    with Jᵀv = D/dx²·L v + k(1−2u_i)·v (reflect-padded L is symmetric). The
+    dD/dk sums mask to the interior chunk (halo cells are another program's
+    cells); per-program partials are summed outside."""
+
+    def kern(u_ref, prm_ref, lam_ref, du_ref, dp_ref, ustore):
+        i = pl.program_id(0)
+        D = prm_ref[0, 0]
+        k = prm_ref[0, 1]
+        inv_dx2 = prm_ref[0, 2]
+        h = prm_ref[0, 3]
+        start = jnp.clip(i * C - H, 0, n - W)
+        off = i * C - start
+        u0 = u_ref[0]
+        lam0 = lam_ref[0]
+        col = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)
+        mask = ((col >= off) & (col < off + C)).astype(u0.dtype)
+
+        # one forward sweep caching every step-entry state in VMEM scratch
+        # (S x W x 4B — hundreds of KB at chunked width): the reverse sweep
+        # then reads u_s instead of recomputing from the block entry
+        # (O(S) total recompute, not O(S^2/2))
+        def store_and_step(sidx, uu):
+            ustore[pl.ds(sidx, 1), :] = uu
+            return _rk4_one(uu, D, k, inv_dx2, h)
+
+        jax.lax.fori_loop(0, S, store_and_step, u0)
+
+        def jt(u_st, v):
+            return D * inv_dx2 * _lap(v) + k * (1.0 - 2.0 * u_st) * v
+
+        def rev_step(j, carry):
+            lam, dD, dk = carry
+            s = (S - 1) - j
+            u = ustore[pl.ds(s, 1), :]
+            # recompute stage states sharing each state's Laplacian with the
+            # dD accumulation (Σ w·L u_st): 4 stencils instead of 8
+            l1 = _lap(u)
+            k1 = D * inv_dx2 * l1 + k * u * (1.0 - u)
+            u2 = u + 0.5 * h * k1
+            l2 = _lap(u2)
+            k2 = D * inv_dx2 * l2 + k * u2 * (1.0 - u2)
+            u3 = u + 0.5 * h * k2
+            l3 = _lap(u3)
+            k3 = D * inv_dx2 * l3 + k * u3 * (1.0 - u3)
+            u4 = u + h * k3
+            l4 = _lap(u4)
+
+            w4 = (h / 6.0) * lam
+            s4 = jt(u4, w4)
+            w3 = (2.0 * h / 6.0) * lam + h * s4
+            s3 = jt(u3, w3)
+            w2 = (2.0 * h / 6.0) * lam + 0.5 * h * s3
+            s2 = jt(u2, w2)
+            w1 = (h / 6.0) * lam + 0.5 * h * s2
+            s1 = jt(u, w1)
+
+            wm1 = mask * w1
+            wm2 = mask * w2
+            wm3 = mask * w3
+            wm4 = mask * w4
+            dD = dD + inv_dx2 * (
+                jnp.sum(wm1 * l1) + jnp.sum(wm2 * l2)
+                + jnp.sum(wm3 * l3) + jnp.sum(wm4 * l4)
+            )
+            dk = dk + (
+                jnp.sum(wm1 * u * (1.0 - u))
+                + jnp.sum(wm2 * u2 * (1.0 - u2))
+                + jnp.sum(wm3 * u3 * (1.0 - u3))
+                + jnp.sum(wm4 * u4 * (1.0 - u4))
+            )
+            return (lam + s1 + s2 + s3 + s4, dD, dk)
+
+        z = jnp.zeros((), lam0.dtype)
+        lam, dD, dk = jax.lax.fori_loop(0, S, rev_step, (lam0, z, z))
+        if H == 0:
+            du_ref[0] = lam
+        else:
+            du_ref[0] = jax.lax.switch(off // H, [
+                lambda: lam[:, 0:C],
+                lambda: lam[:, H:H + C],
+                lambda: lam[:, 2 * H:2 * H + C],
+            ])
+        # per-program scalar partials ride a (8, 128) VMEM tile (Mosaic
+        # rejects sub-tile blocked outputs and scatter); dD at [0,0],
+        # dk at [0,1] via iota masks
+        rr = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+        cc = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+        zero8 = jnp.zeros((8, 128), lam.dtype)
+        dp_ref[0] = jnp.where(
+            (rr == 0) & (cc == 0), dD,
+            jnp.where((rr == 0) & (cc == 1), dk, zero8)
+        )
+
+    return kern
+
+
+def _prm4(D, k, inv_dx2, h, dtype):
+    return jnp.stack([jnp.asarray(D, dtype), jnp.asarray(k, dtype),
+                      jnp.asarray(inv_dx2, dtype),
+                      jnp.asarray(h, dtype)])[None, :]
+
+
+def make_rd1d_rk4_block(n: int, S: int, chunk: int = 65536,
+                        bwd_chunk: int = None,
+                        force_kernel_interpret: bool = False):
+    """S-step RK4 megakernel over a length-n rd1d grid as a custom_vjp
+    function (u, D, k, inv_dx2, h) -> u_after_S_steps.
+
+    Execution: the grid is split into length-`chunk` interior chunks, each
+    advanced S steps inside VMEM from a haloed window (one program per
+    chunk) — the 4·S stage evaluations never round-trip HBM. Off-TPU runs
+    the plain-XLA scan (the kernels target Mosaic; interpret-mode
+    fori_loops are pathologically slow at these sizes).
+    force_kernel_interpret=True runs the actual kernels under the Pallas
+    interpreter — the CPU test path validating the hand-derived pullback
+    and the halo geometry."""
+    C, H, W, G = _chunk_geometry(n, S, chunk)
+    # the pullback kernel holds ~4x more live window-sized temps (stage
+    # states + w's + lambda) - smaller chunks keep it inside VMEM
+    Cb, Hb, Wb, Gb = _chunk_geometry(n, S, bwd_chunk or max(chunk // 4, 1))
+    fwd_kern = _rk4_fwd_kernel_factory(S, n, C, H, W)
+    bwd_kern = _rk4_bwd_kernel_factory(S, n, Cb, Hb, Wb)
+
+    def _on_kernel_path():
+        return _HAVE_PALLAS and (not _use_interpret()
+                                 or force_kernel_interpret)
+
+    @jax.custom_vjp
+    def block(u, D, k, inv_dx2, h):
+        return _block_fwd(u, D, k, inv_dx2, h)
+
+    def _block_fwd(u, D, k, inv_dx2, h):
+        if not _on_kernel_path():
+            return rd1d_rk4_scan_reference(u, D, k, inv_dx2, h, S)
+        dtype = u.dtype
+        starts = _window_starts(n, C, H, W, G)
+        wins = _make_windows(u, starts, W)  # (G, 1, W)
+        out = pl.pallas_call(
+            fwd_kern,
+            grid=(G,),
+            out_shape=jax.ShapeDtypeStruct((G, 1, C), dtype),
+            in_specs=[
+                pl.BlockSpec((1, 1, W), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+            ],
+            out_specs=pl.BlockSpec((1, 1, C), lambda i: (i, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            interpret=_use_interpret(),
+        )(wins, _prm4(D, k, inv_dx2, h, dtype))
+        return out.reshape(n)
+
+    def block_fwd_rule(u, D, k, inv_dx2, h):
+        return _block_fwd(u, D, k, inv_dx2, h), (u, D, k, inv_dx2, h)
+
+    def block_bwd_rule(res, lam):
+        u, D, k, inv_dx2, h = res
+        if not _on_kernel_path():
+            _, pull = jax.vjp(
+                lambda uu, DD, kk: rd1d_rk4_scan_reference(
+                    uu, DD, kk, inv_dx2, h, S), u, D, k)
+            du, dD, dk = pull(lam)
+            return (du, dD, dk, jnp.zeros_like(jnp.asarray(inv_dx2)),
+                    jnp.zeros_like(jnp.asarray(h)))
+        dtype = u.dtype
+        starts = _window_starts(n, Cb, Hb, Wb, Gb)
+        uwins = _make_windows(u, starts, Wb)
+        lwins = _make_windows(lam, starts, Wb)
+        du, dp = pl.pallas_call(
+            bwd_kern,
+            grid=(Gb,),
+            out_shape=(
+                jax.ShapeDtypeStruct((Gb, 1, Cb), dtype),
+                jax.ShapeDtypeStruct((Gb, 8, 128), dtype),
+            ),
+            in_specs=[
+                pl.BlockSpec((1, 1, Wb), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 1, Wb), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec((1, 1, Cb), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ),
+            scratch_shapes=[pltpu.VMEM((S, Wb), dtype)],
+            interpret=_use_interpret(),
+        )(uwins, _prm4(D, k, inv_dx2, h, dtype), lwins)
+        zero = jnp.zeros((), dtype)
+        return (du.reshape(n),
+                jnp.sum(dp[:, 0, 0]).astype(jnp.asarray(D).dtype),
+                jnp.sum(dp[:, 0, 1]).astype(jnp.asarray(k).dtype),
+                zero, zero)
+
+    block.defvjp(block_fwd_rule, block_bwd_rule)
+    return block
 
 
 def make_rd1d_field(n: int, dx: float):

@@ -55,3 +55,37 @@ def test_fused_field_through_adjoint_solve():
     ))(p)
     np.testing.assert_allclose(np.asarray(g_pallas), np.asarray(g_ref),
                                rtol=1e-12)
+
+
+def test_rk4_megakernel_matches_scan_reference():
+    """Whole-RK4-step megakernel (round-3): S steps per pallas_call with a
+    hand-derived exact discrete pullback. Validated under the Pallas
+    interpreter against plain-XLA scan + AD, including the chunked-grid
+    halo geometry (G > 1) and the single-chunk path."""
+    from scimlsensitivity_jl_tpu.ops.pallas_pde import (
+        make_rd1d_rk4_block,
+        rd1d_rk4_scan_reference,
+    )
+
+    n = 1024
+    u0 = (jnp.exp(-(((jnp.arange(n) / n) - 0.5) ** 2) * 100.0)
+          + 0.01 * jnp.sin(jnp.arange(n) * 0.1))
+    D, k, inv_dx2, h = 1e-4, 1.5, float(n * n), 1e-5
+
+    for chunk, bwd_chunk, S in [(256, 256, 4), (512, 256, 2), (1024, 1024, 4)]:
+        blk = make_rd1d_rk4_block(n, S, chunk=chunk, bwd_chunk=bwd_chunk,
+                                  force_kernel_interpret=True)
+        y_k = blk(u0, D, k, inv_dx2, h)
+        y_r = rd1d_rk4_scan_reference(u0, D, k, inv_dx2, h, S)
+        assert float(jnp.max(jnp.abs(y_k - y_r))) < 1e-12
+
+        gk = jax.grad(
+            lambda u, DD, kk: jnp.sum(blk(u, DD, kk, inv_dx2, h) ** 2),
+            argnums=(0, 1, 2))(u0, D, k)
+        gr = jax.grad(
+            lambda u, DD, kk: jnp.sum(
+                rd1d_rk4_scan_reference(u, DD, kk, inv_dx2, h, S) ** 2),
+            argnums=(0, 1, 2))(u0, D, k)
+        assert float(jnp.max(jnp.abs(gk[0] - gr[0]))) < 1e-11
+        assert abs(float(gk[1] - gr[1])) < 1e-10 * max(1.0, abs(float(gr[1])))
+        assert abs(float(gk[2] - gr[2])) < 1e-10 * max(1.0, abs(float(gr[2])))
