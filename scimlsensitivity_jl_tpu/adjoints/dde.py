@@ -48,8 +48,9 @@ def solve_dde(prob: DDEProblem, solver=None, *, dt, saveat=None,
     never involve the unknown stage, so the Newton iteration is the plain
     ODE one; jacfwd of the stage residual also differentiates through a
     state-dependent lag's Hermite gather)."""
-    if not prob.lags:
-        raise ValueError("DDEProblem needs at least one lag")
+    dist_kernels = tuple(getattr(prob, "dist_kernels", ()) or ())
+    if not prob.lags and not dist_kernels:
+        raise ValueError("DDEProblem needs at least one lag or dist_kernel")
     t0, t1 = float(prob.tspan[0]), float(prob.tspan[1])
     dt_f = float(dt)
     const_lags = [lag for lag in prob.lags if not callable(lag)]
@@ -64,6 +65,11 @@ def solve_dde(prob: DDEProblem, solver=None, *, dt, saveat=None,
         raise ValueError(
             "state-dependent (callable) lags need DDEProblem.max_lag to "
             "size the pre-t0 history buffer"
+        )
+    if dist_kernels and prob.max_lag is None:
+        raise ValueError(
+            "distributed lags (dist_kernels) need DDEProblem.max_lag — the "
+            "truncation window of the ∫K(s)u(t−s)ds integral"
         )
     max_lag = prob.max_lag if prob.max_lag is not None else max(const_lags)
     if const_lags and max_lag < max(const_lags) - 1e-12:
@@ -124,6 +130,22 @@ def solve_dde(prob: DDEProblem, solver=None, *, dt, saveat=None,
     lags_a = [None if callable(lag) else jnp.asarray(lag, dtype)
               for lag in prob.lags]
 
+    if dist_kernels:
+        # distributed-lag quadrature grid s_j = j·dt over [0, max_lag]
+        # (trapezoid; O(dt²) like the scheme's global order on the
+        # interpolated history)
+        Mq = int(round(max_lag / dt_f))
+        if abs(Mq * dt_f - max_lag) > 1e-9 * max(1.0, abs(max_lag)):
+            raise ValueError(
+                f"dist_kernels need max_lag ({max_lag}) to be an integer "
+                f"multiple of dt ({dt_f}) — the trapezoid rides the node "
+                "grid"
+            )
+        s_grid = dt_a * jnp.arange(1, Mq + 1, dtype=jnp.int32).astype(dtype)
+        wq_dist = jnp.ones(Mq, dtype).at[-1].mul(0.5) * dt_a  # j = 1..Mq
+        # j = 0 term (weight dt/2) uses the stage state itself — the
+        # gather cannot read the in-flight right node at interior stages
+
     def gather(ubuf, fbuf, td):
         """Hermite interpolation on the uniform node grid at query time td;
         exact-node queries land on the right endpoint of the LEFT interval,
@@ -156,6 +178,17 @@ def solve_dde(prob: DDEProblem, solver=None, *, dt, saveat=None,
             else:
                 td = t - la
             outs.append(unravel_u(gather(ubuf, fbuf, td)))
+        if dist_kernels:
+            hist_states = jax.vmap(
+                lambda s: gather(ubuf, fbuf, t - s)
+            )(s_grid)  # (Mq, n)
+            for K in dist_kernels:
+                kv = jax.vmap(lambda s: jnp.asarray(K(s, p), dtype))(s_grid)
+                integral = (0.5 * dt_a * jnp.asarray(K(jnp.zeros((), dtype),
+                                                      p), dtype) * uvec
+                            + jnp.einsum("j,j,jk->k", wq_dist, kv,
+                                         hist_states))
+                outs.append(unravel_u(integral))
         du = ravel_pytree(f_user(u, tuple(outs), p, t))[0]
         return du, bad
 

@@ -139,6 +139,15 @@ class DDEProblem(AbstractProblem):
     history: callable t -> u for t <= t0 (defaults to constant u0).
     max_lag: upper bound on every lag, sizing the pre-t0 history buffer;
         required when any lag is callable (defaults to max constant lag).
+    dist_kernels: tuple of callables `K(s, p) -> scalar` for DISTRIBUTED
+        lags (integro-differential terms): each contributes
+        I_j(t) = ∫₀^{max_lag} K_j(s, p) · u(t−s) ds, appended AFTER the
+        discrete delayed states in f's hist tuple:
+        f(u, (u(t−τ₁), ..., I₁, ...), p, t). The integral is a trapezoid
+        over the dt node grid (O(dt²), matching the scheme's global order
+        on smooth kernels); requires max_lag (the truncation window) to be
+        an integer multiple of dt. Gradients flow through K, u, and p via
+        the discrete adjoint like everything else.
     """
 
     f: Callable
@@ -148,6 +157,7 @@ class DDEProblem(AbstractProblem):
     lags: tuple = ()
     history: Optional[Callable] = None
     max_lag: Optional[float] = None
+    dist_kernels: tuple = ()
 
 
 @dataclass(frozen=True)
@@ -175,7 +185,8 @@ class SteadyStateProblem(AbstractProblem):
 
 for _cls, _data, _meta in [
     (ODEProblem, ("u0", "tspan", "p", "mass_matrix"), ("f", "jac", "vjp", "paramjac")),
-    (DDEProblem, ("u0", "tspan", "p"), ("f", "lags", "history", "max_lag")),
+    (DDEProblem, ("u0", "tspan", "p"), ("f", "lags", "history", "max_lag",
+                                        "dist_kernels")),
     # noise_process rides as a data field: NoiseGrid is an array pytree;
     # a callable path is an opaque leaf (fine eagerly, not jit-traversable)
     (SDEProblem, ("u0", "tspan", "p", "noise_process"), ("f", "g", "noise", "interpretation", "noise_dim")),

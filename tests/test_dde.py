@@ -241,3 +241,79 @@ def test_dde_rejects_explicit_solver():
                       (0.0, 1.0), None, lags=(0.5,))
     with pytest.raises(NotImplementedError, match="RK4"):
         solve(prob, Tsit5(), dt=0.01)
+
+
+def test_distributed_lag_integrodifferential():
+    """Distributed lags (round-3): u' = -∫₀^τ α e^{-βs} u(t-s) ds validated
+    against the linear-chain-trick ODE (u' = -I, I' = αu - βI; exact up to
+    the e^{-βτ} truncation), gradients through the kernel vs finite
+    differences."""
+    from scimlsensitivity_jl_tpu import ODEProblem, Tsit5
+
+    alpha, beta, tau = 2.0, 6.0, 2.0  # beta*tau = 12 -> truncation ~6e-6
+    p = jnp.array([alpha, beta])
+    u0 = jnp.array([1.0])
+
+    def Kern(s, pp):
+        return pp[0] * jnp.exp(-pp[1] * s)
+
+    def f_dde(u, hist, pp, t):
+        (I,) = hist
+        return -I
+
+    prob = DDEProblem(f_dde, u0, (0.0, 3.0), p, lags=(), max_lag=tau,
+                      dist_kernels=(Kern,))
+    ts = jnp.array([0.0, 1.0, 2.0, 3.0])
+    sol = solve(prob, dt=0.005, saveat=ts)
+    assert int(sol.retcode) == 0
+
+    I0 = alpha * (1 - np.exp(-beta * tau)) / beta
+
+    def f_ode(z, pp, t):
+        u, I = z
+        return jnp.stack([-I, pp[0] * u - pp[1] * I])
+
+    oref = solve(ODEProblem(f_ode, jnp.array([1.0, I0]), (0.0, 3.0), p),
+                 Tsit5(), saveat=ts, rtol=1e-10, atol=1e-12)
+    assert float(jnp.max(jnp.abs(sol.ys[:, 0] - oref.ys[:, 0]))) < 1e-4
+
+    def loss(pp):
+        pr = DDEProblem(f_dde, u0, (0.0, 3.0), pp, lags=(), max_lag=tau,
+                        dist_kernels=(Kern,))
+        return jnp.sum(solve(pr, dt=0.01).ys[-1])
+
+    g = jax.grad(loss)(p)
+    for i in range(2):
+        e = jnp.zeros(2).at[i].set(1e-6)
+        fd = (loss(p + e) - loss(p - e)) / 2e-6
+        assert abs(float(g[i]) - float(fd)) < 1e-7
+
+
+def test_distributed_plus_discrete_lags():
+    """Mixed discrete + distributed delays: hist ordering is (discrete...,
+    integrals...); smoke correctness via a constant-kernel identity
+    (K = α 1: ∫₀^τ u = known for constant history at t = t0)."""
+    p = jnp.array([0.5])
+    u0 = jnp.array([2.0])
+
+    def Kern(s, pp):
+        return pp[0]
+
+    def f_dde(u, hist, pp, t):
+        ud, I = hist
+        return -0.1 * ud - 0.05 * I
+
+    prob = DDEProblem(f_dde, u0, (0.0, 1.0), p, lags=(0.5,), max_lag=1.0,
+                      dist_kernels=(Kern,))
+    sol = solve(prob, dt=0.01, saveat=jnp.array([0.0, 1.0]))
+    assert int(sol.retcode) == 0
+    assert np.all(np.isfinite(np.asarray(sol.ys)))
+    # gradient flows through both channels
+    def loss(pp):
+        pr = DDEProblem(f_dde, u0, (0.0, 1.0), pp, lags=(0.5,), max_lag=1.0,
+                        dist_kernels=(Kern,))
+        return jnp.sum(solve(pr, dt=0.01).ys[-1])
+    g = jax.grad(loss)(p)
+    e = jnp.zeros(1).at[0].set(1e-6)
+    fd = (loss(p + e) - loss(p - e)) / 2e-6
+    assert abs(float(g[0]) - float(fd)) < 1e-8
