@@ -152,10 +152,15 @@ def make_direct_solve_fn(f, solver, sensealg, opts: SolveOptions, t0, t1,
             max_steps=max_steps, tstops=stops,
             hook=hook, hook_carry=(buf0, k0),
             event_set=es, unroll=unroll, remat=sensealg.remat,
+            store_dense=opts.dense,
         )
         ys_save, _ = res.hook_carry
         ys = jax.vmap(unravel_u)(ys_save)
-        aux = AuxOut(dense=None, t_final=res.t_final, u_final=res.u_final,
+        # dense=True: sol(t) gradients flow through the Hermite gather by
+        # plain AD (discrete adjoint); without it, expose no dense (the
+        # driver's 2-row stub would silently mis-evaluate)
+        aux = AuxOut(dense=res.dense if opts.dense else None,
+                     t_final=res.t_final, u_final=res.u_final,
                      stats=res.stats, events=res.events)
         return ys, aux
 

@@ -452,6 +452,7 @@ def integrate_scan(
     event_set=None,
     unroll: bool = False,
     remat: bool = False,
+    store_dense: bool = False,
 ) -> IntegrateResult:
     """Adaptive integration with a *fixed* trip count (`lax.scan` with
     masking) — reverse-mode differentiable, unlike the while_loop driver.
@@ -473,8 +474,12 @@ def integrate_scan(
     scan, storing O(max_steps) residuals. Always runs `max_steps` iterations
     (masked no-ops once finished), so size max_steps to the problem.
 
-    No dense output (it would defeat the O(steps) memory bound) — outputs
-    are captured by the hook.
+    store_dense=True carries (max_steps+1)-row interpolation buffers through
+    the scan (single-row conditional writes — LINEAR in the buffer, so
+    reverse AD keeps O(steps·n) residuals, not O(steps²·n)): `sol(t)`
+    works on DirectAdjoint solutions and its gradient flows through the
+    Hermite gather by plain AD. Off by default (outputs are captured by
+    the hook).
     """
     if getattr(stepper, "stateful", False):
         raise NotImplementedError(
@@ -515,8 +520,18 @@ def integrate_scan(
     else:
         ev0 = None
 
+    n_state = u0.shape[0]
+    if store_dense:
+        buf_len = max_steps + 1
+        ts_buf0 = jnp.full((buf_len,), t1, tdtype).at[0].set(t0)
+        ys_buf0 = jnp.tile(u0[None, :], (buf_len, 1))
+        fs_buf0 = jnp.tile(f0[None, :], (buf_len, 1))
+        dense0 = (ts_buf0, ys_buf0, fs_buf0)
+    else:
+        dense0 = None
+
     def body(carry, _):
-        t, u, f, dt, err_prev, n_acc, n_rej, status, hc, ev = carry
+        t, u, f, dt, err_prev, n_acc, n_rej, status, hc, ev, dbufs = carry
         running = status < 0
 
         stop = _next_stop(t, t1, tstops, tdir, tdtype)
@@ -580,33 +595,54 @@ def integrate_scan(
                 lambda new, old: jnp.where(accept, new, old), new_hc, hc
             )
 
+        if store_dense:
+            ts_b, ys_b, fs_b = dbufs
+            idx = jnp.minimum(n_acc, max_steps)
+            ts_b = ts_b.at[idx].set(jnp.where(accept, t_new, ts_b[idx]))
+            ys_b = ys_b.at[idx].set(jnp.where(accept, u_new, ys_b[idx]))
+            fs_b = fs_b.at[idx].set(jnp.where(accept, f_new, fs_b[idx]))
+            dbufs = (ts_b, ys_b, fs_b)
+
         done = accept & ((t1 - t_new) * tdir <= jnp.abs(t1) * 1e-14 + 1e-300)
         status = jnp.where(running & done, RETCODE_SUCCESS, status).astype(jnp.int32)
         return (t_new, u_new, f_new, dt_next, err_prev, n_acc, n_rej, status,
-                hc, ev), None
+                hc, ev, dbufs), None
 
     init = (
         t0, u0, f0, dt, jnp.asarray(1.0, tdtype),
         jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32),
-        jnp.asarray(-1, jnp.int32), hook_carry, ev0,
+        jnp.asarray(-1, jnp.int32), hook_carry, ev0, dense0,
     )
     # remat: recompute the step in the backward pass instead of storing
     # every stage residual — O(1) residual memory per step in exchange for
     # one extra forward evaluation (jax.checkpoint over the scan body; the
     # SURVEY §5 checkpoint/remat mapping for long trajectories).
     body_fn = jax.checkpoint(body, prevent_cse=False) if remat else body
-    (t, u, f, dt, _, n_acc, n_rej, status, hc, ev_fin), _ = jax.lax.scan(
-        body_fn, init, None, length=max_steps, unroll=True if unroll else 1
-    )
+    (t, u, f, dt, _, n_acc, n_rej, status, hc, ev_fin, dbufs), _ = \
+        jax.lax.scan(
+            body_fn, init, None, length=max_steps,
+            unroll=True if unroll else 1
+        )
     status = jnp.where(status < 0, RETCODE_MAXITERS, status).astype(jnp.int32)
 
-    dense = DenseOutput(
-        ts=jnp.stack([t0, t]),
-        ys=jnp.stack([u0, u]),
-        fs=jnp.stack([f0, f]),
-        n_steps=jnp.asarray(1, jnp.int32),
-        tdir=tdir,
-    )
+    if store_dense:
+        ts_b, ys_b, fs_b = dbufs
+        valid = jnp.arange(max_steps + 1) <= n_acc
+        ts_b = jnp.where(valid, ts_b, t)
+        dense = DenseOutput(
+            ts=ts_b, ys=ys_b, fs=fs_b,
+            n_steps=jnp.minimum(n_acc, max_steps), tdir=tdir,
+        )
+    else:
+        # 2-row stub covering only the endpoints — enough for u_final
+        # plumbing; callers must not expose it as `sol.dense`
+        dense = DenseOutput(
+            ts=jnp.stack([t0, t]),
+            ys=jnp.stack([u0, u]),
+            fs=jnp.stack([f0, f]),
+            n_steps=jnp.asarray(1, jnp.int32),
+            tdir=tdir,
+        )
     stats = Stats(
         n_accepted=n_acc,
         n_rejected=n_rej,

@@ -172,11 +172,23 @@ def test_dense_grad_checkpointing_raises():
         jax.grad(loss)(P)
 
 
-def test_direct_adjoint_dense_unavailable_is_loud():
-    """DirectAdjoint stores no dense output; sol(t) must raise, not return
-    garbage from a stub interpolant."""
+def test_direct_adjoint_dense():
+    """DirectAdjoint with dense=True carries interpolation buffers through
+    the scan: sol(t) values AND gradients work by plain AD through the
+    Hermite gather. Without dense=True, sol(t) raises (no silent stub)."""
+
+    def loss(p):
+        prob = ODEProblem(_decay, U0, (0.0, 1.0), p)
+        sol = solve(prob, sensealg=DirectAdjoint(), rtol=1e-10, atol=1e-12,
+                    dense=True, max_steps=512)
+        return jnp.sum(sol(TQ)) ** 2
+
+    exact = -2 * TQ * (1.3 * math.exp(-0.7 * TQ)) ** 2
+    g = jax.grad(loss)(P)["a"]
+    assert abs(float(g) - exact) < 1e-6
+
     prob = ODEProblem(_decay, U0, (0.0, 1.0), P)
-    sol = solve(prob, sensealg=DirectAdjoint(), dense=True)
+    sol = solve(prob, sensealg=DirectAdjoint())
     with pytest.raises(ValueError):
         sol(TQ)
 
