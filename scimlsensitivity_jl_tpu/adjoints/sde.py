@@ -115,7 +115,31 @@ def solve_rode(
     dt_a = jnp.asarray((t1 - t0) / n_steps, dtype)
     ts_nodes = jnp.asarray(t0, dtype) + dt_a * jnp.arange(n_steps + 1)
     w_shape = (prob.noise_dim,) if prob.noise_dim else (n,)
-    W = grid_path(key, n_steps, w_shape, dt_a).astype(dtype)
+    noise_src = getattr(prob, "noise_process", None)
+    if noise_src is not None:
+        # user-supplied driving path (NoiseGrid / callable; see solve_sde)
+        from ..ops.brownian import NoiseGrid
+
+        if isinstance(noise_src, NoiseGrid):
+            W = jnp.asarray(noise_src.W, dtype)
+            if W.shape != (n_steps + 1,) + w_shape:
+                raise ValueError(
+                    f"NoiseGrid.W must have shape {(n_steps + 1,) + w_shape}"
+                    f"; got {W.shape}"
+                )
+        elif callable(noise_src):
+            W = jax.vmap(
+                lambda t: jnp.broadcast_to(
+                    jnp.asarray(noise_src(t)), w_shape
+                ).astype(dtype)
+            )(ts_nodes)
+        else:
+            raise TypeError(
+                f"noise_process: NoiseGrid or callable W(t), got "
+                f"{noise_src!r}"
+            )
+    else:
+        W = grid_path(key, n_steps, w_shape, dt_a).astype(dtype)
 
     if saveat is None:
         saveat = jnp.asarray([t0, t1], dtype)

@@ -114,13 +114,17 @@ class SDEProblem(AbstractProblem):
 @dataclass(frozen=True)
 class RODEProblem(AbstractProblem):
     """Random ODE  u' = f(u, p, t, W(t)) with W a driving Wiener path
-    (reference: src/interpolating_adjoint.jl:615-746)."""
+    (reference: src/interpolating_adjoint.jl:615-746).
+
+    noise_process: user-supplied path — NoiseGrid(ts, W) on the solve grid
+    or a callable W(t) (see SDEProblem); None → framework-generated."""
 
     f: Callable
     u0: Any
     tspan: tuple
     p: Any = None
     noise_dim: Optional[int] = None
+    noise_process: Any = None
 
 
 @dataclass(frozen=True)
@@ -190,7 +194,8 @@ for _cls, _data, _meta in [
     # noise_process rides as a data field: NoiseGrid is an array pytree;
     # a callable path is an opaque leaf (fine eagerly, not jit-traversable)
     (SDEProblem, ("u0", "tspan", "p", "noise_process"), ("f", "g", "noise", "interpretation", "noise_dim")),
-    (RODEProblem, ("u0", "tspan", "p"), ("f", "noise_dim")),
+    (RODEProblem, ("u0", "tspan", "p", "noise_process"),
+     ("f", "noise_dim")),
     (NonlinearProblem, ("u0", "p"), ("f",)),
     (SteadyStateProblem, ("u0", "p"), ("f",)),
 ]:

@@ -208,3 +208,39 @@ def test_discrete_cost_quadrature_family():
     np.testing.assert_allclose(np.asarray(dp), np.asarray(dp_ref), rtol=1e-6)
     np.testing.assert_allclose(np.asarray(du0), np.asarray(du0_ref),
                                rtol=1e-6)
+
+
+def test_tspan_endpoint_gradients():
+    """adjoint_sensitivities(t_grads=True): dG/dt0 = -g - lam(t0).f(u0),
+    dG/dt1 = g(u(t1)) for a continuous cost, vs finite differences of the
+    quadrature (round-2 VERDICT missing #4; reference convert_tspan)."""
+    from scimlsensitivity_jl_tpu import InterpolatingAdjoint, adjoint_sensitivities
+
+    def lv(u, p, t):
+        x, y = u
+        return jnp.stack([p[0] * x - p[1] * x * y,
+                          -p[2] * y + p[3] * x * y])
+
+    p0 = jnp.array([1.5, 1.0, 3.0, 1.0])
+    u0 = jnp.array([1.0, 1.0])
+    g = lambda u, p, t: jnp.sum(u ** 2)
+
+    def G(t0, t1):
+        prob = ODEProblem(lv, u0, (t0, t1), p0)
+        sol = solve(prob, Tsit5(), rtol=1e-10, atol=1e-12, dense=True)
+        ts = jnp.linspace(t0, t1, 2001)
+        vals = jax.vmap(lambda t: g(sol(t), p0, t))(ts)
+        w = jnp.ones(2001).at[0].mul(0.5).at[-1].mul(0.5)
+        return jnp.sum(vals * w) * (t1 - t0) / 2000
+
+    prob = ODEProblem(lv, u0, (0.0, 2.0), p0)
+    sol = solve(prob, Tsit5(), rtol=1e-10, atol=1e-12, dense=True)
+    _, _, (dt0g, dt1g) = adjoint_sensitivities(
+        sol, Tsit5(), g=g, t=jnp.array([0.0, 2.0]),
+        sensealg=InterpolatingAdjoint(), rtol=1e-10, atol=1e-12,
+        t_grads=True)
+    eps = 1e-6
+    fd_t0 = (G(eps, 2.0) - G(-eps, 2.0)) / (2 * eps)
+    fd_t1 = (G(0.0, 2.0 + eps) - G(0.0, 2.0 - eps)) / (2 * eps)
+    assert abs(float(dt0g) - float(fd_t0)) < 1e-3
+    assert abs(float(dt1g) - float(fd_t1)) < 1e-3

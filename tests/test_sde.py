@@ -418,3 +418,39 @@ def test_noise_callable_path():
         noise_process=lambda t: vbt(t))
     s = solve(prob, dt=0.01, saveat=jnp.linspace(0.0, 1.0, 5))
     assert np.all(np.isfinite(np.asarray(s.ys)))
+
+
+def test_rode_noise_process():
+    """RODE with a user-supplied path (NoiseGrid): bitwise match with the
+    manual Euler recursion over the same path; adjoint matches jvp."""
+    from scimlsensitivity_jl_tpu import InterpolatingAdjoint, NoiseGrid
+    from scimlsensitivity_jl_tpu.ops.brownian import grid_path
+    from scimlsensitivity_jl_tpu.problems import RODEProblem
+
+    dt = 0.01
+    n_steps = 100
+    ts_nodes = jnp.arange(n_steps + 1) * dt
+    W = grid_path(jax.random.PRNGKey(5), n_steps, (1,), dt)
+    ng = NoiseGrid(ts=ts_nodes, W=W)
+
+    def f(u, p, t, w):
+        return -p[0] * u + p[1] * w
+
+    p = jnp.array([1.0, 0.5])
+    prob = RODEProblem(f, jnp.array([1.0]), (0.0, 1.0), p, noise_process=ng)
+    sol = solve(prob, dt=dt, saveat=jnp.array([0.0, 0.5, 1.0]))
+    u = 1.0
+    for i in range(n_steps):
+        u = u + dt * (-1.0 * u + 0.5 * float(W[i, 0]))
+    assert abs(u - float(sol.ys[-1, 0])) < 1e-12
+
+    def loss(pp, sa=None):
+        pr = RODEProblem(f, jnp.array([1.0]), (0.0, 1.0), pp,
+                         noise_process=ng)
+        return jnp.sum(solve(pr, dt=dt, saveat=jnp.array([0.0, 0.5, 1.0]),
+                             sensealg=sa).ys ** 2)
+
+    g = jax.grad(lambda pp: loss(pp, InterpolatingAdjoint()))(p)
+    v = jnp.array([0.4, -0.2])
+    _, dv = jax.jvp(loss, (p,), (v,))
+    assert abs(float(g @ v) - float(dv)) < 1e-10
