@@ -246,6 +246,9 @@ def make_gauss_quad_hook(kern, p, dense, sensealg, t0, t1, dtype, npf,
     direct adjoint_sensitivities API). Returns (hook, carry0, finish) where
     finish(carry) -> qflat (and, for GK, warns if the accumulated quadrature
     error exceeds tolerance)."""
+    # quadrature accumulates in >= f32 (bf16 running sums lose the mantissa;
+    # also keeps the hook carry dtype stable when vjp_p promotes)
+    dtype = jnp.promote_types(dtype, jnp.float32)
     is_gk = isinstance(sensealg, GaussKronrodAdjoint)
 
     def _node_fn(ta, tb, lam_a, fa, lam_b, fb):
@@ -803,6 +806,14 @@ def make_ode_solve_fn(f, solver, sensealg, opts: SolveOptions, t0, t1, *,
             node_ts = jnp.where(valid, node_ts_real, sentinel)
             if not _is_symzero(dd.fs):
                 d_nfs = jnp.where(valid[:, None], dd.fs, 0.0)
+                # the stored slopes are in the state dtype, but f's OUTPUT
+                # dtype may promote (bf16 states x f32 params): the vjp
+                # cotangent must match f's output dtype
+                f_dt = jax.eval_shape(
+                    lambda yy: kern.fvec(yy, p, node_ts_real[0]),
+                    node_states[0],
+                ).dtype
+                d_nfs = d_nfs.astype(f_dt)
 
                 def node_jump(tk, yk, dyk, dfk):
                     _, ubar, pbar = kern.f_and_vjp(yk, p, tk, dfk)
@@ -1216,7 +1227,8 @@ def make_ode_solve_fn(f, solver, sensealg, opts: SolveOptions, t0, t1, *,
 
         lam0 = jnp.zeros(n, u0vec.dtype)
         ev_kwargs = {}
-        q_ev0 = jnp.zeros(npf, u0vec.dtype)
+        # quadrature accumulates in >= f32 (see make_gauss_quad_hook)
+        q_ev0 = jnp.zeros(npf, jnp.promote_types(u0vec.dtype, jnp.float32))
         M_fwd = getattr(solver, "mass_matrix", None)
         if M_fwd is not None:
             # Index-1 DAE (see _bwd_interpolating's DAE branch): λ-only

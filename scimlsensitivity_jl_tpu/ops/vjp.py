@@ -83,7 +83,11 @@ def make_vjp_kernels(
     n = u0vec.shape[0]
 
     def f_flat(uvec, p, t):
-        return ravel_pytree(f(unravel_u(uvec), p, t))[0]
+        # du lives in the calling state's dtype: mixed-precision fields
+        # (bf16 states x f32 params promote f's output) would otherwise
+        # dtype-mismatch every vjp cotangent; the drivers store f in the
+        # state dtype anyway, so this cast realizes the same scheme.
+        return ravel_pytree(f(unravel_u(uvec), p, t))[0].astype(uvec.dtype)
 
     def fvec(uvec, p, t):
         return f_flat(uvec, p, t)
@@ -116,7 +120,9 @@ def make_vjp_kernels(
 
     def _auto_f_and_vjp(uvec, p, t, lamvec):
         fval, pullback = jax.vjp(lambda u_, p_: f_flat(u_, p_, t), uvec, p)
-        ubar, pbar = pullback(lamvec)
+        # cotangent rides in f's OUTPUT dtype (promoted inputs — e.g. a
+        # dense_eval'd bf16 state at an f32 time — promote f)
+        ubar, pbar = pullback(lamvec.astype(fval.dtype))
         return fval, ubar, pbar
 
     def _jac_f_and_vjp(uvec, p, t, lamvec):
@@ -126,7 +132,7 @@ def make_vjp_kernels(
         J = jac_u(uvec, p, t)
         ubar = J.T @ lamvec
         fval, pullback = jax.vjp(lambda p_: f_flat(uvec, p_, t), p)
-        (pbar,) = pullback(lamvec)
+        (pbar,) = pullback(lamvec.astype(fval.dtype))
         return fval, ubar, pbar
 
     if user_vjp is not None or user_paramjac is not None:
@@ -159,8 +165,8 @@ def make_vjp_kernels(
             return _fd_jac_u(uvec, p, t).T @ lamvec
         if use_jac_path:
             return jac_u(uvec, p, t).T @ lamvec
-        _, pullback = jax.vjp(lambda u_: f_flat(u_, p, t), uvec)
-        (ubar,) = pullback(lamvec)
+        fout, pullback = jax.vjp(lambda u_: f_flat(u_, p, t), uvec)
+        (ubar,) = pullback(lamvec.astype(fout.dtype))
         return ubar
 
     def vjp_p(uvec, p, t, lamvec):
@@ -168,8 +174,8 @@ def make_vjp_kernels(
             return user_paramjac(unravel_u(lamvec), unravel_u(uvec), p, t)
         if use_fd:
             return _fd_f_and_vjp(uvec, p, t, lamvec)[2]
-        _, pullback = jax.vjp(lambda p_: f_flat(uvec, p_, t), p)
-        (pbar,) = pullback(lamvec)
+        fout, pullback = jax.vjp(lambda p_: f_flat(uvec, p_, t), p)
+        (pbar,) = pullback(lamvec.astype(fout.dtype))
         return pbar
 
     def jvp(uvec, p, t, duvec, dp_tree):

@@ -343,8 +343,11 @@ def integrate(
             def _apply(args):
                 u_, f_, hc_ = args
                 u_p, hc_p, fired = stop_transform(t_new, u_, hc_)
+                # cast: fvec may promote (bf16 state at f32 time)
                 f_p = jax.lax.cond(
-                    fired, lambda: fvec(u_p, t_new), lambda: f_
+                    fired,
+                    lambda: fvec(u_p, t_new).astype(f_.dtype),
+                    lambda: f_,
                 )
                 return u_p, f_p, hc_p, fired
 

@@ -211,3 +211,28 @@ def test_grad_mixed_consumers():
     g = jax.grad(loss)(P)["a"]
     g_ref = jax.grad(loss_ref)(jnp.asarray(0.7))
     assert abs(float(g) - float(g_ref)) < 1e-6
+
+
+def test_dense_grad_mixed_precision_bf16_state_f32_params():
+    """Mixed-precision field (bf16 states x f32 params promote f's output):
+    previously every vjp cotangent dtype-mismatched; now the kernels cast
+    cotangents to f's output dtype and quadrature accumulates in >= f32.
+    All families produce gradients at bf16-mantissa accuracy."""
+    u0 = jnp.array([1.3], jnp.bfloat16)
+    p = jnp.asarray(0.7, jnp.float32)
+    exact = -2 * TQ * (1.3 * math.exp(-0.7 * TQ)) ** 2
+
+    def decay(u, pp, t):
+        return -pp * u
+
+    for alg in [GaussAdjoint(), BacksolveAdjoint(), InterpolatingAdjoint(),
+                QuadratureAdjoint(), ForwardDiffSensitivity()]:
+        def loss(pp, alg=alg):
+            prob = ODEProblem(decay, u0, (0.0, 1.0), pp)
+            sol = solve(prob, rtol=1e-3, atol=1e-5, sensealg=alg,
+                        dense=True)
+            return jnp.sum(sol(TQ).astype(jnp.float32)) ** 2
+
+        g = jax.grad(loss)(p)
+        assert abs(float(g) - exact) / abs(exact) < 0.03, (
+            type(alg).__name__, float(g))
