@@ -75,22 +75,24 @@ def hermite_deriv_eval(t, t0, t1, y0, f0, y1, f1):
 
 def _locate(dense: DenseOutput, t):
     """Index i of the step interval containing t, clipped to valid steps."""
-    # ts is monotone in tdir; map to ascending for searchsorted.
+    # ts is monotone in tdir; map to ascending. A vectorized mask-sum beats
+    # searchsorted's serial binary search on TPU (8+ dependent gather
+    # rounds vs one VPU compare+reduce over the buffer) — this sits in the
+    # hot loop of every interpolating reverse pass (SURVEY §3.1 "dominant
+    # memory traffic").
     keys = dense.ts * dense.tdir
-    i = jnp.searchsorted(keys, t * dense.tdir, side="right") - 1
+    i = jnp.sum((keys <= t * dense.tdir).astype(jnp.int32)) - 1
     return jnp.clip(i, 0, jnp.maximum(dense.n_steps - 1, 0))
 
 
 def dense_eval(dense: DenseOutput, t):
     """Evaluate the interpolant at scalar time t -> flat state vector."""
     i = _locate(dense, t)
-    t0 = dense.ts[i]
-    t1 = dense.ts[i + 1]
-    y0 = dense.ys[i]
-    y1 = dense.ys[i + 1]
-    f0 = dense.fs[i]
-    f1 = dense.fs[i + 1]
-    return hermite_eval(t, t0, t1, y0, f0, y1, f1)
+    # one 2-row dynamic slice per buffer instead of two row gathers each
+    tt = jax.lax.dynamic_slice(dense.ts, (i,), (2,))
+    yy = jax.lax.dynamic_slice(dense.ys, (i, 0), (2, dense.ys.shape[1]))
+    ff = jax.lax.dynamic_slice(dense.fs, (i, 0), (2, dense.fs.shape[1]))
+    return hermite_eval(t, tt[0], tt[1], yy[0], ff[0], yy[1], ff[1])
 
 
 def dense_eval_many(dense: DenseOutput, ts):
