@@ -598,12 +598,21 @@ def _make_dae_event_apply(kern, p, event_set, fwd_events, n, npf, M_fwd,
 
 def make_ode_solve_fn(f, solver, sensealg, opts: SolveOptions, t0, t1, *,
                       user_jac=None, user_vjp=None, user_paramjac=None,
-                      bwd_solver=None):
+                      bwd_solver=None, symbolic_zeros: bool = True):
     """Build `fn(u0_tree, p_tree, saveat) -> (ys_tree, AuxOut)` with the
     custom_vjp rule chosen by `sensealg`.
 
     f: (u, p, t) -> du over pytrees. solver: forward stepper. bwd_solver:
     stepper for the adjoint pass (defaults to `solver`).
+
+    symbolic_zeros=False builds the rule WITHOUT defvjp(symbolic_zeros=True)
+    — the fallback for contexts where JAX does not support it (shard_map,
+    as of jax 0.7). There, unused-output cotangents arrive as materialized
+    zeros, so the dense-output/event-record consumption checks are
+    statically undecidable: u_final and saveat cotangents still work
+    (zero additions are exact), but gradients THROUGH sol(t) dense output
+    are not available inside shard_map (use ForwardDiffSensitivity or
+    DirectAdjoint there).
     """
     bwd_stepper = bwd_solver or solver
     vjp_choice = getattr(sensealg, "autojacvec", None)
@@ -729,7 +738,7 @@ def make_ode_solve_fn(f, solver, sensealg, opts: SolveOptions, t0, t1, *,
         if not _is_symzero(d_uf):
             jumps = jumps.at[-1].add(jnp.asarray(d_uf, jumps.dtype))
 
-        if _has_cotangent(d_aux.events):
+        if symbolic_zeros and _has_cotangent(d_aux.events):
             raise NotImplementedError(
                 "gradients through sol.events (raw event records) are not "
                 "supported; consume sol.ys / sol(t) / sol.u_final instead"
@@ -752,7 +761,8 @@ def make_ode_solve_fn(f, solver, sensealg, opts: SolveOptions, t0, t1, *,
         jump_unroll = 3
 
         dd = d_aux.dense
-        if dd is not None and fwd.dense is not None and _has_cotangent(dd):
+        if (symbolic_zeros and dd is not None and fwd.dense is not None
+                and _has_cotangent(dd)):
             # Cotangents on the dense interpolant (sol(t) consumption): each
             # dense node u_k is an output at time t_k — inject a λ jump
             # there; node slopes f_k = f(u_k, p, t_k) contribute f_uᵀΔf to
@@ -1296,7 +1306,7 @@ def make_ode_solve_fn(f, solver, sensealg, opts: SolveOptions, t0, t1, *,
         nt = jnp.asarray(saveat).shape[0]
         kern = _kern(u0, p)
 
-        if _has_cotangent(d_aux.events):
+        if symbolic_zeros and _has_cotangent(d_aux.events):
             raise NotImplementedError(
                 "gradients through sol.events (raw event records) are not "
                 "supported; consume sol.ys / sol(t) / sol.u_final instead"
@@ -1311,8 +1321,8 @@ def make_ode_solve_fn(f, solver, sensealg, opts: SolveOptions, t0, t1, *,
         # against jvp tangents of the interpolation buffers themselves —
         # exact for the discrete program, including the node *times* (the
         # continuous rules freeze the grid instead).
-        use_dense = (dd is not None and fwd.dense is not None
-                     and _has_cotangent(dd))
+        use_dense = (symbolic_zeros and dd is not None
+                     and fwd.dense is not None and _has_cotangent(dd))
         if use_dense:
             d_dts = _materialize(dd.ts)
             d_dys = _materialize(dd.ys)
@@ -1400,5 +1410,5 @@ def make_ode_solve_fn(f, solver, sensealg, opts: SolveOptions, t0, t1, *,
     else:
         raise NotImplementedError(f"no ODE adjoint rule for {sensealg!r}")
 
-    solve_fn.defvjp(_fwd_rule, bwd_rule, symbolic_zeros=True)
+    solve_fn.defvjp(_fwd_rule, bwd_rule, symbolic_zeros=symbolic_zeros)
     return solve_fn

@@ -362,7 +362,22 @@ def _solve_ode(prob, solver, *, saveat, rtol, atol, dt0, dt, max_steps,
             user_jac=prob.jac, user_vjp=prob.vjp, user_paramjac=prob.paramjac,
             bwd_solver=bwd_solver,
         )
-        ys, aux = fn(prob.u0, prob.p, saveat_solve)
+        try:
+            ys, aux = fn(prob.u0, prob.p, saveat_solve)
+        except NotImplementedError as e:
+            if "symbolic_zeros" not in str(e):
+                raise
+            # jax (as of 0.7) rejects symbolic-zero custom_vjp rules inside
+            # shard_map: rebuild the rule in plain mode (ys/u_final/saveat
+            # cotangents still exact; dense-output gradients unavailable
+            # inside shard_map — see make_ode_solve_fn docstring)
+            fn = make_ode_solve_fn(
+                prob.f, solver, sensealg, opts, t0, t1,
+                user_jac=prob.jac, user_vjp=prob.vjp,
+                user_paramjac=prob.paramjac,
+                bwd_solver=bwd_solver, symbolic_zeros=False,
+            )
+            ys, aux = fn(prob.u0, prob.p, saveat_solve)
         if user_rows is not None:
             ys = jax.tree_util.tree_map(lambda a: a[user_rows], ys)
     elif isinstance(sensealg, ForwardSensitivity):
