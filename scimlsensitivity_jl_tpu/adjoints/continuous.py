@@ -499,6 +499,17 @@ def _make_event_apply(kern, p, event_set, fwd_events, n, npf,
     return apply
 
 
+def _event_kwargs(events, event_set, event_apply):
+    """reverse_joined_solve kwargs applying the recorded forward events
+    (single source for the record layout + same-time unroll bound).
+    events: the (ev_ts, ev_upre, ev_idx, ev_count) record tuple."""
+    return dict(
+        event_times=events[0], event_count=events[3],
+        event_unroll=max(3, event_set.n_cont + event_set.n_disc),
+        event_apply=event_apply,
+    )
+
+
 def _make_dae_event_apply(kern, p, event_set, fwd_events, n, npf, M_fwd,
                           dtype, q_slice=None, q_in_hc=False):
     """Event-jump transform composed with the semi-explicit index-1 DAE
@@ -925,15 +936,13 @@ def make_ode_solve_fn(f, solver, sensealg, opts: SolveOptions, t0, t1, *,
                 jumps_aug = jnp.concatenate([lamjs, qjs], axis=1)
                 dae_ev_kwargs = {}
                 if event_set is not None:
-                    dae_ev_kwargs = dict(
-                        event_times=fwd.events[0],
-                        event_count=fwd.events[3],
-                        event_unroll=max(3, event_set.n_cont + event_set.n_disc),
-                        event_apply=_make_dae_event_apply(
+                    dae_ev_kwargs = _event_kwargs(
+                        fwd.events, event_set,
+                        _make_dae_event_apply(
                             kern, p, event_set, fwd.events, n, npf, M_fwd,
                             u0vec.dtype, q_slice=n,
                         ),
-                    )
+                        )
 
                 import numpy as _onp
 
@@ -971,13 +980,12 @@ def make_ode_solve_fn(f, solver, sensealg, opts: SolveOptions, t0, t1, *,
             )
             ev_kwargs = {}
             if event_set is not None:
-                ev_kwargs = dict(
-                    event_times=fwd.events[0], event_count=fwd.events[3],
-                    event_unroll=max(3, event_set.n_cont + event_set.n_disc),
-                    event_apply=_make_event_apply(
+                ev_kwargs = _event_kwargs(
+                    fwd.events, event_set,
+                    _make_event_apply(
                         kern, p, event_set, fwd.events, n, npf, q_slice=n
                     ),
-                )
+                    )
             z, _, worst, _ = reverse_joined_solve(
                 bwd_stepper, aug_rhs, times, jumps, z0, n,
                 rtol=adj_rtol, atol=adj_atol,
@@ -1126,14 +1134,13 @@ def make_ode_solve_fn(f, solver, sensealg, opts: SolveOptions, t0, t1, *,
         )
         ev_kwargs = {}
         if event_set is not None:
-            ev_kwargs = dict(
-                event_times=fwd.events[0], event_count=fwd.events[3],
-                    event_unroll=max(3, event_set.n_cont + event_set.n_disc),
-                event_apply=_make_event_apply(
+            ev_kwargs = _event_kwargs(
+                fwd.events, event_set,
+                _make_event_apply(
                     kern, p, event_set, fwd.events, n, npf,
                     q_slice=n, u_snap_start=n + npf,
                 ),
-            )
+                )
         z, _, worst, _ = reverse_joined_solve(
             bwd_stepper, aug_rhs, times, jumps, z0, n,
             rtol=adj_rtol, atol=adj_atol,
@@ -1180,14 +1187,13 @@ def make_ode_solve_fn(f, solver, sensealg, opts: SolveOptions, t0, t1, *,
             ).with_mass_matrix(jnp.asarray(M_fwd, u0vec.dtype).T)
             dae_ev_kwargs = {}
             if event_set is not None:
-                dae_ev_kwargs = dict(
-                    event_times=fwd.events[0], event_count=fwd.events[3],
-                    event_unroll=max(3, event_set.n_cont + event_set.n_disc),
-                    event_apply=_make_dae_event_apply(
+                dae_ev_kwargs = _event_kwargs(
+                    fwd.events, event_set,
+                    _make_dae_event_apply(
                         kern, p, event_set, fwd.events, n, npf, M_fwd,
                         u0vec.dtype, q_in_hc=True,
                     ),
-                )
+                    )
             lam, qcarry, worst, _ = reverse_joined_solve(
                 dae_stepper, aug_rhs, times, lamjs, lam0, n,
                 rtol=adj_rtol, atol=adj_atol,
@@ -1203,13 +1209,12 @@ def make_ode_solve_fn(f, solver, sensealg, opts: SolveOptions, t0, t1, *,
 
         ev_kwargs = {}
         if event_set is not None:
-            ev_kwargs = dict(
-                event_times=fwd.events[0], event_count=fwd.events[3],
-                    event_unroll=max(3, event_set.n_cont + event_set.n_disc),
-                event_apply=_make_event_apply(
+            ev_kwargs = _event_kwargs(
+                fwd.events, event_set,
+                _make_event_apply(
                     kern, p, event_set, fwd.events, n, npf, q_in_hc=True
                 ),
-            )
+                )
         lam, qcarry, worst, _ = reverse_joined_solve(
             bwd_stepper, aug_rhs, times, jumps, lam0, n,
             rtol=adj_rtol, atol=adj_atol,
@@ -1254,27 +1259,25 @@ def make_ode_solve_fn(f, solver, sensealg, opts: SolveOptions, t0, t1, *,
             jumps_use = lamjs
             dt0_use = opts.dt0
             if event_set is not None:
-                ev_kwargs = dict(
-                    event_times=fwd.events[0], event_count=fwd.events[3],
-                    event_unroll=max(3, event_set.n_cont + event_set.n_disc),
-                    event_apply=_make_dae_event_apply(
+                ev_kwargs = _event_kwargs(
+                    fwd.events, event_set,
+                    _make_dae_event_apply(
                         kern, p, event_set, fwd.events, n, npf, M_fwd,
                         u0vec.dtype, q_in_hc=True,
                     ),
-                )
+                    )
         else:
             alg_j = du0_map = dae_qjs = None
             rev_stepper = bwd_stepper
             jumps_use = jumps
             dt0_use = None
             if event_set is not None:
-                ev_kwargs = dict(
-                    event_times=fwd.events[0], event_count=fwd.events[3],
-                    event_unroll=max(3, event_set.n_cont + event_set.n_disc),
-                    event_apply=_make_event_apply(
+                ev_kwargs = _event_kwargs(
+                    fwd.events, event_set,
+                    _make_event_apply(
                         kern, p, event_set, fwd.events, n, npf, q_in_hc=True
                     ),
-                )
+                    )
         lam, q_ev, worst, lam_dense = reverse_joined_solve(
             rev_stepper, aug_rhs, times, jumps_use, lam0, n,
             rtol=adj_rtol, atol=adj_atol,
@@ -1321,8 +1324,12 @@ def make_ode_solve_fn(f, solver, sensealg, opts: SolveOptions, t0, t1, *,
         # against jvp tangents of the interpolation buffers themselves —
         # exact for the discrete program, including the node *times* (the
         # continuous rules freeze the grid instead).
-        use_dense = (symbolic_zeros and dd is not None
-                     and fwd.dense is not None and _has_cotangent(dd))
+        # plain mode (shard_map fallback): consumption is statically
+        # undecidable, but the jvp contraction of materialized zero
+        # cotangents is exact — so contract whenever dense is stored. This
+        # makes FDS the correct dense-gradient route inside shard_map.
+        use_dense = (dd is not None and fwd.dense is not None
+                     and (_has_cotangent(dd) if symbolic_zeros else True))
         if use_dense:
             d_dts = _materialize(dd.ts)
             d_dys = _materialize(dd.ys)

@@ -36,8 +36,8 @@ from ..sensealg import (
 )
 from ..utils.pytree import ravel_pytree
 from .common import reverse_joined_solve
-from .continuous import (_extend_times, _make_event_apply, adaptive_gk_dp,
-                         make_gauss_quad_hook)
+from .continuous import (_event_kwargs, _extend_times, _make_event_apply,
+                         adaptive_gk_dp, make_gauss_quad_hook)
 
 __all__ = ["adjoint_sensitivities"]
 
@@ -188,10 +188,9 @@ def adjoint_sensitivities(
         (same per-step engine the solve adjoints use, continuous.py)."""
         if event_set is None:
             return {}
-        return dict(
-            event_times=fwd_events[0], event_count=fwd_events[3],
-            event_unroll=max(3, event_set.n_cont + event_set.n_disc),
-            event_apply=_make_event_apply(
+        return _event_kwargs(
+            fwd_events, event_set,
+            _make_event_apply(
                 kern, p, event_set, fwd_events, n, npf,
                 q_slice=q_slice, u_snap_start=u_snap_start, q_in_hc=q_in_hc,
             ),

@@ -74,8 +74,12 @@ def _grid_save_steps(saveat, t0, t1, n_steps, dt_a, kind):
     except jax.errors.TracerArrayConversionError:
         steps_f = (saveat - t0) / dt_a
         steps = jnp.clip(jnp.rint(steps_f).astype(jnp.int32), 0, n_steps)
-        bad = (jnp.abs(steps_f - jnp.rint(steps_f)) > 1e-8)
-        bad = bad | (steps_f < -1e-8) | (steps_f > n_steps + 1e-8)
+        # tolerance scales with the float spacing at the step index (f32
+        # residuals reach ~eps·index for perfectly aligned times)
+        eps = jnp.finfo(jnp.asarray(steps_f).dtype).eps
+        tol = 64.0 * eps * jnp.maximum(jnp.abs(steps_f), 1.0)
+        bad = jnp.abs(steps_f - jnp.rint(steps_f)) > tol
+        bad = bad | (steps_f < -tol) | (steps_f > n_steps + tol)
         return steps, bad
 
 def solve_rode(
@@ -127,6 +131,19 @@ def solve_rode(
                     f"NoiseGrid.W must have shape {(n_steps + 1,) + w_shape}"
                     f"; got {W.shape}"
                 )
+            import numpy as _np
+
+            try:
+                ts_u = _np.asarray(noise_src.ts, float)
+                if not _np.allclose(ts_u, _np.asarray(ts_nodes, float),
+                                    atol=1e-9 * max(1.0, abs(t1 - t0))):
+                    raise ValueError(
+                        "NoiseGrid.ts must equal the RODE solve grid "
+                        f"t0 + i*dt (dt={float(dt_a)}, n_steps={n_steps})"
+                    )
+            except (TypeError, jax.errors.TracerArrayConversionError,
+                    jax.errors.ConcretizationTypeError):
+                pass  # traced: trust the caller
         elif callable(noise_src):
             W = jax.vmap(
                 lambda t: jnp.broadcast_to(

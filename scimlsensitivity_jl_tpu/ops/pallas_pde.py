@@ -197,6 +197,15 @@ def _chunk_geometry(n: int, S: int, chunk: int):
             f"rd1d megakernel needs n divisible by the chunk; "
             f"n={n}, chunk={C}"
         )
+    if H and C < H:
+        # the off ∈ {0, H, 2H} window arithmetic (and the kernels' static
+        # 3-way slice switch) requires chunks at least one halo wide —
+        # smaller chunks would clip the second-to-last window too and
+        # silently read the wrong cells
+        raise ValueError(
+            f"rd1d megakernel chunk ({C}) must be >= the halo width "
+            f"4*(S+1) = {H}; lower S or raise chunk"
+        )
     return C, H, W, G
 
 

@@ -365,7 +365,12 @@ def _solve_ode(prob, solver, *, saveat, rtol, atol, dt0, dt, max_steps,
         try:
             ys, aux = fn(prob.u0, prob.p, saveat_solve)
         except NotImplementedError as e:
-            if "symbolic_zeros" not in str(e):
+            # fragile-by-necessity: jax raises a plain NotImplementedError
+            # with no structured marker for this unsupported combination;
+            # match both the feature name and the context so a reworded
+            # message still triggers the fallback (test_parallel pins it)
+            msg = str(e)
+            if "symbolic_zeros" not in msg and "shard_map" not in msg:
                 raise
             # jax (as of 0.7) rejects symbolic-zero custom_vjp rules inside
             # shard_map: rebuild the rule in plain mode (ys/u_final/saveat
