@@ -66,7 +66,8 @@ from .adjoints.second_order import (
 )
 from .callbacks import CallbackSet, ContinuousCallback, DiscreteCallback
 from .ops.brownian import NoiseGrid, VirtualBrownianTree
-from .parallel.ensemble import EnsembleProblem, make_mesh, solve_ensemble
+from .parallel.ensemble import (EnsembleProblem, ensemble_summary,
+                                make_mesh, solve_ensemble)
 from .solvers.explicit import BS3, Dopri5, Euler, Heun, Midpoint, Tsit5
 from .solvers.extrapolation import GBS, Vern9Like
 from .solvers.fbdf import FBDF
@@ -133,6 +134,7 @@ __all__ = [
     "CallbackSet",
     "EnsembleProblem",
     "solve_ensemble",
+    "ensemble_summary",
     "make_mesh",
     "InterpolatingAdjoint",
     "BacksolveAdjoint",

@@ -29,7 +29,8 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from ..solve import solve
 
-__all__ = ["EnsembleProblem", "solve_ensemble", "make_mesh"]
+__all__ = ["EnsembleProblem", "solve_ensemble", "make_mesh",
+           "ensemble_summary"]
 
 
 @dataclass(frozen=True)
@@ -115,3 +116,25 @@ def solve_ensemble(
         return reduction(sols) if reduction is not None else sols
 
     raise ValueError(f"unknown ensemble backend {backend!r}")
+
+
+def ensemble_summary(ys, quantiles=(0.05, 0.95)):
+    """Timeseries statistics over a batched trajectory array — the
+    reference's EnsembleAnalysis/EnsembleSummary surface (SciMLBase
+    `EnsembleSummary(sim; quantiles)`): per-time mean, variance, median,
+    and the requested quantile band, reduced over the leading trajectory
+    axis. Works on the `ys` stack returned by `solve_ensemble` (or any
+    (trajectories, nt, ...) array); reductions are jit/vmap-safe and, on a
+    sharded result, lower to ICI collectives.
+
+    Returns a dict {mean, var, median, qlow, qhigh}."""
+    ys = jnp.asarray(ys)
+    qs = jnp.asarray(quantiles, ys.dtype)
+    ql, qh = jnp.quantile(ys, qs, axis=0)
+    return {
+        "mean": jnp.mean(ys, axis=0),
+        "var": jnp.var(ys, axis=0, ddof=1),
+        "median": jnp.median(ys, axis=0),
+        "qlow": ql,
+        "qhigh": qh,
+    }

@@ -181,3 +181,21 @@ def test_nilsas_shard_map_segments():
     assert np.allclose(np.asarray(r_mesh), np.asarray(r_vmap),
                        rtol=1e-6, atol=1e-8), (r_mesh, r_vmap)
     assert np.isclose(float(r_mesh[0]), 1.01, atol=0.3), float(r_mesh[0])
+
+
+def test_ensemble_summary():
+    """EnsembleAnalysis/EnsembleSummary surface: per-time mean/var/median/
+    quantile band over the trajectory axis, jit-safe."""
+    from scimlsensitivity_jl_tpu import ensemble_summary
+
+    key = jax.random.PRNGKey(0)
+    ys = 1.0 + 0.1 * jax.random.normal(key, (64, 5, 2))
+    s = jax.jit(ensemble_summary)(ys)
+    assert s["mean"].shape == (5, 2)
+    assert np.allclose(np.asarray(s["mean"]), np.asarray(ys).mean(0))
+    assert np.allclose(np.asarray(s["var"]),
+                       np.asarray(ys).var(0, ddof=1), rtol=1e-5)
+    assert np.allclose(np.asarray(s["median"]),
+                       np.median(np.asarray(ys), axis=0), atol=1e-6)
+    assert np.all(np.asarray(s["qlow"]) <= np.asarray(s["median"]) + 1e-7)
+    assert np.all(np.asarray(s["median"]) <= np.asarray(s["qhigh"]) + 1e-7)
