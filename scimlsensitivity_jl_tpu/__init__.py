@@ -51,7 +51,9 @@ from .adjoints.interface import adjoint_sensitivities
 from .adjoints.shadowing import (
     AdjointLSSProblem,
     ForwardLSSProblem,
+    NILSASProblem,
     NILSSProblem,
+    nilsas_shadow_adjoint,
     shadow_adjoint,
     shadow_forward,
 )
@@ -102,8 +104,10 @@ __all__ = [
     "ForwardLSSProblem",
     "AdjointLSSProblem",
     "NILSSProblem",
+    "NILSASProblem",
     "shadow_forward",
     "shadow_adjoint",
+    "nilsas_shadow_adjoint",
     "ODESolution",
     "Tsit5",
     "Dopri5",

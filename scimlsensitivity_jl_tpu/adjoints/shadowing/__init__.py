@@ -5,14 +5,17 @@ on the problem type, mirroring the reference API."""
 from .lss import AdjointLSSProblem, ForwardLSSProblem
 from .lss import shadow_adjoint as _lss_shadow_adjoint
 from .lss import shadow_forward as _lss_shadow_forward
+from .nilsas import NILSASProblem, nilsas_shadow_adjoint
 from .nilss import NILSSProblem, nilss_shadow_forward
 
 __all__ = [
     "ForwardLSSProblem",
     "AdjointLSSProblem",
     "NILSSProblem",
+    "NILSASProblem",
     "shadow_forward",
     "shadow_adjoint",
+    "nilsas_shadow_adjoint",
 ]
 
 
