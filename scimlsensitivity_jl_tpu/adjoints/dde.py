@@ -31,13 +31,244 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ..ops.interp import hermite_eval
+from ..ops.interp import DenseOutput, dense_eval, dense_eval_many, hermite_eval
 from ..problems import DDEProblem
 from ..solution import ODESolution
 from ..solvers.integrate import Stats
 from ..utils.pytree import ravel_pytree
 
-__all__ = ["solve_dde"]
+__all__ = ["solve_dde", "solve_dde_adaptive"]
+
+
+def solve_dde_adaptive(prob: DDEProblem, solver=None, *, rtol=1e-6,
+                       atol=1e-9, saveat=None, max_steps: int = 512,
+                       dt0=None, dtmax=None, sensealg=None) -> ODESolution:
+    """Adaptive (PI-controlled) CONSTRAINED method of steps — the
+    DelayDiffEq `MethodOfSteps(Tsit5(), constrained=true)` slot
+    (reference surface: DelayDiffEq used by test/Core4/layers_dde.jl).
+
+    TPU-native design: a masked fixed-trip `lax.scan` (reverse-mode
+    differentiable — gradients are exact discrete adjoints by plain AD,
+    like `integrate_scan`) carrying growing non-uniform dense node buffers
+    (t, u, u̇); delayed states are cubic-Hermite gathers on the accepted
+    nodes (mask-sum locate), pre-t0 queries evaluate the history CALLABLE
+    exactly (no stored pre-history grid — better than the fixed-grid
+    path's interpolated buffer). The step size is capped at the smallest
+    constant lag so every stage's delayed query stays left of the current
+    step ("constrained" mode — the overlapping case DelayDiffEq fixed-point
+    iterates is excluded by construction). Derivative breaking points
+    t0 + k·τᵢ (k ≤ stepper order) are forced as tstops so the controller
+    never differences across a discontinuity.
+
+    State-dependent lags: allowed, but require an explicit `dtmax` ≤ every
+    realizable lag; stage evaluations runtime-check lag ≥ dt and
+    NaN-poison (retcode 3) on violation. Distributed lags (dist_kernels)
+    are fixed-grid only — pass dt= for those.
+    """
+    from ..solvers.explicit import ExplicitRK, Tsit5
+
+    if getattr(prob, "dist_kernels", None):
+        raise NotImplementedError(
+            "distributed lags (dist_kernels) ride the fixed node grid; "
+            "use the fixed-grid path (pass dt=...)"
+        )
+    if not prob.lags:
+        raise ValueError("DDEProblem needs at least one lag")
+    if solver is None:
+        solver = Tsit5()
+    if not isinstance(solver, ExplicitRK):
+        raise NotImplementedError(
+            "adaptive method of steps supports explicit RK steppers "
+            f"(Tsit5/Dopri5/BS3); got {solver!r}. Stiff DDEs: fixed-grid "
+            "TRBDF2 (pass dt=...)"
+        )
+    t0, t1 = float(prob.tspan[0]), float(prob.tspan[1])
+    if not t1 > t0:
+        raise ValueError("adaptive DDE integrates forward: need t1 > t0")
+    const_lags = [float(lag) for lag in prob.lags if not callable(lag)]
+    has_dep = len(const_lags) < len(prob.lags)
+    if has_dep and dtmax is None:
+        raise ValueError(
+            "state-dependent lags under the adaptive method of steps need "
+            "dtmax= (a static lower bound on every realizable lag; the "
+            "constrained-mode step cap)"
+        )
+    dt_cap = min(const_lags + ([float(dtmax)] if dtmax is not None else []))
+    if dt_cap <= 0:
+        raise ValueError(f"step cap must be positive; got {dt_cap}")
+
+    u0vec, unravel_u = ravel_pytree(prob.u0)
+    dtype = u0vec.dtype
+    tdtype = jnp.promote_types(jnp.zeros((), dtype).real.dtype, jnp.float32)
+    n = u0vec.shape[0]
+    p = prob.p
+    f_user = prob.f
+    history = prob.history
+
+    def hist_at(t):
+        if history is None:
+            return u0vec
+        return ravel_pytree(history(t))[0].astype(dtype)
+
+    t0_a = jnp.asarray(t0, tdtype)
+    t1_a = jnp.asarray(t1, tdtype)
+    lags_a = [None if callable(lag) else jnp.asarray(lag, tdtype)
+              for lag in prob.lags]
+
+    # ---- stop schedule: saveat + breaking points t0 + k·τ (k ≤ order) ----
+    if saveat is None:
+        saveat = jnp.asarray([t0, t1], tdtype)
+    else:
+        saveat = jnp.asarray(saveat, tdtype)
+    breaks = []
+    for lag in const_lags:
+        k = 1
+        while k <= solver.order and t0 + k * lag < t1 - 1e-12 * max(1.0, abs(t1)):
+            breaks.append(t0 + k * lag)
+            k += 1
+    tstops = jnp.sort(jnp.concatenate(
+        [saveat, jnp.asarray(breaks + [t1], tdtype)]))
+
+    def fvec_full(uvec, t, bufs, n_acc, bad_list, dt_now):
+        """Stage derivative with delayed Hermite gathers on the accepted
+        nodes; appends dep-lag violation flags to bad_list (the stage loop
+        is Python-unrolled, so the closure list is trace-safe)."""
+        ts_b, ys_b, fs_b = bufs
+        dense = DenseOutput(ts=ts_b, ys=ys_b, fs=fs_b,
+                            n_steps=jnp.maximum(n_acc, 1),
+                            tdir=jnp.asarray(1.0, tdtype))
+        u = unravel_u(uvec)
+        outs = []
+        for lag_fn, la in zip(prob.lags, lags_a):
+            if la is None:
+                lv = jnp.asarray(lag_fn(u, p, t), tdtype)
+                bad_list.append((lv < dt_now * (1.0 - 1e-12)) | ~jnp.isfinite(lv))
+            else:
+                lv = la
+            td = t - lv
+            # solution-side gather clamped into the written span [t0, t];
+            # the history side is exact so the clamp only guards the gather
+            td_g = jnp.clip(td, t0_a, t)
+            sol_val = dense_eval(dense, td_g)
+            hist_val = hist_at(jnp.minimum(td, t0_a))
+            outs.append(unravel_u(jnp.where(td <= t0_a, hist_val, sol_val)))
+        du = ravel_pytree(f_user(u, tuple(outs), p, t))[0]
+        return du.astype(dtype)
+
+    from ..solvers.integrate import (
+        RETCODE_MAXITERS,
+        RETCODE_SUCCESS,
+        _next_stop,
+        hairer_norm,
+    )
+
+    rtol_a = jnp.asarray(rtol, tdtype)
+    atol_a = jnp.asarray(atol, tdtype)
+    order = solver.order
+    beta1 = 0.7 / (order + 1.0)
+    beta2 = 0.4 / (order + 1.0)
+    dt_cap_a = jnp.asarray(dt_cap, tdtype)
+
+    buf_len = max_steps + 1
+    f0 = fvec_full(u0vec, t0_a, (jnp.full((2,), t1_a),
+                                 jnp.tile(u0vec[None], (2, 1)),
+                                 jnp.zeros((2, n), dtype)),
+                   jnp.asarray(1, jnp.int32), [], dt_cap_a)
+    ts_buf0 = jnp.full((buf_len,), t1_a, tdtype).at[0].set(t0_a)
+    ys_buf0 = jnp.tile(u0vec[None, :], (buf_len, 1))
+    fs_buf0 = jnp.tile(f0[None, :], (buf_len, 1))
+
+    if dt0 is None:
+        dt_init = jnp.minimum(dt_cap_a, jnp.asarray(
+            0.1 * (t1 - t0) ** 0.5 * 0.1, tdtype))
+        # conservative kickoff; the PI controller converges within a few
+        # steps and the breaking-point tstops bound the first interval
+        dt_init = jnp.minimum(dt_init, jnp.asarray((t1 - t0) / 8.0, tdtype))
+    else:
+        dt_init = jnp.minimum(jnp.abs(jnp.asarray(dt0, tdtype)), dt_cap_a)
+
+    def body(carry, _):
+        (t, u, f, dt, err_prev, n_acc, n_rej, status, bad,
+         ts_b, ys_b, fs_b) = carry
+        running = status < 0
+
+        stop = _next_stop(t, t1_a, tstops, jnp.asarray(1.0, tdtype), tdtype)
+        remaining = stop - t
+        dt_eff = jnp.where(dt >= remaining, remaining, dt)
+
+        bad_list = []
+        fv = lambda uu, tt: fvec_full(uu, tt, (ts_b, ys_b, fs_b), n_acc,
+                                      bad_list, dt_eff)
+        u1, f1, err = solver.step(fv, t, dt_eff, u, f)
+        u1 = u1.astype(dtype)
+        f1 = f1.astype(dtype)
+        step_bad = jnp.asarray(False)
+        for b in bad_list:
+            step_bad = step_bad | b
+        sc = atol_a + rtol_a * jnp.maximum(jnp.abs(u), jnp.abs(u1))
+        err_norm = hairer_norm(err / sc).astype(tdtype)
+        nonfinite = ~jnp.isfinite(err_norm)
+        err_norm = jnp.where(nonfinite, jnp.asarray(2.0, tdtype), err_norm)
+        accept = (err_norm <= 1.0) & ~nonfinite & running
+
+        err_cl = jnp.maximum(err_norm, jnp.asarray(1e-10, tdtype))
+        factor = 0.9 * err_cl ** (-beta1) * err_prev ** (beta2)
+        factor = jnp.where(nonfinite, jnp.asarray(0.2, tdtype), factor)
+        factor = jnp.clip(factor, 0.2, 10.0)
+        dt_next = jax.lax.stop_gradient(
+            jnp.minimum(jnp.where(running, dt_eff * factor, dt), dt_cap_a))
+
+        t_new = jnp.where(accept, t + dt_eff, t)
+        u_new = jnp.where(accept, u1, u)
+        f_new = jnp.where(accept, f1, f)
+        # a violated dep-lag only matters on an accepted step (rejected
+        # trial steps may transiently overshoot the lag)
+        bad = bad | (accept & step_bad)
+
+        n_acc2 = n_acc + accept.astype(jnp.int32)
+        n_rej = n_rej + (running & ~accept).astype(jnp.int32)
+        err_prev = jnp.where(accept, err_cl, err_prev)
+
+        idx = jnp.minimum(n_acc2, max_steps)
+        ts_b = ts_b.at[idx].set(jnp.where(accept, t_new, ts_b[idx]))
+        ys_b = ys_b.at[idx].set(jnp.where(accept, u_new, ys_b[idx]))
+        fs_b = fs_b.at[idx].set(jnp.where(accept, f_new, fs_b[idx]))
+
+        done = accept & ((t1_a - t_new) <= jnp.abs(t1_a) * 1e-14 + 1e-300)
+        status = jnp.where(running & done, RETCODE_SUCCESS,
+                           status).astype(jnp.int32)
+        return (t_new, u_new, f_new, dt_next, err_prev, n_acc2, n_rej,
+                status, bad, ts_b, ys_b, fs_b), None
+
+    init = (t0_a, u0vec, f0, dt_init, jnp.asarray(1.0, tdtype),
+            jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32),
+            jnp.asarray(-1, jnp.int32), jnp.asarray(False),
+            ts_buf0, ys_buf0, fs_buf0)
+    (t, u, f, _, _, n_acc, n_rej, status, bad, ts_b, ys_b, fs_b), _ = \
+        jax.lax.scan(body, init, None, length=max_steps)
+    status = jnp.where(status < 0, RETCODE_MAXITERS, status).astype(jnp.int32)
+    status = jnp.where(bad, jnp.asarray(3, jnp.int32), status)
+
+    valid = jnp.arange(buf_len) <= n_acc
+    ts_b = jnp.where(valid, ts_b, t)
+    dense = DenseOutput(ts=ts_b, ys=ys_b, fs=fs_b,
+                        n_steps=jnp.minimum(jnp.maximum(n_acc, 1), max_steps),
+                        tdir=jnp.asarray(1.0, tdtype))
+    poison = (status != 0)
+    ys_save = dense_eval_many(dense, saveat)
+    ys_save = jnp.where(poison, jnp.full_like(ys_save, jnp.nan), ys_save)
+    ys = jax.vmap(unravel_u)(ys_save)
+    stats = Stats(
+        n_accepted=n_acc, n_rejected=n_rej,
+        n_fevals=jnp.asarray(max_steps * solver.n_stages, jnp.int32),
+        retcode=status,
+    )
+    return ODESolution(
+        ts=saveat, ys=ys, stats=stats, retcode=status, prob=prob,
+        solver=f"MethodOfStepsAdaptive{solver.name}", sensealg=sensealg,
+        dense=dense, unravel_u=unravel_u,
+        u_final=jnp.where(poison, jnp.full_like(u, jnp.nan), u),
+    )
 
 
 def solve_dde(prob: DDEProblem, solver=None, *, dt, saveat=None,

@@ -106,10 +106,14 @@ def solve(
     from .problems import DDEProblem, NonlinearProblem, RODEProblem, SteadyStateProblem
 
     if isinstance(prob, DDEProblem):
-        from .adjoints.dde import solve_dde
+        from .adjoints.dde import solve_dde, solve_dde_adaptive
 
         if dt is None:
-            raise ValueError("DDE solves are fixed-grid: pass dt=...")
+            # adaptive constrained method of steps (PI-controlled dt capped
+            # at the smallest lag; DelayDiffEq's constrained mode)
+            return solve_dde_adaptive(
+                prob, solver, rtol=rtol, atol=atol, saveat=saveat,
+                max_steps=max_steps, dt0=dt0, dtmax=dtmax, sensealg=sensealg)
         return solve_dde(prob, solver, dt=dt, saveat=saveat,
                          sensealg=sensealg)
 

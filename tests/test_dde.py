@@ -7,6 +7,7 @@ solution u(t) = 1 - t on [0,1], u(t) = 1 - t + (t-1)^2/2 on [1,2].
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from scimlsensitivity_jl_tpu import DDEProblem, solve
 
@@ -317,3 +318,129 @@ def test_distributed_plus_discrete_lags():
     e = jnp.zeros(1).at[0].set(1e-6)
     fd = (loss(p + e) - loss(p - e)) / 2e-6
     assert abs(float(g[0]) - float(fd)) < 1e-8
+
+
+# ---------------------------------------------------------------------------
+# Adaptive (PI-controlled) constrained method of steps — DelayDiffEq's
+# MethodOfSteps(Tsit5(), constrained=true) slot. Round-3 queue item.
+# ---------------------------------------------------------------------------
+
+
+def test_dde_adaptive_exact_piecewise():
+    prob = DDEProblem(
+        lambda u, h, p, t: -h[0], jnp.array([1.0]), (0.0, 2.0), None,
+        lags=(1.0,),
+    )
+    ts = jnp.array([0.0, 0.5, 1.0, 1.5, 2.0])
+    sol = solve(prob, saveat=ts, rtol=1e-8, atol=1e-10)  # no dt => adaptive
+
+    def exact(t):
+        if t <= 1.0:
+            return 1.0 - t
+        return 1.0 - t + (t - 1.0) ** 2 / 2.0
+
+    expect = np.array([exact(float(t)) for t in ts])
+    assert int(sol.retcode) == 0
+    # breaking point t0+tau is a forced tstop, so the piecewise-polynomial
+    # oracle comes out to near machine precision in a handful of steps
+    assert int(sol.stats.n_accepted) < 20
+    assert np.allclose(sol.ys[:, 0], expect, atol=1e-9)
+    # dense output between nodes
+    assert abs(float(sol(0.75)[0]) - exact(0.75)) < 1e-9
+
+
+def test_dde_adaptive_tolerance_controls_error():
+    def f(u, h, p, t):
+        return p[0] * u * (1.0 - h[0])  # delayed logistic
+
+    ts = jnp.array([0.0, 2.0, 4.0])
+    p = jnp.array([1.7])
+
+    def run(rtol):
+        prob = DDEProblem(f, jnp.array([0.5]), (0.0, 4.0), p, lags=(0.8,))
+        return solve(prob, saveat=ts, rtol=rtol, atol=rtol * 1e-2)
+
+    ref = solve(DDEProblem(f, jnp.array([0.5]), (0.0, 4.0), p, lags=(0.8,)),
+                dt=1e-4, saveat=ts)
+    errs, accs = [], []
+    for rt in [1e-3, 1e-6, 1e-9]:
+        s = run(rt)
+        assert int(s.retcode) == 0
+        errs.append(float(jnp.max(jnp.abs(s.ys - ref.ys))))
+        accs.append(int(s.stats.n_accepted))
+    assert errs[0] > errs[1] > errs[2]          # tighter tol -> smaller err
+    assert accs[0] < accs[1] < accs[2]          # ... and more steps
+    assert errs[2] < 1e-7
+
+
+def test_dde_adaptive_gradient_converges_to_fixed_grid():
+    def f(u, h, p, t):
+        return p[0] * u * (1.0 - h[0])
+
+    ts = jnp.array([0.0, 2.0, 4.0])
+    p = jnp.array([1.7])
+
+    def loss_adaptive(pp, rtol):
+        prob = DDEProblem(f, jnp.array([0.5]), (0.0, 4.0), pp, lags=(0.8,))
+        return jnp.sum(solve(prob, saveat=ts, rtol=rtol,
+                             atol=rtol * 1e-2).ys ** 2)
+
+    def loss_fixed(pp):
+        prob = DDEProblem(f, jnp.array([0.5]), (0.0, 4.0), pp, lags=(0.8,))
+        return jnp.sum(solve(prob, dt=1e-4, saveat=ts).ys ** 2)
+
+    g_ref = jax.grad(loss_fixed)(p)
+    g = jax.jit(jax.grad(lambda q: loss_adaptive(q, 1e-10)))(p)
+    assert np.isclose(float(g[0]), float(g_ref[0]), rtol=1e-6), (
+        float(g[0]), float(g_ref[0]))
+
+
+def test_dde_adaptive_state_dependent_lag():
+    def lagfn(u, p, t):
+        return 0.6 + 0.2 * jnp.sin(u[0]) ** 2  # lag in [0.6, 0.8]
+
+    def f(u, h, p, t):
+        return p[0] * u * (1.0 - h[0])
+
+    ts = jnp.array([0.0, 2.0, 4.0])
+    p = jnp.array([1.3])
+    prob = DDEProblem(f, jnp.array([0.5]), (0.0, 4.0), p, lags=(lagfn,),
+                      max_lag=0.8)
+    # dtmax (static lag lower bound) is REQUIRED for dep lags
+    with pytest.raises(ValueError, match="dtmax"):
+        solve(prob, saveat=ts)
+    sol = solve(prob, saveat=ts, dtmax=0.5, rtol=1e-9, atol=1e-11)
+    ref = solve(prob, dt=2e-4, saveat=ts)
+    assert int(sol.retcode) == 0
+    assert np.allclose(np.asarray(sol.ys), np.asarray(ref.ys), atol=1e-6)
+
+    def loss(q, **kw):
+        pr = DDEProblem(f, jnp.array([0.5]), (0.0, 4.0), q, lags=(lagfn,),
+                        max_lag=0.8)
+        return jnp.sum(solve(pr, saveat=ts, **kw).ys ** 2)
+
+    g = jax.grad(lambda q: loss(q, dtmax=0.5, rtol=1e-10, atol=1e-12))(p)
+    g_ref = jax.grad(lambda q: loss(q, dt=2e-4))(p)
+    assert np.isclose(float(g[0]), float(g_ref[0]), rtol=1e-5)
+
+
+def test_dde_adaptive_dep_lag_violation_poisons():
+    # realizable lag 0.01 < dtmax cap 0.3: the explicitness contract is
+    # broken -> retcode 3 + NaN, never silently-clamped values
+    def f(u, h, p, t):
+        return -h[0]
+
+    prob = DDEProblem(f, jnp.array([0.5]), (0.0, 4.0), None,
+                      lags=(lambda u, p, t: 0.01,))
+    sol = solve(prob, saveat=jnp.array([0.0, 4.0]), dtmax=0.3)
+    assert int(sol.retcode) == 3
+    assert bool(jnp.isnan(sol.ys).all())
+
+
+def test_dde_adaptive_rejects_unsupported():
+    prob_dist = DDEProblem(
+        lambda u, h, p, t: -h[0], jnp.array([1.0]), (0.0, 1.0), None,
+        lags=(0.5,), max_lag=1.0, dist_kernels=(lambda s, p: 1.0,),
+    )
+    with pytest.raises(NotImplementedError, match="fixed-grid"):
+        solve(prob_dist, saveat=jnp.array([0.0, 1.0]))
