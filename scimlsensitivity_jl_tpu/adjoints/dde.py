@@ -64,8 +64,16 @@ def solve_dde_adaptive(prob: DDEProblem, solver=None, *, rtol=1e-6,
     realizable lag; stage evaluations runtime-check lag ≥ dt and
     NaN-poison (retcode 3) on violation. Distributed lags (dist_kernels)
     are fixed-grid only — pass dt= for those.
+
+    STIFF DDEs: pass an ESDIRK stepper (TRBDF2/Kvaerno3/SDIRK4 — the
+    DelayDiffEq `MethodOfSteps(TRBDF2())` slot). Stage states solve the
+    plain ODE Newton iteration — the delayed gathers never involve the
+    unknown stage (dt ≤ lag keeps every delayed query left of the step),
+    and the step-frozen Jacobian `jacfwd` differentiates through the
+    Hermite gathers. Constant lags only on the stiff path.
     """
     from ..solvers.explicit import ExplicitRK, Tsit5
+    from ..solvers.sdirk import ESDIRK as _ESDIRK
 
     if getattr(prob, "dist_kernels", None):
         raise NotImplementedError(
@@ -76,11 +84,25 @@ def solve_dde_adaptive(prob: DDEProblem, solver=None, *, rtol=1e-6,
         raise ValueError("DDEProblem needs at least one lag")
     if solver is None:
         solver = Tsit5()
-    if not isinstance(solver, ExplicitRK):
+    implicit = isinstance(solver, _ESDIRK)
+    if not isinstance(solver, ExplicitRK) and not implicit:
         raise NotImplementedError(
             "adaptive method of steps supports explicit RK steppers "
-            f"(Tsit5/Dopri5/BS3); got {solver!r}. Stiff DDEs: fixed-grid "
-            "TRBDF2 (pass dt=...)"
+            f"(Tsit5/Dopri5/BS3) and ESDIRK (TRBDF2/Kvaerno3/SDIRK4) for "
+            f"stiff DDEs; got {solver!r}"
+        )
+    if implicit and getattr(solver, "mass_matrix", None) is not None:
+        raise NotImplementedError(
+            "DDE method of steps does not support mass matrices"
+        )
+    if implicit and any(callable(lag) for lag in prob.lags):
+        # the dep-lag violation flags ride a Python closure list that the
+        # explicit stage loop unrolls; ESDIRK's Newton fori_loop would leak
+        # those tracers out of its scope
+        raise NotImplementedError(
+            "state-dependent lags under the ADAPTIVE stiff method of steps "
+            "are not supported; use an explicit adaptive stepper (with "
+            "dtmax=) or the fixed-grid TRBDF2 path (dt=...)"
         )
     t0, t1 = float(prob.tspan[0]), float(prob.tspan[1])
     if not t1 > t0:
@@ -256,18 +278,24 @@ def solve_dde_adaptive(prob: DDEProblem, solver=None, *, rtol=1e-6,
                         tdir=jnp.asarray(1.0, tdtype))
     poison = (status != 0)
     ys_save = dense_eval_many(dense, saveat)
-    ys_save = jnp.where(poison, jnp.full_like(ys_save, jnp.nan), ys_save)
+    # additive poisoning so the GRADIENT NaNs too (a jnp.where would zero
+    # the cotangent through the untaken branch — silent-zero gradients on
+    # truncated solves)
+    nan_term = jnp.where(poison, jnp.nan, 0.0).astype(ys_save.dtype)
+    ys_save = ys_save + nan_term
     ys = jax.vmap(unravel_u)(ys_save)
+    fevals_per_step = (solver.n_stages * (1 + 4 * solver.newton_iters)
+                       if implicit else solver.n_stages)
     stats = Stats(
         n_accepted=n_acc, n_rejected=n_rej,
-        n_fevals=jnp.asarray(max_steps * solver.n_stages, jnp.int32),
+        n_fevals=jnp.asarray(max_steps * fevals_per_step, jnp.int32),
         retcode=status,
     )
     return ODESolution(
         ts=saveat, ys=ys, stats=stats, retcode=status, prob=prob,
         solver=f"MethodOfStepsAdaptive{solver.name}", sensealg=sensealg,
         dense=dense, unravel_u=unravel_u,
-        u_final=jnp.where(poison, jnp.full_like(u, jnp.nan), u),
+        u_final=u + nan_term,
     )
 
 
@@ -506,7 +534,9 @@ def solve_dde(prob: DDEProblem, solver=None, *, dt, saveat=None,
     # the clamped gather values are meaningless, so fail loudly.
     retcode = jnp.where(bad, jnp.asarray(3, jnp.int32),
                         jnp.asarray(0, jnp.int32))
-    ys_save = jnp.where(bad, jnp.full_like(ys_save, jnp.nan), ys_save)
+    # additive poisoning: the gradient NaNs too (a jnp.where would zero it)
+    nan_term = jnp.where(bad, jnp.nan, 0.0).astype(ys_save.dtype)
+    ys_save = ys_save + nan_term
     ys = jax.vmap(unravel_u)(ys_save)
 
     stats = Stats(
@@ -524,5 +554,5 @@ def solve_dde(prob: DDEProblem, solver=None, *, dt, saveat=None,
                 else "MethodOfStepsRK4Hermite"),
         sensealg=sensealg, dense=None,
         unravel_u=unravel_u,
-        u_final=jnp.where(bad, jnp.full_like(ubuf[-1], jnp.nan), ubuf[-1]),
+        u_final=ubuf[-1] + nan_term,
     )

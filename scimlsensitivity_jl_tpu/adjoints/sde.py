@@ -254,8 +254,11 @@ def solve_rode(
         raise NotImplementedError(f"RODE sensealg {sensealg!r} unsupported")
 
     if save_bad is not None:
-        # traced saveat off the dt grid: loud NaN rows, not shifted values
-        ys_flat = jnp.where(save_bad[:, None], jnp.nan, ys_flat)
+        # traced saveat off the dt grid: loud NaN rows, not shifted values.
+        # Additive so the GRADIENT NaNs too (jnp.where would silently zero
+        # the cotangent of the poisoned rows).
+        ys_flat = ys_flat + jnp.where(save_bad[:, None], jnp.nan,
+                                      0.0).astype(ys_flat.dtype)
     ys = jax.vmap(unravel_u)(ys_flat)
     stats = Stats(
         n_accepted=jnp.asarray(n_steps, jnp.int32),
@@ -533,8 +536,11 @@ def solve_sde(
         raise NotImplementedError(f"SDE sensealg {sensealg!r} unsupported")
 
     if save_bad is not None:
-        # traced saveat off the dt grid: loud NaN rows, not shifted values
-        ys_flat = jnp.where(save_bad[:, None], jnp.nan, ys_flat)
+        # traced saveat off the dt grid: loud NaN rows, not shifted values.
+        # Additive so the GRADIENT NaNs too (jnp.where would silently zero
+        # the cotangent of the poisoned rows).
+        ys_flat = ys_flat + jnp.where(save_bad[:, None], jnp.nan,
+                                      0.0).astype(ys_flat.dtype)
     ys = jax.vmap(unravel_u)(ys_flat)
     stats = Stats(
         n_accepted=jnp.asarray(n_steps, jnp.int32),

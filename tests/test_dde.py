@@ -444,3 +444,77 @@ def test_dde_adaptive_rejects_unsupported():
     )
     with pytest.raises(NotImplementedError, match="fixed-grid"):
         solve(prob_dist, saveat=jnp.array([0.0, 1.0]))
+
+
+def test_dde_adaptive_stiff_trbdf2():
+    # Stiff DDE under the ADAPTIVE constrained method of steps: the
+    # L-stable ESDIRK stepper takes O(10) steps where an explicit adaptive
+    # stepper is stability-limited to dt ~ 1/A (hundreds of steps).
+    from scimlsensitivity_jl_tpu import TRBDF2
+
+    A, B = 5000.0, 5.0
+
+    def rhs(u, h, p, t):
+        return -A * (u - jnp.sin(2.0 * jnp.pi * t)) + B * h[0]
+
+    def make(p=None):
+        return DDEProblem(rhs, jnp.array([1.0]), (0.0, 2.0), p, lags=(1.0,))
+
+    ts = jnp.array([0.0, 0.7, 1.4, 2.0])
+    ref = solve(make(), TRBDF2(), dt=5e-4, saveat=ts)
+
+    sol = solve(make(), TRBDF2(), saveat=ts, rtol=1e-4, atol=1e-7)
+    assert int(sol.retcode) == 0
+    assert np.allclose(np.asarray(sol.ys), np.asarray(ref.ys),
+                       rtol=1e-3, atol=1e-4)
+    # accuracy-limited, not stability-limited: ~O(100) steps at A=5000
+    assert int(sol.stats.n_accepted) < 500
+
+    # the explicit adaptive stepper is stability-limited to dt ~ 1/A:
+    # 1024 steps cannot cover [0, 2] -> MaxIters, NaN-poisoned
+    exp = solve(make(), saveat=ts, rtol=1e-4, atol=1e-7, max_steps=1024)
+    assert int(exp.retcode) != 0
+
+
+def test_dde_adaptive_stiff_gradient_vs_fixed_grid():
+    from scimlsensitivity_jl_tpu import TRBDF2
+
+    def rhs(u, h, p, t):
+        return -p[0] * (u - jnp.sin(2.0 * jnp.pi * t)) + p[1] * h[0]
+
+    ts = jnp.array([0.0, 1.0, 2.0])
+    p = jnp.array([60.0, 4.0])
+
+    def loss_adaptive(q):
+        prob = DDEProblem(rhs, jnp.array([1.0]), (0.0, 2.0), q, lags=(1.0,))
+        return jnp.sum(solve(prob, TRBDF2(), saveat=ts, rtol=1e-6,
+                             atol=1e-8, max_steps=2048).ys ** 2)
+
+    def loss_fixed(q):
+        prob = DDEProblem(rhs, jnp.array([1.0]), (0.0, 2.0), q, lags=(1.0,))
+        return jnp.sum(solve(prob, TRBDF2(), dt=2e-4, saveat=ts).ys ** 2)
+
+    g = jax.jit(jax.grad(loss_adaptive))(p)
+    g_ref = jax.grad(loss_fixed)(p)
+    assert np.allclose(np.asarray(g), np.asarray(g_ref), rtol=1e-3,
+                       atol=1e-7), (g, g_ref)
+
+    # truncated solves poison the GRADIENT too (not just the values): at
+    # rtol=1e-10 the order-2 stepper exceeds max_steps=512 -> MaxIters
+    def loss_trunc(q):
+        prob = DDEProblem(rhs, jnp.array([1.0]), (0.0, 2.0), q, lags=(1.0,))
+        return jnp.sum(solve(prob, TRBDF2(), saveat=ts, rtol=1e-10,
+                             atol=1e-12, max_steps=512).ys ** 2)
+
+    g_bad = jax.grad(loss_trunc)(p)
+    assert bool(jnp.isnan(g_bad).all()), g_bad
+
+
+def test_dde_adaptive_stiff_rejects_dep_lags():
+    from scimlsensitivity_jl_tpu import TRBDF2
+
+    prob = DDEProblem(lambda u, h, p, t: -h[0], jnp.array([1.0]),
+                      (0.0, 1.0), None, lags=(lambda u, p, t: 0.5,),
+                      max_lag=0.6)
+    with pytest.raises(NotImplementedError, match="[Ss]tate-dependent"):
+        solve(prob, TRBDF2(), saveat=jnp.array([0.0, 1.0]), dtmax=0.3)

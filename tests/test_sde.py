@@ -454,3 +454,32 @@ def test_rode_noise_process():
     v = jnp.array([0.4, -0.2])
     _, dv = jax.jvp(loss, (p,), (v,))
     assert abs(float(g @ v) - float(dv)) < 1e-10
+
+
+def test_traced_saveat_misalignment_poisons_values_and_gradient():
+    # Under an outer jit the saveat is a tracer, so off-grid times cannot
+    # raise eagerly — the contract is NaN rows AND a NaN gradient (additive
+    # poisoning; a where() would silently zero the cotangent).
+    def run(p, saveat):
+        prob = SDEProblem(
+            lambda u, pp, t: pp[0] * u,
+            lambda u, pp, t: 0.2 * u,
+            jnp.array([1.0]), (0.0, 1.0), p,
+        )
+        return solve(prob, dt=0.1, saveat=saveat, key=KEY,
+                     sensealg=BacksolveAdjoint()).ys
+
+    p = jnp.array([0.3])
+    good = jnp.array([0.0, 0.5, 1.0])
+    off = jnp.array([0.0, 0.437, 1.0])
+
+    ys_good = jax.jit(run)(p, good)
+    assert bool(jnp.isfinite(ys_good).all())
+
+    ys_bad = jax.jit(run)(p, off)
+    assert bool(jnp.isnan(ys_bad[1]).all())          # the off-grid row
+    assert bool(jnp.isfinite(ys_bad[0]).all())       # aligned rows intact
+    assert bool(jnp.isfinite(ys_bad[2]).all())
+
+    g = jax.jit(jax.grad(lambda q, s: jnp.sum(run(q, s) ** 2)))(p, off)
+    assert bool(jnp.isnan(g).all()), g
