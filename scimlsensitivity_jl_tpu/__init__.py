@@ -66,7 +66,9 @@ from .adjoints.second_order import (
     second_order_sensitivities,
     second_order_sensitivity_product,
 )
-from .callbacks import CallbackSet, ContinuousCallback, DiscreteCallback
+from .callbacks import (CallbackSet, ContinuousCallback, DiscreteCallback,
+                        PeriodicCallback, PresetTimeCallback,
+                        TerminateSteadyState, VectorContinuousCallback)
 from .ops.brownian import NoiseGrid, VirtualBrownianTree
 from .parallel.ensemble import (EnsembleProblem, ensemble_summary,
                                 make_mesh, solve_ensemble)
@@ -135,6 +137,10 @@ __all__ = [
     "ImplicitEM",
     "ContinuousCallback",
     "DiscreteCallback",
+    "VectorContinuousCallback",
+    "PresetTimeCallback",
+    "PeriodicCallback",
+    "TerminateSteadyState",
     "CallbackSet",
     "EnsembleProblem",
     "solve_ensemble",

@@ -272,6 +272,14 @@ def forward_saveat_solve(
         dtmax=dtmax,
     )
     (save_buf, _k), extra_carry = res.hook_carry
+    # Save times never reached (terminal-event stop; also MaxIters/DtMin
+    # truncation) would otherwise stay zero-initialized — hold the final
+    # state instead, matching the dense-output clamp (sol(t > t_final) =
+    # u(t_final)); failed solves still flag via retcode (and terminal stops
+    # via RETCODE_TERMINATED). Differentiable: under jvp the `where` routes
+    # u_final tangents into the held rows.
+    reached = jnp.arange(nt) < _k
+    save_buf = jnp.where(reached[:, None], save_buf, res.u_final[None, :])
     fwd = ForwardResult(
         ys_save=save_buf,
         dense=res.dense,

@@ -214,6 +214,44 @@ def _dae_project_jumps(M_fwd, kern, p, dense, times, jumps, dtype):
     return alg_j, du0_map, lamjs, qjs
 
 
+def _dae_lam_fix(M_fwd, kern, p, gu_fn=None):
+    """Pointwise algebraic-consistency restoration for interpolated DAE
+    adjoint states. The λ-only quadrature paths (Gauss per-step hook,
+    QuadratureAdjoint's post-hoc GK) evaluate λ BETWEEN reverse nodes by
+    Hermite interpolation — but the algebraic rows of the adjoint DAE are
+    constrained, not integrated:
+
+        J_aaᵀ λ_a = −(∂f_d/∂u_a)ᵀ λ_d
+
+    and their dense-output slopes are constraint residuals, not dλ_a/dt,
+    so interpolated λ_a carries O(h) error straight into ∫λᵀ∂f/∂p (the
+    fuzz-matrix find: ~1e-2 relative gradient error on random index-1
+    systems while the joined-state InterpolatingAdjoint was at 1e-9).
+    Re-solving the constraint at each quadrature node makes λ_a exact
+    given λ_d. gu_fn(yvec, t) -> ∂g/∂u adds a continuous-cost term to the
+    constraint RHS (the algebraic rows of the adjoint DAE with running
+    cost: J_aaᵀ λ_a = −(Jᵀλ_d)_a − (∂g/∂u)_a, Cao–Li–Petzold). Returns
+    fix(yvec, t, λ) -> λ, or None when M has no algebraic (zero) rows."""
+    import numpy as _onp
+
+    a_idx, d_idx = _semi_explicit_split(_onp.asarray(M_fwd, dtype=float))
+    if a_idx.size == 0:
+        return None
+    a_idx = jnp.asarray(a_idx)
+
+    def fix(yj, tj, lam):
+        lam_d = lam.at[a_idx].set(0.0)
+        rhs = kern.vjp_u(yj, p, tj, lam_d)[a_idx]     # (Jᵀ λ_d)_a
+        if gu_fn is not None:
+            rhs = rhs + gu_fn(yj, tj)[a_idx]
+        J = jax.jacfwd(lambda uu: kern.fvec(uu, p, tj))(yj)
+        Jaa = J[a_idx][:, a_idx]
+        lam_a = jnp.linalg.solve(Jaa.T, -rhs)
+        return lam_d.at[a_idx].set(lam_a)
+
+    return fix
+
+
 def _dae_reverse_stepper(bwd_solver, bwd_stepper):
     """Reverse stepper for DAE adjoints: honor an explicit bwd_solver;
     otherwise prefer stiffly-accurate SDIRK stages, which enforce the
@@ -230,7 +268,7 @@ def _dae_reverse_stepper(bwd_solver, bwd_stepper):
 
 
 def make_gauss_quad_hook(kern, p, dense, sensealg, t0, t1, dtype, npf,
-                         extra_p=None):
+                         extra_p=None, lam_fix=None):
     """Per-accepted-step quadrature hook for a λ-only reverse solve,
     accumulating dG/dp = ∫ λᵀ∂f/∂p (+ optional ∂g/∂p) dt in the hook carry.
 
@@ -257,6 +295,8 @@ def make_gauss_quad_hook(kern, p, dense, sensealg, t0, t1, dtype, npf,
         def node(tj):
             lam_j = hermite_eval(tj, ta, tb, lam_a, fa, lam_b, fb)
             yj = dense_eval(dense, tj)
+            if lam_fix is not None:
+                lam_j = lam_fix(yj, tj, lam_j)
             out = ravel_pytree(kern.vjp_p(yj, p, tj, lam_j))[0]
             if extra_p is not None:
                 out = out + extra_p(yj, tj)
@@ -343,7 +383,7 @@ def make_gauss_quad_hook(kern, p, dense, sensealg, t0, t1, dtype, npf,
 
 
 def adaptive_gk_dp(kern, p, dense, lam_dense, sensealg, dtype, npf, q_init,
-                   extra_p=None):
+                   extra_p=None, lam_fix=None):
     """QuadratureAdjoint's post-reverse dG/dp: h-adaptive Gauss–Kronrod over
     the recorded λ dense output (the TPU formulation of quadgk,
     quadrature_adjoint.jl:536-633). Base partition: one GK(7,15) panel per
@@ -362,6 +402,8 @@ def adaptive_gk_dp(kern, p, dense, lam_dense, sensealg, dtype, npf, q_init,
     def integrand(tj):
         lam_j = dense_eval(lam_dense, tj)
         yj = dense_eval(dense, tj)
+        if lam_fix is not None:
+            lam_j = lam_fix(yj, tj, lam_j)
         out = ravel_pytree(kern.vjp_p(yj, p, tj, lam_j))[0]
         if extra_p is not None:
             out = out + extra_p(yj, tj)
@@ -1166,13 +1208,15 @@ def make_ode_solve_fn(f, solver, sensealg, opts: SolveOptions, t0, t1, *,
             y = dense_eval(dense, t)
             return -kern.vjp_u(y, p, t, lam)
 
+        M_fwd = getattr(solver, "mass_matrix", None)
         gauss_hook, q0, finish_q = make_gauss_quad_hook(
-            kern, p, dense, sensealg, t0, t1, u0vec.dtype, npf
+            kern, p, dense, sensealg, t0, t1, u0vec.dtype, npf,
+            lam_fix=(None if M_fwd is None
+                     else _dae_lam_fix(M_fwd, kern, p)),
         )
 
         lam0 = jnp.zeros(n, u0vec.dtype)
 
-        M_fwd = getattr(solver, "mass_matrix", None)
         if M_fwd is not None:
             # Index-1 DAE: λ-only reverse solve with mass Mᵀ; projected λ
             # jumps; the save-time quadrature corrections −f_pᵀŵ don't live
@@ -1289,7 +1333,10 @@ def make_ode_solve_fn(f, solver, sensealg, opts: SolveOptions, t0, t1, *,
         )
 
         q = adaptive_gk_dp(kern, p, dense, lam_dense, sensealg,
-                           u0vec.dtype, npf, q_ev) + q_extra
+                           u0vec.dtype, npf, q_ev,
+                           lam_fix=(None if M_fwd is None
+                                    else _dae_lam_fix(M_fwd, kern, p))
+                           ) + q_extra
         if M_fwd is not None:
             q = q + jnp.sum(dae_qjs, axis=0)
             lam = du0_map(lam)
@@ -1319,6 +1366,10 @@ def make_ode_solve_fn(f, solver, sensealg, opts: SolveOptions, t0, t1, *,
                if _has_cotangent(d_ys)
                else jnp.zeros((nt, n), u0vec.dtype))  # (nt, n)
         d_uf = _materialize(d_aux.u_final)
+        # t_final is a constant (== t1) except under TERMINAL events, where
+        # it is τ(u0, p) — the time-to-event output. The jvp contraction
+        # differentiates it exactly through the Newton-polished τ.
+        d_tf = _materialize(d_aux.t_final)
         dd = d_aux.dense
         # FDS is discretize-then-optimize: dense-output cotangents contract
         # against jvp tangents of the interpolation buffers themselves —
@@ -1353,7 +1404,7 @@ def make_ode_solve_fn(f, solver, sensealg, opts: SolveOptions, t0, t1, *,
                 max_steps=opts.max_steps, tstops=opts.tstops,
                 store_dense=use_dense, event_set=es,
             )
-            out = (fr.ys_save, fr.u_final)
+            out = (fr.ys_save, fr.u_final, fr.t_final)
             if use_dense:
                 out = out + (fr.dense.ts, fr.dense.ys, fr.dense.fs)
             return out
@@ -1364,12 +1415,13 @@ def make_ode_solve_fn(f, solver, sensealg, opts: SolveOptions, t0, t1, *,
             du0v = seed[:n].astype(u0vec.dtype)
             dpv = seed[n:].astype(pflat.dtype)
             _, touts = jax.jvp(outs_of, (u0vec, pflat), (du0v, dpv))
-            acc = jnp.sum(lam * touts[0]) + jnp.sum(d_uf * touts[1])
+            acc = (jnp.sum(lam * touts[0]) + jnp.sum(d_uf * touts[1])
+                   + jnp.sum(d_tf.astype(touts[2].dtype) * touts[2]))
             if use_dense:
                 acc = (acc
-                       + jnp.sum(d_dts * touts[2])
-                       + jnp.sum(d_dys * touts[3])
-                       + jnp.sum(d_dfs * touts[4]))
+                       + jnp.sum(d_dts * touts[3])
+                       + jnp.sum(d_dys * touts[4])
+                       + jnp.sum(d_dfs * touts[5]))
             return acc
 
         # Chunked forward sweeps (reference: 12-wide Dual chunks,

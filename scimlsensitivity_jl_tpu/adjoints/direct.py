@@ -154,13 +154,35 @@ def make_direct_solve_fn(f, solver, sensealg, opts: SolveOptions, t0, t1,
             event_set=es, unroll=unroll, remat=sensealg.remat,
             store_dense=opts.dense,
         )
-        ys_save, _ = res.hook_carry
+        ys_save, k_fin = res.hook_carry
+        # Save times never reached (terminal-event stop): hold the final
+        # state, matching the dense clamp; exact under plain AD (the
+        # `where` routes u_final's residuals into the held rows).
+        reached = jnp.arange(nt) < k_fin
+        ys_save = jnp.where(reached[:, None], ys_save, res.u_final[None, :])
+        # Truncated solves (MaxIters/DtMin — NOT the deliberate
+        # RETCODE_TERMINATED stop) poison values AND the plain-AD
+        # discrete-adjoint gradients. The poison must be additive AND tied
+        # to a p-connected value: unreached save rows are zero-init buffer
+        # entries with no path to p, so a bare NaN constant would poison
+        # the values while the gradient stayed silently zero. Riding on
+        # 0·u_final routes a NaN cotangent into the scan carry (NaN·0 = NaN).
+        from ..solvers.integrate import RETCODE_TERMINATED
+
+        failed = (res.stats.retcode != 0) & \
+            (res.stats.retcode != RETCODE_TERMINATED)
+        nan_term = (jnp.where(failed, jnp.nan, 0.0)
+                    * (1.0 + 0.0 * jnp.sum(res.u_final))).astype(ys_save.dtype)
+        ys_save = ys_save + nan_term
         ys = jax.vmap(unravel_u)(ys_save)
         # dense=True: sol(t) gradients flow through the Hermite gather by
         # plain AD (discrete adjoint); without it, expose no dense (the
         # driver's 2-row stub would silently mis-evaluate)
-        aux = AuxOut(dense=res.dense if opts.dense else None,
-                     t_final=res.t_final, u_final=res.u_final,
+        dense = res.dense
+        if opts.dense and dense is not None:
+            dense = dense._replace(ys=dense.ys + nan_term)  # sol(t) poisons too
+        aux = AuxOut(dense=dense if opts.dense else None,
+                     t_final=res.t_final, u_final=res.u_final + nan_term,
                      stats=res.stats, events=res.events)
         return ys, aux
 

@@ -42,6 +42,21 @@ from .continuous import (_event_kwargs, _extend_times, _make_event_apply,
 __all__ = ["adjoint_sensitivities"]
 
 
+def _finish(sol, fwd_events, worst, lam0v, qv, dp_disc, unravel_u,
+            unravel_p):
+    """NaN-poison on reverse/forward failure (incl. retcode 4 =
+    event-record overflow) and unravel to the problem's pytrees."""
+    bad = worst != 0
+    fwd_rc = getattr(sol, "retcode", None)
+    if fwd_rc is not None:
+        bad = bad | (jnp.asarray(fwd_rc) != 0)
+    if fwd_events is not None:
+        bad = bad | (fwd_events[3] > fwd_events[0].shape[0])
+    lam0 = jnp.where(bad, jnp.full_like(lam0v, jnp.nan), lam0v)
+    qv = jnp.where(bad, jnp.full_like(qv, jnp.nan), qv + dp_disc)
+    return unravel_u(lam0), unravel_p(qv)
+
+
 def adjoint_sensitivities(
     sol,
     solver=None,
@@ -196,6 +211,121 @@ def adjoint_sensitivities(
             ),
         )
 
+    # --- semi-explicit index-1 DAE solutions (mass-matrix forward solver):
+    # reverse with mass Mᵀ, DAE-projected λ jumps, du0 through μ = Mᵀλ —
+    # the direct-API mirror of the solve-adjoint DAE branches
+    # (continuous.py; reference adjoint_common.jl:110-139, :790-817) ---
+    M_fwd = getattr(solver, "mass_matrix", None)
+    if M_fwd is not None:
+        if t_grads:
+            raise NotImplementedError(
+                "t_grads on mass-matrix/DAE solutions is not supported "
+                "(the endpoint term pairs through μᵀu̇, which needs a "
+                "consistent u̇); drop t_grads=True"
+            )
+        from .continuous import (_dae_lam_fix, _dae_project_jumps,
+                                 _dae_reverse_stepper, _make_dae_event_apply)
+
+        if isinstance(sensealg, BacksolveAdjoint):
+            raise NotImplementedError(
+                "BacksolveAdjoint re-integrates the DAE backwards, which is "
+                "not supported; use InterpolatingAdjoint / GaussAdjoint / "
+                "QuadratureAdjoint on mass-matrix solutions"
+            )
+        alg_j, du0_map, lamjs, qjs = _dae_project_jumps(
+            M_fwd, kern, p, dense, times, jumps, dtype
+        )
+        q_jump_sum = jnp.sum(qjs, axis=0)
+        gu_fn = None
+        if dgdu_continuous is not None:
+            def gu_fn(yvec, tt):
+                return ravel_pytree(dgdu_continuous(unravel_u(yvec), p, tt))[0]
+        lam_fix = _dae_lam_fix(M_fwd, kern, p, gu_fn=gu_fn)
+
+        def _dae_ev(q_slice=None, q_in_hc=False):
+            if event_set is None:
+                return {}
+            return _event_kwargs(
+                fwd_events, event_set,
+                _make_dae_event_apply(
+                    kern, p, event_set, fwd_events, n, npf, M_fwd, dtype,
+                    q_slice=q_slice, q_in_hc=q_in_hc,
+                ),
+            )
+
+        if isinstance(sensealg, InterpolatingAdjoint):
+            # joined [λ; q] with augmented mass blockdiag(Mᵀ, I); the
+            # stiffly-accurate stages enforce the algebraic adjoint
+            # constraint (incl. the running-cost term in the a-rows)
+            def aug_rhs(z, tt):
+                lam = z[:n]
+                y = dense_eval(dense, tt)
+                _, ubar, pbar = kern.f_and_vjp(y, p, tt, lam)
+                gu, gp = cost_terms(y, tt)
+                return jnp.concatenate(
+                    [-ubar - gu, -(ravel_pytree(pbar)[0] + gp)]
+                )
+
+            import numpy as _onp
+
+            M_aug = _onp.eye(n + npf)
+            M_aug[:n, :n] = _onp.asarray(M_fwd, dtype=float).T
+            stepper = _dae_reverse_stepper(None, solver).with_mass_matrix(
+                jnp.asarray(M_aug, dtype)
+            )
+            jumps_aug = jnp.concatenate([lamjs, qjs], axis=1)
+            wts = jnp.concatenate(
+                [jnp.ones(n, dtype), jnp.zeros(npf, dtype)]
+            )
+            z, _, worst, _ = reverse_joined_solve(
+                stepper, aug_rhs, times, jumps_aug,
+                jnp.zeros(n + npf, dtype), n + npf,
+                rtol=rtol, atol=atol, max_steps=max_steps,
+                err_weights=wts, **_dae_ev(q_slice=n),
+            )
+            lam0v, qv = du0_map(z[:n]), z[n:]
+        elif isinstance(sensealg, (GaussAdjoint, GaussKronrodAdjoint,
+                                   QuadratureAdjoint)):
+            def aug_rhs(lam, tt):
+                y = dense_eval(dense, tt)
+                ubar = kern.vjp_u(y, p, tt, lam)
+                gu, _ = cost_terms(y, tt)
+                return -ubar - gu
+
+            stepper = _dae_reverse_stepper(None, solver).with_mass_matrix(
+                jnp.asarray(M_fwd, dtype).T
+            )
+            if isinstance(sensealg, QuadratureAdjoint):
+                lam, q_ev, worst, lam_dense = reverse_joined_solve(
+                    stepper, aug_rhs, times, lamjs, jnp.zeros(n, dtype), n,
+                    rtol=rtol, atol=atol, max_steps=max_steps,
+                    collect_dense=True, hook_carry=jnp.zeros(npf, dtype),
+                    **_dae_ev(q_in_hc=True),
+                )
+                qv = adaptive_gk_dp(
+                    kern, p, dense, lam_dense, sensealg, dtype, npf, q_ev,
+                    extra_p=extra_p, lam_fix=lam_fix,
+                ) + q_jump_sum
+            else:
+                hook, q0, finish_q = make_gauss_quad_hook(
+                    kern, p, dense, sensealg, t0, t1, dtype, npf,
+                    extra_p=extra_p, lam_fix=lam_fix,
+                )
+                lam, qcarry, worst, _ = reverse_joined_solve(
+                    stepper, aug_rhs, times, lamjs, jnp.zeros(n, dtype), n,
+                    rtol=rtol, atol=atol, max_steps=max_steps,
+                    hook=hook, hook_carry=q0, **_dae_ev(q_in_hc=True),
+                )
+                qv = finish_q(qcarry) + q_jump_sum
+            lam0v = du0_map(lam)
+        else:
+            raise NotImplementedError(
+                f"adjoint_sensitivities does not support {sensealg!r} on "
+                "mass-matrix solutions"
+            )
+        return _finish(sol, fwd_events, worst, lam0v, qv, dp_disc,
+                       unravel_u, unravel_p)
+
     # Each sensealg runs its OWN reverse design (the reference's per-family
     # _adjoint_sensitivities drivers), not a flattened common path:
     if isinstance(sensealg, BacksolveAdjoint):
@@ -279,14 +409,12 @@ def adjoint_sensitivities(
             f"adjoint_sensitivities does not support {sensealg!r}"
         )
 
-    # NaN-poison on reverse failure (same alarm as the solve adjoints).
-    bad = worst != 0
-    lam0 = jnp.where(bad, jnp.full_like(lam0v, jnp.nan), lam0v)
-    qv = jnp.where(bad, jnp.full_like(qv, jnp.nan), qv + dp_disc)
-    du0 = unravel_u(lam0)
-    dp = unravel_p(qv)
+    du0, dp = _finish(sol, fwd_events, worst, lam0v, qv, dp_disc,
+                      unravel_u, unravel_p)
     if not t_grads:
         return du0, dp
+    lam0 = ravel_pytree(du0)[0]     # poisoned λ(t0)
+    bad = jnp.isnan(lam0).any()
     y0 = dense_eval(dense, jnp.asarray(t0, dtype))
     y1 = dense_eval(dense, jnp.asarray(t1, dtype))
     g0 = (jnp.asarray(g(unravel_u(y0), p, t0), dtype)

@@ -33,6 +33,10 @@ import jax.numpy as jnp
 __all__ = [
     "ContinuousCallback",
     "DiscreteCallback",
+    "VectorContinuousCallback",
+    "PresetTimeCallback",
+    "PeriodicCallback",
+    "TerminateSteadyState",
     "CallbackSet",
     "EventRecord",
     "build_event_set",
@@ -50,6 +54,11 @@ class ContinuousCallback:
     #                      through the swap with no extra machinery)
     direction: int = 0
     modifies_p: bool = False
+    terminal: bool = False  # terminate!(integrator) analogue: the affect is
+    #                         applied, then integration stops at τ with
+    #                         retcode RETCODE_TERMINATED; sol.t_final = τ is
+    #                         differentiable under DirectAdjoint /
+    #                         ForwardDiffSensitivity (Newton-polished τ)
 
 
 @dataclass(frozen=True)
@@ -58,6 +67,124 @@ class DiscreteCallback:
     affect: Callable     # (u, p, t) -> u_new ; modifies_p as for
     #                      ContinuousCallback
     modifies_p: bool = False
+    terminal: bool = False
+
+
+@dataclass(frozen=True)
+class VectorContinuousCallback:
+    """Vector of zero-crossing conditions sharing one indexed affect
+    (reference: SciMLBase VectorContinuousCallback; tracked per component by
+    callback_tracking.jl:144-185). condition(u, p, t) -> (len,) array;
+    affect(u, p, t, idx) -> u_new with the static component index. Lowered
+    to `len` scalar ContinuousCallbacks at solve time, so detection,
+    records, and every adjoint treat each component as its own event."""
+
+    condition: Callable
+    affect: Callable
+    len: int
+    direction: int = 0
+    modifies_p: bool = False
+    terminal: bool = False
+
+    def lower(self) -> tuple:
+        def comp(i):
+            return ContinuousCallback(
+                condition=lambda u, p, t, i=i: jnp.asarray(
+                    self.condition(u, p, t))[i],
+                affect=lambda u, p, t, i=i: self.affect(u, p, t, i),
+                direction=self.direction,
+                modifies_p=self.modifies_p,
+                terminal=self.terminal,
+            )
+
+        return tuple(comp(i) for i in range(self.len))
+
+
+@dataclass(frozen=True)
+class PresetTimeCallback:
+    """Apply `affect` at the given times (DiffEqCallbacks.PresetTimeCallback
+    — the dosing-event surface; the reference's reverse pass inserts these
+    as PresetTimeCallback too, adjoint_common.jl:824-868). Lowered at solve
+    time to a DiscreteCallback firing when the step end lands on a preset
+    time, with the times forced as tstops so step ends DO land there."""
+
+    ts: Any              # 1-D array-like of concrete event times
+    affect: Callable     # (u, p, t) -> u_new
+    modifies_p: bool = False
+    terminal: bool = False
+
+    def lower(self, t0, t1):
+        import numpy as _onp
+
+        t0, t1 = float(t0), float(t1)  # needs a concrete tspan
+        ts = _onp.atleast_1d(_onp.asarray(self.ts, float))
+        lo, hi = (min(t0, t1), max(t0, t1))
+        ts = ts[(ts > lo) & (ts <= hi)]  # t0 itself can't be a step end
+        # numpy, NOT jnp: solve may be (re)traced under an outer jit, where
+        # jnp.asarray would yield a tracer that poisons the tstops merge;
+        # a numpy constant broadcasts against the traced t just fine.
+        ts_arr = _onp.sort(ts)
+
+        def condition(u, p, t):
+            # step ends hit tstops up to ~1 ulp (t_new = t + (stop - t))
+            tol = 64.0 * jnp.finfo(jnp.result_type(t, float)).eps * \
+                jnp.maximum(1.0, jnp.abs(t))
+            return jnp.any(jnp.abs(t - ts_arr) <= tol)
+
+        cb = DiscreteCallback(condition=condition, affect=self.affect,
+                              modifies_p=self.modifies_p,
+                              terminal=self.terminal)
+        return cb, ts_arr
+
+
+@dataclass(frozen=True)
+class PeriodicCallback:
+    """Apply `affect` every `period` time units, first at t0 + period
+    (DiffEqCallbacks.PeriodicCallback). Lowered to PresetTimeCallback over
+    the tspan at solve time."""
+
+    affect: Callable
+    period: float
+    modifies_p: bool = False
+    terminal: bool = False
+
+    def lower(self, t0, t1):
+        import numpy as _onp
+
+        span = abs(float(t1) - float(t0))
+        k = int(_onp.floor(span / float(self.period) + 1e-12))
+        sign = 1.0 if float(t1) >= float(t0) else -1.0
+        ts = float(t0) + sign * float(self.period) * _onp.arange(1, k + 1)
+        return PresetTimeCallback(ts=ts, affect=self.affect,
+                                  modifies_p=self.modifies_p,
+                                  terminal=self.terminal).lower(t0, t1)
+
+
+@dataclass(frozen=True)
+class TerminateSteadyState:
+    """Terminate when du/dt has converged: all |f(u,p,t)| <= abstol +
+    reltol·|u| at an accepted step end (DiffEqCallbacks.TerminateSteadyState).
+    Lowered at solve time to a terminal DiscreteCallback closing over the
+    problem's RHS. min_t guards against spuriously-flat transients."""
+
+    abstol: float = 1e-8
+    reltol: float = 1e-6
+    min_t: Optional[float] = None
+
+    def lower(self, f, unused_t0=None):
+        from jax.flatten_util import ravel_pytree
+
+        def condition(u, p, t):
+            du, _ = ravel_pytree(f(u, p, t))
+            uv, _ = ravel_pytree(u)
+            ok = jnp.all(jnp.abs(du) <= self.abstol
+                         + self.reltol * jnp.abs(uv))
+            if self.min_t is not None:
+                ok = ok & (t >= self.min_t)
+            return ok
+
+        return DiscreteCallback(condition=condition,
+                                affect=lambda u, p, t: u, terminal=True)
 
 
 @dataclass(frozen=True)
@@ -70,19 +197,55 @@ class CallbackSet:
         object.__setattr__(self, "discrete", tuple(self.discrete))
 
 
+def lower_time_callbacks(cb, f, t0, t1):
+    """Lower the solve-time-context callbacks (PresetTime/Periodic into
+    tstop-pinned DiscreteCallbacks; TerminateSteadyState closes over the
+    problem RHS). Returns (lowered, extra_tstops ndarray or None).
+    Accepts a single callback, a list/tuple, or a CallbackSet."""
+    import numpy as _onp
+
+    items = list(cb) if isinstance(cb, (list, tuple)) else [cb]
+    if isinstance(cb, CallbackSet):
+        items = list(cb.continuous) + list(cb.discrete)
+    out, stops = [], []
+    for c in items:
+        if isinstance(c, (PresetTimeCallback, PeriodicCallback)):
+            dc, ts = c.lower(t0, t1)
+            out.append(dc)
+            stops.append(_onp.asarray(ts))
+        elif isinstance(c, TerminateSteadyState):
+            out.append(c.lower(f))
+        else:
+            out.append(c)
+    extra = _onp.sort(_onp.unique(_onp.concatenate(stops))) if stops else None
+    return out, extra
+
+
 def as_callback_set(cb) -> Optional[CallbackSet]:
     if cb is None:
         return None
     if isinstance(cb, CallbackSet):
         return cb
+    if isinstance(cb, VectorContinuousCallback):
+        return CallbackSet(continuous=cb.lower())
     if isinstance(cb, ContinuousCallback):
         return CallbackSet(continuous=(cb,))
     if isinstance(cb, DiscreteCallback):
         return CallbackSet(discrete=(cb,))
     if isinstance(cb, (list, tuple)):
-        cont = tuple(c for c in cb if isinstance(c, ContinuousCallback))
-        disc = tuple(c for c in cb if isinstance(c, DiscreteCallback))
-        return CallbackSet(continuous=cont, discrete=disc)
+        cont, disc = [], []
+        for c in cb:
+            if isinstance(c, VectorContinuousCallback):
+                cont.extend(c.lower())
+            elif isinstance(c, ContinuousCallback):
+                cont.append(c)
+            elif isinstance(c, DiscreteCallback):
+                disc.append(c)
+            else:
+                raise TypeError(
+                    f"not a callback (or needs lower_time_callbacks): {c!r}"
+                )
+        return CallbackSet(continuous=tuple(cont), discrete=tuple(disc))
     raise TypeError(f"not a callback: {cb!r}")
 
 
@@ -106,6 +269,7 @@ class EventSet(NamedTuple):
     max_events: int
     directions: Any = None         # (k_cont,) in {-1, 0, +1}
     affect_p: Any = None           # (uvec, p, t, j) -> uvec (explicit p)
+    terminals: Any = None          # (k_cont + k_disc,) bool, or None
 
 
 def build_event_set(cbs: CallbackSet, p, unravel_u, max_events: int) -> EventSet:
@@ -145,9 +309,13 @@ def build_event_set(cbs: CallbackSet, p, unravel_u, max_events: int) -> EventSet
 
     directions = jnp.asarray([c.direction for c in conts], jnp.int32) \
         if n_cont else None
+    term_flags = [bool(getattr(c, "terminal", False))
+                  for c in tuple(conts) + tuple(discs)]
+    terminals = jnp.asarray(term_flags) if any(term_flags) else None
     return EventSet(cond=cond, affect=affect, disc_cond=disc_cond,
                     n_cont=n_cont, n_disc=n_disc, max_events=max_events,
-                    directions=directions, affect_p=affect_p)
+                    directions=directions, affect_p=affect_p,
+                    terminals=terminals)
 
 
 def any_modifies_p(cbs: CallbackSet) -> bool:
@@ -185,7 +353,7 @@ def lift_p_into_state(prob, cbs: CallbackSet):
                 return (aff(z[0], z[1], t), z[1])
         return ContinuousCallback(
             condition=lambda z, _p, t: cond(z[0], z[1], t),
-            affect=affect_z, direction=cb.direction,
+            affect=affect_z, direction=cb.direction, terminal=cb.terminal,
         )
 
     def lift_disc(cb: DiscreteCallback) -> DiscreteCallback:
@@ -198,7 +366,8 @@ def lift_p_into_state(prob, cbs: CallbackSet):
             def affect_z(z, _p, t):
                 return (aff(z[0], z[1], t), z[1])
         return DiscreteCallback(
-            condition=lambda z, _p, t: cond(z[0], z[1], t), affect=affect_z
+            condition=lambda z, _p, t: cond(z[0], z[1], t), affect=affect_z,
+            terminal=cb.terminal,
         )
 
     cbs_z = CallbackSet(

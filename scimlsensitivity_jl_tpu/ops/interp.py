@@ -93,12 +93,15 @@ def _locate(dense: DenseOutput, t):
 def dense_eval(dense: DenseOutput, t):
     """Evaluate the interpolant at scalar time t -> flat state vector."""
     i = _locate(dense, t)
-    z = jnp.zeros_like(i)
-    # one 2-row dynamic slice per buffer instead of two row gathers each
-    tt = jax.lax.dynamic_slice(dense.ts, (i,), (2,))
-    yy = jax.lax.dynamic_slice(dense.ys, (i, z), (2, dense.ys.shape[1]))
-    ff = jax.lax.dynamic_slice(dense.fs, (i, z), (2, dense.fs.shape[1]))
-    return hermite_eval(t, tt[0], tt[1], yy[0], ff[0], yy[1], ff[1])
+    # Row gathers, NOT a 2-row lax.dynamic_slice: the fused
+    # jvp-over-reverse-pass programs (second-order Hv/Hessian) trip an
+    # XLA-CPU fusion-compiler RET_CHECK ("Incorrect number of arguments" /
+    # llvm_module != nullptr) on dynamic-slice fusions inside while_loop
+    # bodies; gather lowers cleanly on both CPU and TPU at the same cost.
+    t0_, t1_ = dense.ts[i], dense.ts[i + 1]
+    y0_, y1_ = dense.ys[i], dense.ys[i + 1]
+    f0_, f1_ = dense.fs[i], dense.fs[i + 1]
+    return hermite_eval(t, t0_, t1_, y0_, f0_, y1_, f1_)
 
 
 def dense_eval_many(dense: DenseOutput, ts):

@@ -21,7 +21,9 @@ from .solvers.integrate import Stats
 
 __all__ = ["ODESolution", "RETCODE_NAMES"]
 
-RETCODE_NAMES = {0: "Success", 1: "MaxIters", 2: "DtLessThanMin"}
+RETCODE_NAMES = {0: "Success", 1: "MaxIters", 2: "DtLessThanMin",
+                 3: "DDELagViolation", 4: "EventRecordOverflow",
+                 5: "Terminated"}
 
 
 @dataclass
@@ -45,6 +47,13 @@ class ODESolution:
     unravel_u: Optional[Callable] = None
     u_final: Optional[jnp.ndarray] = None  # flat state at t1
     events: Any = None  # (ev_ts, ev_upre, ev_idx, ev_count) when callbacks on
+
+    @property
+    def success(self):
+        """True for Success AND Terminated (a deliberate terminal-callback
+        stop is a successful outcome, as in the reference's
+        `SciMLBase.successful_retcode`)."""
+        return (self.retcode == 0) | (self.retcode == 5)
 
     @property
     def t(self):

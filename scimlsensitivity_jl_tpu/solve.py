@@ -268,9 +268,42 @@ def _solve_ode(prob, solver, *, saveat, rtol, atol, dt0, dt, max_steps,
             "dae_init applies only to singular-mass-matrix (DAE) problems"
         )
 
-    from .callbacks import any_modifies_p, as_callback_set, lift_p_into_state
+    from .callbacks import (any_modifies_p, as_callback_set,
+                            lift_p_into_state, lower_time_callbacks)
 
+    if callback is not None:
+        # PresetTime/Periodic -> tstop-pinned DiscreteCallbacks (the
+        # dosing-event surface, DiffEqCallbacks.PresetTimeCallback);
+        # TerminateSteadyState closes over this problem's RHS.
+        callback, _extra_stops = lower_time_callbacks(callback, prob.f,
+                                                      t0, t1)
+        if _extra_stops is not None:
+            import numpy as _np
+
+            tstops = _extra_stops if tstops is None else _np.union1d(
+                _np.asarray(tstops, float), _extra_stops
+            )
     cbs = as_callback_set(callback)
+
+    if cbs is not None and any(
+        getattr(c, "terminal", False)
+        for c in tuple(cbs.continuous) + tuple(cbs.discrete)
+    ):
+        from .sensealg import DirectAdjoint as _DA
+        from .sensealg import ForwardDiffSensitivity as _FDS
+
+        if sensealg is None:
+            sensealg = _DA()
+        elif not isinstance(sensealg, (_DA, _FDS)):
+            # The continuous adjoints reverse from the STATIC t1; with a
+            # terminal stop the reverse must start at the dynamic t_final,
+            # which they don't support — discrete AD handles it exactly
+            # (and differentiates the stopping time τ itself).
+            raise NotImplementedError(
+                "terminal callbacks (terminate!/TerminateSteadyState) need "
+                "a discrete sensealg: DirectAdjoint or "
+                "ForwardDiffSensitivity"
+            )
 
     lifted = False
     if cbs is not None and any_modifies_p(cbs) and \

@@ -39,6 +39,7 @@ class StepEvents(NamedTuple):
     u_post: jnp.ndarray     # state after ALL simultaneous affects
     f_post: jnp.ndarray
     events: tuple           # updated (ev_ts, ev_upre, ev_idx, ev_count)
+    terminated: jnp.ndarray = None  # scalar bool — a terminal cb fired
 
 
 def init_event_buffers(event_set, t1, n, dtype, tdtype):
@@ -215,6 +216,11 @@ def process_step_events(event_set, fvec, t_a, dt_eff, u_a, f_a, u_b, f_b,
         )
         ev_count = ev_count + fire.astype(jnp.int32)
 
+    if event_set.terminals is not None:
+        terminated = accept & jnp.any(fires & event_set.terminals)
+    else:
+        terminated = jnp.asarray(False)
+
     # State outputs restored to the integration state's dtype: interpolation
     # at the (>= f32) event time promotes sub-f32 states, which would
     # otherwise collide with the bf16/f16 loop carry in the drivers' merges.
@@ -227,4 +233,5 @@ def process_step_events(event_set, fvec, t_a, dt_eff, u_a, f_a, u_b, f_b,
         u_post=u_post.astype(sd),
         f_post=f_post.astype(sd),
         events=(ev_ts, ev_upre, ev_idx, ev_count),
+        terminated=terminated,
     )

@@ -37,6 +37,12 @@ __all__ = [
 RETCODE_SUCCESS = 0
 RETCODE_MAXITERS = 1
 RETCODE_DTMIN = 2
+# 3 = DDE lag violation (adjoints/dde.py)
+RETCODE_EVENT_OVERFLOW = 4  # more event firings than max_events record slots
+# Deliberate early stop by a terminal callback (reference retcode
+# Terminated) — a SUCCESS variant, not a failure: values/gradients stay
+# valid (saveat rows strictly after t_final hold the terminal state).
+RETCODE_TERMINATED = 5
 
 
 class Stats(NamedTuple):
@@ -288,6 +294,7 @@ def integrate(
         # composed in callback order and each recorded) -------------------
         events_carry = c.events
         event_fired = jnp.asarray(False)
+        event_term = jnp.asarray(False)
         u_post_pair = None  # (t_e, u_post, f_post) extra row when fired
         if event_set is not None:
             from .events import process_step_events
@@ -297,6 +304,7 @@ def integrate(
                 accept, c.events, tdtype,
             )
             event_fired = se.fired
+            event_term = se.terminated
             # truncate the accepted step to the event point (pre-affect)
             t_new = jnp.where(event_fired, se.t_e, t_new)
             u_new = jnp.where(event_fired, se.u_pre, u_new)
@@ -340,13 +348,29 @@ def integrate(
             # (and no event truncated it first).
             hit_stop = accept & (jnp.abs(c.dt) >= jnp.abs(remaining)) & ~event_fired
 
+            # The re-evaluated f seeds the FIRST stage of the step BEYOND
+            # the stop. When fvec gathers a dense buffer with a zero-width
+            # discontinuity row AT the stop (reverse adjoint solves at event
+            # times), evaluating exactly at t_new returns the right-limit
+            # side — the wrong side for the region ahead in reverse time.
+            # Nudge the evaluation one stop-matching tolerance INTO the
+            # integration direction so the gather lands on the correct
+            # branch (t-error O(64 eps), same order as the stop matcher;
+            # fixes a per-event O(1e-5) systematic q error in the joined
+            # [λ; q] InterpolatingAdjoint reverse — Gauss/GK quadrature
+            # nodes are interior and never saw it).
+            t_eval = t_new + tdir * (
+                jnp.asarray(64.0, tdtype) * jnp.finfo(tdtype).eps
+                * jnp.maximum(1.0, jnp.abs(t_new))
+            )
+
             def _apply(args):
                 u_, f_, hc_ = args
                 u_p, hc_p, fired = stop_transform(t_new, u_, hc_)
                 # cast: fvec may promote (bf16 state at f32 time)
                 f_p = jax.lax.cond(
                     fired,
-                    lambda: fvec(u_p, t_new).astype(f_.dtype),
+                    lambda: fvec(u_p, t_eval).astype(f_.dtype),
                     lambda: f_,
                 )
                 return u_p, f_p, hc_p, fired
@@ -371,12 +395,17 @@ def integrate(
         underflow = (jnp.abs(dt_next) < dt_floor) & ~done
         out_of_steps = ((n_acc >= max_steps) | (c.n_iter + 1 >= 4 * max_steps)) & ~done
         status = jnp.where(
-            done,
-            RETCODE_SUCCESS,
+            event_term,  # deliberate stop wins over everything
+            RETCODE_TERMINATED,
             jnp.where(
-                out_of_steps,
-                RETCODE_MAXITERS,
-                jnp.where(underflow, RETCODE_DTMIN, jnp.asarray(-1, jnp.int32)),
+                done,
+                RETCODE_SUCCESS,
+                jnp.where(
+                    out_of_steps,
+                    RETCODE_MAXITERS,
+                    jnp.where(underflow, RETCODE_DTMIN,
+                              jnp.asarray(-1, jnp.int32)),
+                ),
             ),
         ).astype(jnp.int32)
 
@@ -422,11 +451,24 @@ def integrate(
     ts = jnp.where(valid, final.ts, final.t)
     n_dense_steps = jnp.minimum(final.n_acc, buf_len - 1)
     dense = DenseOutput(ts=ts, ys=final.ys, fs=final.fs, n_steps=n_dense_steps, tdir=tdir)
+    retcode = final.status
+    if event_set is not None:
+        # More firings than record slots: the extra affects WERE applied to
+        # the trajectory but are not in the record buffers, so every
+        # record-consuming reverse pass (continuous adjoints, direct-API
+        # event corrections) would be silently wrong. Flag loudly; the
+        # bwd rules NaN-poison on any nonzero retcode. Raise max_events=
+        # for legitimately event-dense (e.g. chattering) trajectories.
+        overflow = final.events[3] > final.events[0].shape[0]
+        ok = (retcode == RETCODE_SUCCESS) | (retcode == RETCODE_TERMINATED)
+        retcode = jnp.where(overflow & ok,
+                            jnp.asarray(RETCODE_EVENT_OVERFLOW, jnp.int32),
+                            retcode)
     stats = Stats(
         n_accepted=final.n_acc,
         n_rejected=final.n_rej,
         n_fevals=final.n_iter * jnp.asarray(getattr(stepper, "n_stages", 1), jnp.int32),
-        retcode=final.status,
+        retcode=retcode,
     )
     return IntegrateResult(
         dense=dense, t_final=final.t, u_final=final.u, stats=stats,
@@ -586,6 +628,13 @@ def integrate_scan(
             u_new = jnp.where(se.fired, se.u_post, u_new)
             f_new = jnp.where(se.fired, se.f_post, f_new)
             ev = se.events
+            # terminal callback: freeze the loop at (τ, u_post); later
+            # iterations are masked no-ops (running=False), so plain AD
+            # through this scan differentiates t_final = τ and
+            # u_final = A(u(τ)) exactly (Newton-polished τ)
+            status = jnp.where(se.terminated,
+                               jnp.asarray(RETCODE_TERMINATED, jnp.int32),
+                               status)
 
         n_acc = n_acc + accept.astype(jnp.int32)
         n_rej = n_rej + (running & ~accept).astype(jnp.int32)
@@ -607,7 +656,10 @@ def integrate_scan(
             dbufs = (ts_b, ys_b, fs_b)
 
         done = accept & ((t1 - t_new) * tdir <= jnp.abs(t1) * 1e-14 + 1e-300)
-        status = jnp.where(running & done, RETCODE_SUCCESS, status).astype(jnp.int32)
+        # status < 0 guard: a terminal event this step (status already
+        # RETCODE_TERMINATED) must not be overwritten by reaching t1
+        status = jnp.where((status < 0) & done, RETCODE_SUCCESS,
+                           status).astype(jnp.int32)
         return (t_new, u_new, f_new, dt_next, err_prev, n_acc, n_rej, status,
                 hc, ev, dbufs), None
 
