@@ -25,6 +25,7 @@ from .sensealg import (
     Cos2Windowing,
     CosWindowing,
     DirectAdjoint,
+    ForwardDiffOverAdjoint,
     ForwardDiffSensitivity,
     ForwardLSS,
     FiniteDiffVJP,
@@ -152,6 +153,7 @@ __all__ = [
     "GaussAdjoint",
     "GaussKronrodAdjoint",
     "DirectAdjoint",
+    "ForwardDiffOverAdjoint",
     "ForwardSensitivity",
     "ForwardDiffSensitivity",
     "SteadyStateAdjoint",

@@ -107,10 +107,54 @@ def reverse_joined_solve(
             k = k - match.astype(k.dtype)
         return z, k
 
-    z0, k0 = apply_at(t_hi, z_init, jnp.asarray(m - 1, jnp.int32))
-
     have_events = event_apply is not None and event_times is not None
+
+    # ---- start-of-reverse consumption (while_loops, NOT the bounded
+    # unrolled matcher — we're outside the integration loop here, so a
+    # dynamic trip count is fine and the row count is unbounded): every
+    # jump row at-or-above t_hi fires NOW. For a normal solve that is the
+    # t1 row (+ coincident saveat), identical to the old behavior; for a
+    # TERMINATED solve (t_hi = t_final < t1) it also folds the held
+    # saveat rows — outputs frozen at u(t_final) — onto the reverse start.
+    # Events recorded at t_hi fire now too (post-state cotangents first,
+    # then the event reverse transform): previously an event firing
+    # exactly at t1 (e.g. a discrete/preset callback at the final step
+    # end) had its reverse jump silently DROPPED — the in-loop matcher
+    # only sees stops the integrator lands on, and it starts at t_hi.
+    tol0 = 64.0 * eps * jnp.maximum(jnp.abs(t_hi), 1.0)
+
+    def _consume_jumps(state):
+        z, k = state
+        kc = jnp.maximum(k, 0)
+        z = z.at[:n_lam].add(lam_jumps[kc])
+        if snap_values is not None:
+            z = jax.lax.dynamic_update_slice(z, snap_values[kc],
+                                             (snap_start,))
+        return z, k - 1
+
+    z0, k0 = jax.lax.while_loop(
+        lambda s: (s[1] >= 0) & (times[jnp.maximum(s[1], 0)]
+                                 >= t_hi - tol0),
+        _consume_jumps,
+        (z_init, jnp.asarray(m - 1, jnp.int32)),
+    )
+
     ke0 = (jnp.asarray(event_count, jnp.int32) - 1) if have_events else jnp.asarray(-1, jnp.int32)
+    if have_events:
+        ev_t = jnp.asarray(event_times, tdtype)
+
+        def _consume_events(state):
+            z, hc, ke = state
+            kec = jnp.maximum(ke, 0)
+            z, hc = event_apply(kec, t_hi, z, hc)
+            return z, hc, ke - 1
+
+        z0, hook_carry, ke0 = jax.lax.while_loop(
+            lambda s: (s[2] >= 0) & (ev_t[jnp.maximum(s[2], 0)]
+                                     >= t_hi - tol0),
+            _consume_events,
+            (z0, hook_carry, ke0),
+        )
 
     def stop_transform(t, z, carry):
         hc, k, ke = carry

@@ -78,6 +78,17 @@ class SolveOptions(NamedTuple):
     verbose: bool = False
 
 
+def _rc_ok(retcode):
+    """Map the deliberate RETCODE_TERMINATED stop to success BEFORE the
+    max-with-reverse-worst combination (so a terminal stop doesn't poison
+    gradients, and — combined via max AFTER this — can't mask a genuine
+    reverse-solve failure either)."""
+    from ..solvers.integrate import RETCODE_TERMINATED
+
+    return jnp.where(retcode == RETCODE_TERMINATED,
+                     jnp.zeros_like(retcode), retcode)
+
+
 class AuxOut(NamedTuple):
     dense: Any
     t_final: jnp.ndarray
@@ -505,6 +516,15 @@ def _make_event_apply(kern, p, event_set, fwd_events, n, npf,
                 f_m = kern.fvec(u_pre, p, t)
                 u_post = affect_p(u_pre, p, t, j)
                 f_p = kern.fvec(u_post, p, t)
+                if event_set.terminals is not None:
+                    # Terminal continuous event: the trajectory STOPS at τ,
+                    # so downstream outputs (u_final, held saveat rows) are
+                    # A(u(τ)) with NO post-event evolution — the implicit-τ
+                    # correction pairs against f⁺ = 0, not f(u_post):
+                    # du_final/dp = A_u(u_p + f⁻ dτ/dp) + A_p,
+                    # dτ/dp = -g_u u_p / ġ.
+                    f_p = jnp.where(event_set.terminals[j],
+                                    jnp.zeros_like(f_p), f_p)
                 _, Af_m = jax.jvp(
                     lambda uu: affect_p(uu, p, t, j), (u_pre,), (f_m,)
                 )
@@ -780,6 +800,18 @@ def make_ode_solve_fn(f, solver, sensealg, opts: SolveOptions, t0, t1, *,
             )(fwd.ys_save, saveat_t.real.astype(
                 jnp.promote_types(u0vec.real.dtype, jnp.float32)
             ), lam_jumps).astype(saveat.dtype)
+            # save times past a terminal stop hold u(t_final): the held
+            # output doesn't move with its nominal save time — dL/dt_i = 0
+            ttype = jnp.promote_types(u0vec.real.dtype, jnp.float32)
+            tf = jnp.asarray(fwd.t_final, ttype)
+            tol_r = 64.0 * jnp.finfo(ttype).eps * jnp.maximum(
+                jnp.abs(tf), 1.0
+            )
+            sv_r = saveat_t.real.astype(ttype)
+            tdir_r = jnp.where(jnp.asarray(t1, ttype)
+                               >= jnp.asarray(t0, ttype), 1.0, -1.0)
+            reached = (sv_r - tf) * tdir_r <= tol_r
+            d_saveat = jnp.where(reached, d_saveat, 0.0)
         else:
             d_saveat = jnp.zeros_like(saveat)
 
@@ -1001,7 +1033,7 @@ def make_ode_solve_fn(f, solver, sensealg, opts: SolveOptions, t0, t1, *,
                     dae_stepper, aug_rhs, times, jumps_aug, z0, n + npf,
                     rtol=adj_rtol, atol=adj_atol,
                     max_steps=adj_max_steps, dt0=opts.dt0,
-                    err_weights=wts, t_span=(t0, t1),
+                    err_weights=wts, t_span=(t0, fwd.t_final),
                     **dae_ev_kwargs,
                 )
                 # dG/du0 pairs through μ = Mᵀλ; algebraic initial values are
@@ -1010,7 +1042,7 @@ def make_ode_solve_fn(f, solver, sensealg, opts: SolveOptions, t0, t1, *,
                 # their cotangent is 0 by convention.
                 du0vec = du0_map(z[:n])
                 return _returns(unravel_u, unravel_p, du0vec, z[n:], saveat,
-                                jnp.maximum(fwd.stats.retcode, worst),
+                                jnp.maximum(_rc_ok(fwd.stats.retcode), worst),
                                 primals=(u0, p), d_saveat=d_saveat)
 
             z0 = jnp.zeros(n + npf, u0vec.dtype)
@@ -1032,12 +1064,12 @@ def make_ode_solve_fn(f, solver, sensealg, opts: SolveOptions, t0, t1, *,
                 bwd_stepper, aug_rhs, times, jumps, z0, n,
                 rtol=adj_rtol, atol=adj_atol,
                 max_steps=adj_max_steps,
-                err_weights=wts, t_span=(t0, t1), jump_unroll=jump_unroll,
+                err_weights=wts, t_span=(t0, fwd.t_final), jump_unroll=jump_unroll,
                 **ev_kwargs,
             )
             return _returns(unravel_u, unravel_p, z[:n], z[n:] + q_extra,
                             saveat,
-                            jnp.maximum(fwd.stats.retcode, worst),
+                            jnp.maximum(_rc_ok(fwd.stats.retcode), worst),
                             primals=(u0, p), d_saveat=d_saveat)
 
         # Checkpointed: re-solve each inter-save interval forward from the
@@ -1141,7 +1173,7 @@ def make_ode_solve_fn(f, solver, sensealg, opts: SolveOptions, t0, t1, *,
         )
         z = z.at[:n].add(jumps[0])
         return _returns(unravel_u, unravel_p, z[:n], z[n:], saveat,
-                        jnp.maximum(fwd.stats.retcode, worst),
+                        jnp.maximum(_rc_ok(fwd.stats.retcode), worst),
                         primals=(u0, p), d_saveat=d_saveat)
 
     # -- BacksolveAdjoint ------------------------------------------------
@@ -1188,12 +1220,12 @@ def make_ode_solve_fn(f, solver, sensealg, opts: SolveOptions, t0, t1, *,
             rtol=adj_rtol, atol=adj_atol,
             max_steps=adj_max_steps,
             snap_values=snap_values, snap_start=snap_start,
-            err_weights=wts, t_span=(t0, t1), jump_unroll=jump_unroll,
+            err_weights=wts, t_span=(t0, fwd.t_final), jump_unroll=jump_unroll,
             **ev_kwargs,
         )
         return _returns(unravel_u, unravel_p, z[:n], z[n:n + npf] + q_extra,
                         saveat,
-                        jnp.maximum(fwd.stats.retcode, worst),
+                        jnp.maximum(_rc_ok(fwd.stats.retcode), worst),
                         primals=(u0, p), d_saveat=d_saveat)
 
     # -- GaussAdjoint ----------------------------------------------------
@@ -1242,13 +1274,13 @@ def make_ode_solve_fn(f, solver, sensealg, opts: SolveOptions, t0, t1, *,
                 dae_stepper, aug_rhs, times, lamjs, lam0, n,
                 rtol=adj_rtol, atol=adj_atol,
                 max_steps=adj_max_steps, dt0=opts.dt0,
-                hook=gauss_hook, hook_carry=q0, t_span=(t0, t1),
+                hook=gauss_hook, hook_carry=q0, t_span=(t0, fwd.t_final),
                 **dae_ev_kwargs,
             )
             qflat = finish_q(qcarry) + jnp.sum(qjs, axis=0)
             du0vec = du0_map(lam)
             return _returns(unravel_u, unravel_p, du0vec, qflat, saveat,
-                            jnp.maximum(fwd.stats.retcode, worst),
+                            jnp.maximum(_rc_ok(fwd.stats.retcode), worst),
                             primals=(u0, p), d_saveat=d_saveat)
 
         ev_kwargs = {}
@@ -1264,12 +1296,12 @@ def make_ode_solve_fn(f, solver, sensealg, opts: SolveOptions, t0, t1, *,
             rtol=adj_rtol, atol=adj_atol,
             max_steps=adj_max_steps,
             hook=gauss_hook, hook_carry=q0,
-            t_span=(t0, t1), jump_unroll=jump_unroll,
+            t_span=(t0, fwd.t_final), jump_unroll=jump_unroll,
             **ev_kwargs,
         )
         return _returns(unravel_u, unravel_p, lam, finish_q(qcarry) + q_extra,
                         saveat,
-                        jnp.maximum(fwd.stats.retcode, worst),
+                        jnp.maximum(_rc_ok(fwd.stats.retcode), worst),
                         primals=(u0, p), d_saveat=d_saveat)
 
     # -- QuadratureAdjoint ----------------------------------------------
@@ -1328,7 +1360,7 @@ def make_ode_solve_fn(f, solver, sensealg, opts: SolveOptions, t0, t1, *,
             max_steps=adj_max_steps, dt0=dt0_use,
             collect_dense=True,
             hook_carry=q_ev0,
-            t_span=(t0, t1), jump_unroll=jump_unroll,
+            t_span=(t0, fwd.t_final), jump_unroll=jump_unroll,
             **ev_kwargs,
         )
 
@@ -1341,7 +1373,7 @@ def make_ode_solve_fn(f, solver, sensealg, opts: SolveOptions, t0, t1, *,
             q = q + jnp.sum(dae_qjs, axis=0)
             lam = du0_map(lam)
         return _returns(unravel_u, unravel_p, lam, q, saveat,
-                        jnp.maximum(fwd.stats.retcode, worst),
+                        jnp.maximum(_rc_ok(fwd.stats.retcode), worst),
                         primals=(u0, p), d_saveat=d_saveat)
 
     # -- ForwardDiffSensitivity (discrete forward mode) ------------------

@@ -100,6 +100,19 @@ def adjoint_sensitivities(
     """
     if sol.dense is None:
         raise ValueError("adjoint_sensitivities needs solve(..., dense=True)")
+    rc = getattr(sol, "retcode", None)
+    if rc is not None:
+        try:
+            if int(rc) == 5:  # RETCODE_TERMINATED
+                raise NotImplementedError(
+                    "adjoint_sensitivities on a Terminated solution is not "
+                    "supported (the reverse designs here integrate the "
+                    "static tspan); differentiate through solve() instead "
+                    "— grad-over-solve reverses from the dynamic t_final"
+                )
+        except (jax.errors.ConcretizationTypeError,
+                jax.errors.TracerArrayConversionError):
+            pass  # traced retcode: the NaN-poisoning in _finish flags it
     prob = sol.prob
     solver = solver or sol.solver
     sensealg = sensealg or InterpolatingAdjoint()

@@ -48,6 +48,16 @@ _CONTINUOUS = (GaussAdjoint, InterpolatingAdjoint)
 _CONTINUOUS_REJECT = (GaussKronrodAdjoint, QuadratureAdjoint)
 
 
+def _unwrap_fdoa(sensealg):
+    """ForwardDiffOverAdjoint(adjalg) -> its wrapped continuous adjoint
+    (reference sensitivity_algorithms.jl:1760: forward over the adjoint)."""
+    from ..sensealg import ForwardDiffOverAdjoint
+
+    if isinstance(sensealg, ForwardDiffOverAdjoint):
+        return sensealg.adjalg or GaussAdjoint()
+    return sensealg
+
+
 def _check_second_order_sensealg(sensealg):
     if isinstance(sensealg, _CONTINUOUS_REJECT):
         raise NotImplementedError(
@@ -168,7 +178,7 @@ def second_order_sensitivities(loss, prob, solver=None, *, sensealg=None,
     DirectAdjoint (default, discrete) or a continuous adjoint
     (GaussAdjoint/InterpolatingAdjoint — the ForwardDiffOverAdjoint path).
     """
-    sensealg = sensealg or DirectAdjoint()
+    sensealg = _unwrap_fdoa(sensealg) or DirectAdjoint()
     _check_second_order_sensealg(sensealg)
     pflat, unravel_p = ravel_pytree(prob.p)
 
@@ -188,7 +198,7 @@ def second_order_sensitivity_product(loss, prob, v, solver=None, *,
                                      sensealg=None, **solve_kwargs):
     """Hessian-vector product H·v wrt prob.p without materializing H —
     one jvp of the gradient in direction v (reference :15-28)."""
-    sensealg = sensealg or DirectAdjoint()
+    sensealg = _unwrap_fdoa(sensealg) or DirectAdjoint()
     _check_second_order_sensealg(sensealg)
     pflat, unravel_p = ravel_pytree(prob.p)
     vflat = ravel_pytree(v)[0] if not isinstance(v, jnp.ndarray) else jnp.asarray(v)

@@ -61,6 +61,7 @@ __all__ = [
     "GaussAdjoint",
     "GaussKronrodAdjoint",
     "DirectAdjoint",
+    "ForwardDiffOverAdjoint",
     "SteadyStateAdjoint",
     "ForwardLSS",
     "AdjointLSS",
@@ -240,6 +241,19 @@ class DirectAdjoint(AbstractSensealg):
 
     max_steps: int = 0  # 0 => inherit solve's max_steps
     remat: bool = False
+
+
+@dataclass(frozen=True)
+class ForwardDiffOverAdjoint(AbstractSensealg):
+    """Second-order composition selector (reference:
+    src/sensitivity_algorithms.jl:1760, second_order.jl): forward mode OVER
+    a continuous adjoint for Hessians / Hessian-vector products.
+    `second_order_sensitivities` / `second_order_sensitivity_product`
+    accept it as `sensealg=` and run jacfwd over the explicit
+    forward-solve + reverse-λ program of the wrapped adjoint. Not a
+    first-order sensealg — `solve()` rejects it."""
+
+    adjalg: AbstractSensealg = None  # None => GaussAdjoint()
 
 
 @dataclass(frozen=True)

@@ -99,11 +99,23 @@ def solve(
     if isinstance(prob, SDEProblem):
         from .adjoints.sde import solve_sde
 
+        if callback is not None:
+            raise NotImplementedError(
+                "callbacks on SDEProblem are not supported (event adjoints "
+                "are ODE-only here; the hybrid-SDE jump adjoint is future "
+                "work) — don't pass callback=, it would be silently ignored"
+            )
         return solve_sde(
             prob, solver, saveat=saveat, dt=dt, sensealg=sensealg,
             max_steps=max_steps, key=key, rtol=rtol, atol=atol,
         )
     from .problems import DDEProblem, NonlinearProblem, RODEProblem, SteadyStateProblem
+
+    if callback is not None and isinstance(prob, (DDEProblem, RODEProblem)):
+        raise NotImplementedError(
+            f"callbacks on {type(prob).__name__} are not supported — don't "
+            "pass callback=, it would be silently ignored"
+        )
 
     if isinstance(prob, DDEProblem):
         from .adjoints.dde import solve_dde, solve_dde_adaptive
@@ -289,20 +301,38 @@ def _solve_ode(prob, solver, *, saveat, rtol, atol, dt0, dt, max_steps,
         getattr(c, "terminal", False)
         for c in tuple(cbs.continuous) + tuple(cbs.discrete)
     ):
+        from .sensealg import BacksolveAdjoint as _BA
         from .sensealg import DirectAdjoint as _DA
         from .sensealg import ForwardDiffSensitivity as _FDS
+        from .sensealg import GaussAdjoint as _GA
+        from .sensealg import GaussKronrodAdjoint as _GKA
+        from .sensealg import InterpolatingAdjoint as _IA
+        from .sensealg import QuadratureAdjoint as _QA
 
+        # Continuous adjoints reverse from the DYNAMIC t_final (the
+        # reference shrinks the adjoint tspan on retcode Terminated,
+        # interpolating_adjoint.jl:347-353); held saveat rows fold onto
+        # the reverse start and the terminal event's implicit-τ correction
+        # pairs against f⁺ = 0. Checkpointed variants pin their interval
+        # grid to the static save times — not supported with a dynamic
+        # stop; DirectAdjoint/FDS differentiate the truncated program
+        # (incl. t_final itself) exactly.
         if sensealg is None:
             sensealg = _DA()
-        elif not isinstance(sensealg, (_DA, _FDS)):
-            # The continuous adjoints reverse from the STATIC t1; with a
-            # terminal stop the reverse must start at the dynamic t_final,
-            # which they don't support — discrete AD handles it exactly
-            # (and differentiates the stopping time τ itself).
+        elif isinstance(sensealg, (_IA, _GA, _GKA)) and \
+                getattr(sensealg, "checkpointing", False):
             raise NotImplementedError(
-                "terminal callbacks (terminate!/TerminateSteadyState) need "
-                "a discrete sensealg: DirectAdjoint or "
+                "terminal callbacks need the dense (non-checkpointed) "
+                "continuous adjoints, DirectAdjoint, or "
                 "ForwardDiffSensitivity"
+            )
+        elif not isinstance(sensealg, (_DA, _FDS, _IA, _GA, _GKA, _QA,
+                                       _BA)):
+            raise NotImplementedError(
+                "terminal callbacks (terminate!/TerminateSteadyState): use "
+                "DirectAdjoint, ForwardDiffSensitivity, or a dense "
+                "continuous adjoint (Interpolating/Gauss/GK/Quadrature/"
+                "Backsolve)"
             )
 
     lifted = False

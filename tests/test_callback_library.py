@@ -197,14 +197,31 @@ def test_terminal_event_time_to_event_gradient():
                   sensealg=alg, **TOLS)
         return -s.ys[-1, 1] / q[0]
 
+    # every discrete AND dense continuous adjoint differentiates the
+    # stopping time (continuous adjoints reverse from the dynamic t_final;
+    # the terminal event's implicit-τ correction pairs against f⁺ = 0)
     dtau_exact = -tau / (2 * 3.0)
-    for alg in [DirectAdjoint(), ForwardDiffSensitivity()]:
+    for alg in [DirectAdjoint(), ForwardDiffSensitivity(), GaussAdjoint(),
+                InterpolatingAdjoint(), BacksolveAdjoint(),
+                QuadratureAdjoint(abstol=1e-12, reltol=1e-10)]:
         g = float(jax.grad(lambda q: tau_of(q, alg))(g0)[0])
-        np.testing.assert_allclose(g, dtau_exact, rtol=1e-6,
+        np.testing.assert_allclose(g, dtau_exact, rtol=1e-9,
+                                   err_msg=type(alg).__name__)
+
+    # dτ/du0[0] = 1/(g τ) through the held velocity row
+    def tau_u(v0, alg):
+        s = solve(ODEProblem(f, v0, (0.0, 2.0), g0), Tsit5(),
+                  saveat=jnp.array([0.0, 2.0]), callback=cb,
+                  sensealg=alg, **TOLS)
+        return -s.ys[-1, 1] / g0[0]
+
+    for alg in [GaussAdjoint(), InterpolatingAdjoint()]:
+        gu = np.asarray(jax.grad(lambda v: tau_u(v, alg))(u0))
+        np.testing.assert_allclose(gu[0], 1.0 / (3.0 * tau), rtol=1e-9,
                                    err_msg=type(alg).__name__)
 
 
-def test_terminal_event_continuous_sensealg_raises():
+def test_terminal_event_checkpointing_raises():
     def f(u, p, t):
         return -p * u
 
@@ -214,11 +231,60 @@ def test_terminal_event_continuous_sensealg_raises():
     with pytest.raises(NotImplementedError):
         jax.grad(lambda q: jnp.sum(
             solve(ODEProblem(f, jnp.array([1.0]), (0.0, 5.0), q), Tsit5(),
-                  callback=cb, sensealg=GaussAdjoint(), **TOLS).ys
+                  callback=cb,
+                  sensealg=InterpolatingAdjoint(checkpointing=True),
+                  **TOLS).ys
         ))(jnp.array([1.0]))
     # default sensealg silently upgraded to DirectAdjoint, not an error
     s = solve(prob, Tsit5(), callback=cb, **TOLS)
     assert int(s.retcode) == 5
+
+
+def test_terminal_event_held_rows_and_prior_events_continuous_adjoints():
+    """Damped rotation with a non-terminal event AND a terminal stop:
+    held saveat rows + prior-event composition, continuous adjoints vs the
+    discrete-forward oracle."""
+
+    def f(u, p, t):
+        return jnp.array([p[0] * u[1], -p[0] * u[0]])
+
+    cbs = [
+        # non-terminal; the affect pushes u[1] AWAY from the threshold so
+        # the event doesn't chatter
+        ContinuousCallback(lambda u, p, t: u[1] + 0.3,
+                           lambda u, p, t: jnp.array(
+                               [u[0] * p[1], u[1] - 0.1]),
+                           direction=-1),
+        ContinuousCallback(lambda u, p, t: u[0] + 0.55,
+                           lambda u, p, t: u * 0.9,
+                           direction=-1, terminal=True),
+    ]
+    u0 = jnp.array([1.0, 0.0])
+    p0 = jnp.array([2.0, 0.95])
+    ts = jnp.linspace(0.0, 3.0, 9)
+    wts = jnp.arange(1.0, 19.0).reshape(9, 2)
+
+    def loss(q, alg):
+        s = solve(ODEProblem(f, u0, (0.0, 3.0), q), Tsit5(), saveat=ts,
+                  callback=cbs, sensealg=alg, max_events=64, **TOLS)
+        return jnp.sum(wts * s.ys)
+
+    s = solve(ODEProblem(f, u0, (0.0, 3.0), p0), Tsit5(), saveat=ts,
+              callback=cbs, max_events=64, **TOLS)
+    assert int(s.retcode) == 5
+    assert int(s.events[3]) >= 2       # prior event(s) + the terminal one
+
+    g_ref = np.asarray(jax.grad(lambda q: loss(q, ForwardDiffSensitivity()))
+                       (p0))
+    assert np.linalg.norm(g_ref) > 1e-8
+    for alg in [DirectAdjoint(), GaussAdjoint(), InterpolatingAdjoint(),
+                BacksolveAdjoint(),
+                QuadratureAdjoint(abstol=1e-12, reltol=1e-10)]:
+        g = np.asarray(jax.grad(lambda q: loss(q, alg))(p0))
+        # 1e-5: continuous adjoints interpolate the forward between nodes
+        # (all four agree with each other to ~4e-7 — no systematic term)
+        np.testing.assert_allclose(g, g_ref, rtol=1e-5,
+                                   err_msg=type(alg).__name__)
 
 
 def test_terminate_steady_state():
@@ -249,6 +315,33 @@ def test_terminate_steady_state():
         lambda q: loss(q, ForwardDiffSensitivity()))(a))
     np.testing.assert_allclose(g_dir, g_fds, rtol=1e-9)
     np.testing.assert_allclose(g_dir, np.array([1.0, 2.0]), rtol=1e-6)
+
+
+def test_event_exactly_at_t1_reverse_jump_applied():
+    """Regression: an event firing exactly at t1 (here a preset dose at the
+    final time) had its reverse jump silently DROPPED by every continuous
+    adjoint — the in-loop stop matcher only sees stops the reverse
+    integrator lands on, and it STARTS at t1. Gradient was exactly 2x the
+    true value on this problem (the affect's 0.5 factor never applied)."""
+
+    def f(u, p, t):
+        return -p * u
+
+    cb = PresetTimeCallback([1.0], lambda u, p, t: u * 0.5)
+
+    def loss(q, alg):
+        s = solve(ODEProblem(f, jnp.array([1.0]), (0.0, 1.0), q), Tsit5(),
+                  saveat=jnp.array([1.0]), callback=cb, sensealg=alg, **TOLS)
+        return s.ys[-1, 0]
+
+    p0 = jnp.array([1.3])
+    exact = -0.5 * np.exp(-1.3)
+    for alg in [GaussAdjoint(), InterpolatingAdjoint(), BacksolveAdjoint(),
+                QuadratureAdjoint(abstol=1e-12, reltol=1e-10),
+                DirectAdjoint(), ForwardDiffSensitivity()]:
+        g = float(jax.grad(lambda q: loss(q, alg))(p0)[0])
+        np.testing.assert_allclose(g, exact, rtol=1e-7,
+                                   err_msg=type(alg).__name__)
 
 
 def test_terminal_preset_time_stops_early():

@@ -199,8 +199,11 @@ def test_adaptive_unrolled_matches_loop_driver():
     def tiny_loss(p):
         prob = ODEProblem(lambda u, q, t: -q * u, jnp.array([1.0]),
                           (0.0, 1.0), p)
+        # 12 steps: the solve needs 9 accepted steps — with only 8 it
+        # truncates (MaxIters) and values/gradients are NaN-poisoned BY
+        # DESIGN (previously a silent truncation this test baked in)
         sol = solve(prob, Heun(), rtol=1e-2, atol=1e-4,
-                    sensealg=DirectAdjoint(), max_steps=8, unroll=True)
+                    sensealg=DirectAdjoint(), max_steps=12, unroll=True)
         return jnp.sum(sol.ys**2)
 
     compiled = (jax.jit(jax.grad(tiny_loss))

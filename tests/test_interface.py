@@ -156,6 +156,18 @@ def test_second_order_over_continuous_adjoint():
         loss, prob, v, Tsit5(), sensealg=GaussAdjoint(), **kw))
     np.testing.assert_allclose(hv_g, hv_d, rtol=1e-4, atol=1e-6)
 
+    # the reference-named selector: ForwardDiffOverAdjoint(adjalg) wraps the
+    # continuous adjoint (default GaussAdjoint)
+    from scimlsensitivity_jl_tpu import ForwardDiffOverAdjoint
+
+    H_f = np.asarray(second_order_sensitivities(
+        loss, prob, Tsit5(), sensealg=ForwardDiffOverAdjoint(), **kw))
+    np.testing.assert_allclose(H_f, H_g, rtol=1e-12)
+    hv_f = np.asarray(second_order_sensitivity_product(
+        loss, prob, v, Tsit5(),
+        sensealg=ForwardDiffOverAdjoint(InterpolatingAdjoint()), **kw))
+    np.testing.assert_allclose(hv_f, hv_d, rtol=1e-4, atol=1e-6)
+
 
 def test_continuous_cost_all_families():
     # The reference runs the continuous-cost configs under every continuous
