@@ -296,7 +296,14 @@ def solve_sde(
     max_steps=None,
     rtol=1e-3,
     atol=1e-6,
+    callback=None,
 ) -> ODESolution:
+    if callback is not None and dt is None:
+        raise NotImplementedError(
+            "callbacks on SDEProblem run on the fixed grid (reference scope:"
+            " discrete callbacks, test/Callbacks1/SDE_callbacks.jl) — pass "
+            "dt=..."
+        )
     if dt is None:
         # Adaptive path on a VirtualBrownianTree (consistent noise across
         # retries): step-doubling Euler-Maruyama or Milstein-error control.
@@ -346,6 +353,68 @@ def solve_sde(
     save_steps, save_bad = _grid_save_steps(saveat, t0, t1, n_steps, dt_a,
                                         "SDE")
     ns = save_steps.shape[0]
+
+    # ---- callbacks (reference scope: DISCRETE callbacks on SDEs,
+    # test/Callbacks1/SDE_callbacks.jl — the reference has no continuous-
+    # event SDE adjoint either). Conditions are checked at each grid node
+    # t_{i+1}; preset/periodic doses are mapped to node INDICES (validated
+    # on the grid like saveat) so firing is exact under float roundoff.
+    # The affect is COMPOSED INTO step_map, so the discrete adjoints
+    # (DirectAdjoint through the scan, InterpolatingAdjoint's per-node
+    # step-map vjp) differentiate the jump exactly with no extra machinery.
+    cb_disc: tuple = ()
+    cb_preset: tuple = ()
+    if callback is not None:
+        from ..callbacks import (
+            DiscreteCallback,
+            PeriodicCallback,
+            PresetTimeCallback,
+        )
+
+        items = list(callback) if isinstance(callback, (list, tuple)) \
+            else [callback]
+        for c in items:
+            if isinstance(c, PeriodicCallback):
+                import numpy as _np
+
+                kper = int(_np.floor(abs(t1 - t0) / float(c.period) + 1e-12))
+                sgn = 1.0 if t1 >= t0 else -1.0
+                c = PresetTimeCallback(
+                    ts=t0 + sgn * float(c.period) * _np.arange(1, kper + 1),
+                    affect=c.affect, modifies_p=c.modifies_p,
+                    terminal=c.terminal,
+                )
+            if getattr(c, "modifies_p", False) or \
+                    getattr(c, "terminal", False):
+                raise NotImplementedError(
+                    "SDE callbacks: modifies_p/terminal are not supported "
+                    "(fixed-length scan; use an ODE formulation or lift the "
+                    "dose into the state)"
+                )
+            if isinstance(c, PresetTimeCallback):
+                psteps, pbad = _grid_save_steps(
+                    jnp.asarray(c.ts, dtype).reshape(-1), t0, t1, n_steps,
+                    dt_a, "SDE PresetTimeCallback",
+                )
+                if pbad is not None:
+                    raise NotImplementedError(
+                        "SDE PresetTimeCallback times must be concrete "
+                        "(not traced) and lie on the dt grid"
+                    )
+                cb_preset += ((psteps, c.affect),)
+            elif isinstance(c, DiscreteCallback):
+                cb_disc += (c,)
+            else:
+                raise NotImplementedError(
+                    f"SDE callbacks are discrete-only (reference scope); "
+                    f"got {type(c).__name__}"
+                )
+        if isinstance(sensealg, BacksolveAdjoint):
+            raise NotImplementedError(
+                "BacksolveAdjoint + SDE callbacks: the backward Picard "
+                "reconstruction cannot invert an event jump — use "
+                "DirectAdjoint or InterpolatingAdjoint"
+            )
 
     f_user, g_user = prob.f, prob.g
 
@@ -427,14 +496,30 @@ def solve_sde(
             return grid_increment(key, i, w_shape, dt_a).astype(dtype)
 
     def step_map(uv, p, i):
-        """One scheme step from node i to i+1 — the unit of adjoint vjp."""
+        """One scheme step from node i to i+1 (+ any callback affects at the
+        node end) — the unit of adjoint vjp."""
         fvec, gvec = make_field(p)
         t = ts_nodes[i]
         dw = dw_at(i)
         if needs_dz:
             dz = grid_iterated(key, i, w_shape, dt_a, dw).astype(dtype)
-            return solver.step(fvec, gvec, t, dt_a, uv, dw, dz)
-        return solver.step(fvec, gvec, t, dt_a, uv, dw)
+            u1 = solver.step(fvec, gvec, t, dt_a, uv, dw, dz)
+        else:
+            u1 = solver.step(fvec, gvec, t, dt_a, uv, dw)
+        if cb_disc or cb_preset:
+            t_next = ts_nodes[i + 1]
+            u = unravel_u(u1)
+            for d in cb_disc:
+                fire = jnp.asarray(d.condition(u, p, t_next))
+                u1 = jnp.where(
+                    fire, ravel_pytree(d.affect(u, p, t_next))[0], u1
+                )
+                u = unravel_u(u1)
+            for psteps, aff in cb_preset:
+                fire = jnp.any(i + 1 == psteps)
+                u1 = jnp.where(fire, ravel_pytree(aff(u, p, t_next))[0], u1)
+                u = unravel_u(u1)
+        return u1
 
     def capture(buf, i_next, u_next):
         k = jnp.clip(jnp.searchsorted(save_steps, i_next), 0, ns - 1)

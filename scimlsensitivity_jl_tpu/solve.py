@@ -99,15 +99,10 @@ def solve(
     if isinstance(prob, SDEProblem):
         from .adjoints.sde import solve_sde
 
-        if callback is not None:
-            raise NotImplementedError(
-                "callbacks on SDEProblem are not supported (event adjoints "
-                "are ODE-only here; the hybrid-SDE jump adjoint is future "
-                "work) — don't pass callback=, it would be silently ignored"
-            )
         return solve_sde(
             prob, solver, saveat=saveat, dt=dt, sensealg=sensealg,
             max_steps=max_steps, key=key, rtol=rtol, atol=atol,
+            callback=callback,
         )
     from .problems import DDEProblem, NonlinearProblem, RODEProblem, SteadyStateProblem
 

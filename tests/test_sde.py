@@ -483,3 +483,100 @@ def test_traced_saveat_misalignment_poisons_values_and_gradient():
 
     g = jax.jit(jax.grad(lambda q, s: jnp.sum(run(q, s) ** 2)))(p, off)
     assert bool(jnp.isnan(g).all()), g
+
+
+# ---- SDE callbacks (reference scope: discrete callbacks,
+# test/Callbacks1/SDE_callbacks.jl — condition at step ends, affect applied;
+# here also PresetTimeCallback doses mapped to grid nodes) ----
+
+def _dosed_sde_loss(alg, key, dt=0.01):
+    from scimlsensitivity_jl_tpu import PresetTimeCallback
+
+    def loss(p):
+        prob = SDEProblem(
+            lambda u, pp, t: -pp[0] * u,
+            lambda u, pp, t: pp[1] * u,
+            jnp.array([1.0]), (0.0, 1.0), p,
+        )
+        cb = PresetTimeCallback([0.25, 0.5], lambda u, pp, t: u * pp[2])
+        s = solve(prob, EulerMaruyama(), dt=dt, key=key, callback=cb,
+                  saveat=jnp.array([0.0, 0.5, 1.0]), sensealg=alg)
+        return jnp.sum(s.ys ** 2)
+
+    return loss
+
+
+def test_sde_preset_dose_gradient_vs_fd():
+    p0 = jnp.array([0.8, 0.3, 0.6])
+    loss = _dosed_sde_loss(DirectAdjoint(), KEY)
+    g = np.asarray(jax.grad(loss)(p0))
+    eps = 1e-6
+    g_fd = np.zeros(3)
+    for i in range(3):
+        pp = np.asarray(p0).copy(); pp[i] += eps
+        pm = np.asarray(p0).copy(); pm[i] -= eps
+        g_fd[i] = (float(loss(jnp.asarray(pp)))
+                   - float(loss(jnp.asarray(pm)))) / (2 * eps)
+    assert np.allclose(g, g_fd, rtol=1e-5, atol=1e-8), (g, g_fd)
+    # the dose parameter p[2] must actually flow
+    assert abs(g[2]) > 1e-6
+
+
+def test_sde_discrete_callback_interpolating_matches_direct():
+    # state-dependent discrete condition (fires when u drifts above a
+    # threshold after t>0.5, reference SDE_callbacks.jl pattern)
+    from scimlsensitivity_jl_tpu import DiscreteCallback
+
+    def mk_loss(alg):
+        def loss(p):
+            prob = SDEProblem(
+                lambda u, pp, t: pp[0] * u,
+                lambda u, pp, t: 0.2 * u,
+                jnp.array([1.0]), (0.0, 1.0), p,
+            )
+            cb = DiscreteCallback(
+                condition=lambda u, pp, t: (t > 0.5) & (u[0] > 1.1),
+                affect=lambda u, pp, t: u * pp[1],
+            )
+            s = solve(prob, EulerMaruyama(), dt=0.01, key=KEY, callback=cb,
+                      sensealg=alg)
+            return s.ys[-1, 0]
+
+        return loss
+
+    p0 = jnp.array([0.4, 0.97])
+    g_dir = np.asarray(jax.grad(mk_loss(DirectAdjoint()))(p0))
+    g_int = np.asarray(jax.grad(mk_loss(InterpolatingAdjoint()))(p0))
+    assert np.allclose(g_int, g_dir, rtol=1e-10), (g_int, g_dir)
+    assert abs(g_dir[1]) > 1e-8  # the affect parameter flows
+
+
+def test_sde_callback_guards():
+    import pytest as _pytest
+
+    from scimlsensitivity_jl_tpu import ContinuousCallback, DiscreteCallback
+
+    prob = SDEProblem(
+        lambda u, p, t: -p[0] * u,
+        lambda u, p, t: 0.1 * u,
+        jnp.array([1.0]), (0.0, 1.0), jnp.array([1.0]),
+    )
+    dcb = DiscreteCallback(condition=lambda u, p, t: t > 0.5,
+                           affect=lambda u, p, t: u * 0.9)
+    # adaptive path (no dt)
+    with _pytest.raises(NotImplementedError):
+        solve(prob, key=KEY, callback=dcb)
+    # continuous callbacks
+    ccb = ContinuousCallback(condition=lambda u, p, t: u[0] - 0.5,
+                             affect=lambda u, p, t: u)
+    with _pytest.raises(NotImplementedError):
+        solve(prob, EulerMaruyama(), dt=0.1, key=KEY, callback=ccb)
+    # Backsolve cannot invert jumps
+    with _pytest.raises(NotImplementedError):
+        solve(prob, EulerMaruyama(), dt=0.1, key=KEY, callback=dcb,
+              sensealg=BacksolveAdjoint())
+    # terminal unsupported
+    tcb = DiscreteCallback(condition=lambda u, p, t: t > 0.5,
+                           affect=lambda u, p, t: u, terminal=True)
+    with _pytest.raises(NotImplementedError):
+        solve(prob, EulerMaruyama(), dt=0.1, key=KEY, callback=tcb)
