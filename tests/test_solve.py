@@ -227,3 +227,48 @@ def test_solution_reference_aliases():
     sol = solve(prob, Tsit5(), saveat=jnp.linspace(0.0, 1.0, 3))
     assert sol.t is sol.ts
     assert sol.u is sol.ys
+
+
+def test_scalar_u0_and_null_parameters():
+    """Reference parity: scalar states (test/Core2/scalar_u.jl) and
+    p == None / unused-p solves (test/Core6/null_parameters.jl)."""
+    from scimlsensitivity_jl_tpu.sensealg import GaussAdjoint, InterpolatingAdjoint
+
+    # scalar u0: ys drops to shape (nt,), gradients flow
+    def f(u, p, t):
+        return u * p[0]
+
+    ts = jnp.linspace(0.0, 1.0, 5)
+    s = solve(ODEProblem(f, 0.5, (0.0, 1.0), jnp.array([2.0])), Tsit5(),
+              saveat=ts, rtol=1e-10, atol=1e-12)
+    assert s.ys.shape == (5,)
+    np.testing.assert_allclose(float(s.ys[-1]), 0.5 * np.exp(2.0),
+                               rtol=1e-8)
+
+    def loss(p):
+        sol = solve(ODEProblem(f, 0.5, (0.0, 1.0), p), Tsit5(), saveat=ts,
+                    rtol=1e-10, atol=1e-12, sensealg=GaussAdjoint())
+        return jnp.sum(sol.ys ** 2)
+
+    g = float(jax.grad(loss)(jnp.array([2.0]))[0])
+    eps = 1e-6
+    fd = (float(loss(jnp.array([2.0 + eps])))
+          - float(loss(jnp.array([2.0 - eps])))) / (2 * eps)
+    np.testing.assert_allclose(g, fd, rtol=1e-7)
+
+    # p=None solves; p-unused gradients are exactly zero; u0 gradients flow
+    def f2(u, p, t):
+        return u
+
+    s2 = solve(ODEProblem(f2, jnp.zeros(2), (0.0, 1.0), None), Tsit5())
+    assert s2.ys.shape == (2, 2)
+
+    gp = jax.grad(lambda p: jnp.sum(
+        solve(ODEProblem(f2, jnp.ones(2), (0.0, 1.0), p), Tsit5(),
+              sensealg=InterpolatingAdjoint()).ys))(jnp.array([3.0]))
+    np.testing.assert_allclose(np.asarray(gp), 0.0)
+
+    gu = jax.grad(lambda u0: jnp.sum(
+        solve(ODEProblem(f2, u0, (0.0, 1.0), None), Tsit5(),
+              sensealg=InterpolatingAdjoint()).ys))(jnp.ones(2))
+    np.testing.assert_allclose(np.asarray(gu), 1.0 + np.e, rtol=1e-6)
