@@ -251,9 +251,10 @@ def _rk4_fwd_kernel_factory(S: int, n: int, C: int, H: int, W: int):
 
 
 def _rk4_bwd_kernel_factory(S: int, n: int, C: int, H: int, W: int):
-    """Exact discrete adjoint of S RK4 steps on one halo window. Per
-    reverse step s (stage states recomputed from the window's entry state —
-    O(S²/2) extra VPU work for zero stage storage):
+    """Exact discrete adjoint of S RK4 steps on one halo window. One
+    forward sweep re-steps the window from its entry state, caching every
+    stage state AND its Laplacian in VMEM scratch; the reverse sweep then
+    pays only the transpose stencils. Per reverse step s:
 
         w4 = (h/6)λ ;            s4 = J(u+h·k3)ᵀ w4
         w3 = (2h/6)λ + h·s4 ;    s3 = J(u+h/2·k2)ᵀ w3
@@ -266,7 +267,7 @@ def _rk4_bwd_kernel_factory(S: int, n: int, C: int, H: int, W: int):
     dD/dk sums mask to the interior chunk (halo cells are another program's
     cells); per-program partials are summed outside."""
 
-    def kern(u_ref, prm_ref, lam_ref, du_ref, dp_ref, ustore):
+    def kern(u_ref, prm_ref, lam_ref, du_ref, dp_ref, ustore, lstore):
         i = pl.program_id(0)
         D = prm_ref[0, 0]
         k = prm_ref[0, 1]
@@ -279,13 +280,33 @@ def _rk4_bwd_kernel_factory(S: int, n: int, C: int, H: int, W: int):
         col = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)
         mask = ((col >= off) & (col < off + C)).astype(u0.dtype)
 
-        # one forward sweep caching every step-entry state in VMEM scratch
-        # (S x W x 4B — hundreds of KB at chunked width): the reverse sweep
-        # then reads u_s instead of recomputing from the block entry
-        # (O(S) total recompute, not O(S^2/2))
+        # one forward sweep caching ALL FOUR stage states AND their
+        # Laplacians in VMEM scratch (2 x S x 4 x W x 4B — single-digit MB
+        # at chunked width): the reverse sweep then does ONLY the transpose
+        # stencils lap(w_i) — the stage chain and its 4 stencils per step
+        # are paid once here instead of once per reverse step, cutting the
+        # reverse kernel from ~12 to ~8 stencil-equivalents per step
         def store_and_step(sidx, uu):
-            ustore[pl.ds(sidx, 1), :] = uu
-            return _rk4_one(uu, D, k, inv_dx2, h)
+            l1 = _lap(uu)
+            k1 = D * inv_dx2 * l1 + k * uu * (1.0 - uu)
+            u2 = uu + 0.5 * h * k1
+            l2 = _lap(u2)
+            k2 = D * inv_dx2 * l2 + k * u2 * (1.0 - u2)
+            u3 = uu + 0.5 * h * k2
+            l3 = _lap(u3)
+            k3 = D * inv_dx2 * l3 + k * u3 * (1.0 - u3)
+            u4 = uu + h * k3
+            l4 = _lap(u4)
+            k4 = D * inv_dx2 * l4 + k * u4 * (1.0 - u4)
+            ustore[pl.ds(4 * sidx + 0, 1), :] = uu
+            ustore[pl.ds(4 * sidx + 1, 1), :] = u2
+            ustore[pl.ds(4 * sidx + 2, 1), :] = u3
+            ustore[pl.ds(4 * sidx + 3, 1), :] = u4
+            lstore[pl.ds(4 * sidx + 0, 1), :] = l1
+            lstore[pl.ds(4 * sidx + 1, 1), :] = l2
+            lstore[pl.ds(4 * sidx + 2, 1), :] = l3
+            lstore[pl.ds(4 * sidx + 3, 1), :] = l4
+            return uu + (h / 6.0) * (k1 + 2.0 * (k2 + k3) + k4)
 
         jax.lax.fori_loop(0, S, store_and_step, u0)
 
@@ -295,19 +316,14 @@ def _rk4_bwd_kernel_factory(S: int, n: int, C: int, H: int, W: int):
         def rev_step(j, carry):
             lam, dD, dk = carry
             s = (S - 1) - j
-            u = ustore[pl.ds(s, 1), :]
-            # recompute stage states sharing each state's Laplacian with the
-            # dD accumulation (Σ w·L u_st): 4 stencils instead of 8
-            l1 = _lap(u)
-            k1 = D * inv_dx2 * l1 + k * u * (1.0 - u)
-            u2 = u + 0.5 * h * k1
-            l2 = _lap(u2)
-            k2 = D * inv_dx2 * l2 + k * u2 * (1.0 - u2)
-            u3 = u + 0.5 * h * k2
-            l3 = _lap(u3)
-            k3 = D * inv_dx2 * l3 + k * u3 * (1.0 - u3)
-            u4 = u + h * k3
-            l4 = _lap(u4)
+            u = ustore[pl.ds(4 * s + 0, 1), :]
+            u2 = ustore[pl.ds(4 * s + 1, 1), :]
+            u3 = ustore[pl.ds(4 * s + 2, 1), :]
+            u4 = ustore[pl.ds(4 * s + 3, 1), :]
+            l1 = lstore[pl.ds(4 * s + 0, 1), :]
+            l2 = lstore[pl.ds(4 * s + 1, 1), :]
+            l3 = lstore[pl.ds(4 * s + 2, 1), :]
+            l4 = lstore[pl.ds(4 * s + 3, 1), :]
 
             w4 = (h / 6.0) * lam
             s4 = jt(u4, w4)
@@ -379,8 +395,9 @@ def make_rd1d_rk4_block(n: int, S: int, chunk: int = 65536,
     interpreter — the CPU test path validating the hand-derived pullback
     and the halo geometry."""
     C, H, W, G = _chunk_geometry(n, S, chunk)
-    # the pullback kernel holds ~4x more live window-sized temps (stage
-    # states + w's + lambda) - smaller chunks keep it inside VMEM
+    # the pullback kernel holds 8·S window-sized scratch rows (stage states
+    # + Laplacians) plus live temps — smaller chunks keep it inside VMEM
+    # (scratch bytes = 32·S·W_b; at the default S=8 chunk//4 that is ~4 MB)
     Cb, Hb, Wb, Gb = _chunk_geometry(n, S, bwd_chunk or max(chunk // 4, 1))
     fwd_kern = _rk4_fwd_kernel_factory(S, n, C, H, W)
     bwd_kern = _rk4_bwd_kernel_factory(S, n, Cb, Hb, Wb)
@@ -450,7 +467,8 @@ def make_rd1d_rk4_block(n: int, S: int, chunk: int = 65536,
                 pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM),
             ),
-            scratch_shapes=[pltpu.VMEM((S, Wb), dtype)],
+            scratch_shapes=[pltpu.VMEM((4 * S, Wb), dtype),
+                            pltpu.VMEM((4 * S, Wb), dtype)],
             interpret=_use_interpret(),
         )(uwins, _prm4(D, k, inv_dx2, h, dtype), lwins)
         zero = jnp.zeros((), dtype)
