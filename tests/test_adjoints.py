@@ -221,3 +221,52 @@ def test_custom_checkpoint_grid():
     import pytest as _pytest
     with _pytest.raises(ValueError, match="checkpointing"):
         loss(p0, InterpolatingAdjoint(checkpoints=cps), 4096)
+
+
+def test_branching_rhs_derivatives():
+    """Reference parity (test/Core1/branching_derivatives.jl): an RHS with
+    data-dependent branches — jnp.where AND lax.cond (the JAX forms of
+    `if u > c`) — differentiates correctly under every adjoint family.
+    (The reference needs ReverseDiffVJP(compile=false) for branching f;
+    here jax.vjp traces both branches, so nothing special is required.)"""
+
+    def f(u, p, t):
+        # where-branch: soft-plus-like switch on the state
+        growth = jnp.where(u[0] > p[2], p[0] * u[0], 0.5 * p[0] * u[0])
+        # cond-branch on a parameter threshold (functional lax.cond)
+        decay = jax.lax.cond(t < 0.6,
+                             lambda: -p[1] * u[1],
+                             lambda: -2.0 * p[1] * u[1])
+        return jnp.stack([growth - 0.1 * u[0] * u[1], decay + 0.2 * u[0]])
+
+    u0 = jnp.array([1.2, 0.8])
+    p0 = jnp.array([0.9, 0.7, 1.0])
+    # 0.6 (the t-branch switch) IS a save time, so forward and reverse
+    # integrations both stop exactly at the kink (the reference handles
+    # RHS discontinuities the same way — as tstops)
+    ts = jnp.array([0.0, 0.3, 0.6, 0.9, 1.2])
+
+    def make_loss(alg):
+        def loss(p):
+            s = solve(ODEProblem(f, u0, (0.0, 1.2), p), Tsit5(), saveat=ts,
+                      rtol=1e-10, atol=1e-12, sensealg=alg)
+            return jnp.sum(s.ys ** 2)
+
+        return loss
+
+    # exact discrete-forward oracle + an FD sanity bound (FD noise at
+    # rtol 1e-10 / h 1e-5 is ~1e-5 relative — see the verify-skill rule)
+    g_ref = np.asarray(jax.grad(make_loss(ForwardDiffSensitivity()))(p0))
+    base = make_loss(None)
+    eps = 1e-5
+    fd = np.array([
+        (float(base(p0 + eps * jnp.eye(3)[i]))
+         - float(base(p0 - eps * jnp.eye(3)[i]))) / (2 * eps)
+        for i in range(3)
+    ])
+    np.testing.assert_allclose(g_ref, fd, rtol=2e-3, atol=1e-8)
+    for alg in [InterpolatingAdjoint(), GaussAdjoint(), BacksolveAdjoint(),
+                QuadratureAdjoint(abstol=1e-12, reltol=1e-10)]:
+        g = np.asarray(jax.grad(make_loss(alg))(p0))
+        np.testing.assert_allclose(g, g_ref, rtol=1e-6, atol=1e-9,
+                                   err_msg=type(alg).__name__)
