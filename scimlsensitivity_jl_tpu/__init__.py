@@ -41,6 +41,20 @@ from .sensealg import (
     TimeDilation,
     default_sensealg,
     setvjp,
+    # migration compat aliases (reference export-list parity)
+    EnzymeAdjoint,
+    EnzymeVJP,
+    MooncakeAdjoint,
+    MooncakeVJP,
+    ReactantVJP,
+    ReverseDiffAdjoint,
+    ReverseDiffVJP,
+    TrackerAdjoint,
+    TrackerVJP,
+    UnconstrainedOptimizationAdjoint,
+    ZygoteAdjoint,
+    ZygoteVJP,
+    supports_functor_params,
 )
 from .adjoints.forward import (
     ODEForwardSensitivityProblem,
@@ -169,4 +183,17 @@ __all__ = [
     "FiniteDiffVJP",
     "default_sensealg",
     "setvjp",
+    "TrackerAdjoint",
+    "MooncakeAdjoint",
+    "ReverseDiffAdjoint",
+    "ZygoteAdjoint",
+    "EnzymeAdjoint",
+    "ZygoteVJP",
+    "EnzymeVJP",
+    "TrackerVJP",
+    "ReverseDiffVJP",
+    "MooncakeVJP",
+    "ReactantVJP",
+    "UnconstrainedOptimizationAdjoint",
+    "supports_functor_params",
 ]

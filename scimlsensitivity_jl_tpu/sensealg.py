@@ -366,3 +366,84 @@ def setvjp(sensealg: AbstractSensealg, vjp: VJPChoice) -> AbstractSensealg:
     if hasattr(sensealg, "autojacvec"):
         return dataclasses.replace(sensealg, autojacvec=vjp)
     return sensealg
+
+
+# ---------------------------------------------------------------------------
+# Migration compat aliases (reference export-list parity; mapping table in
+# docs/migration_from_sciml.md). JAX has ONE AD engine, so the reference's
+# five discrete-AD adjoint wrappers (sensitivity_algorithms.jl:744-913)
+# collapse onto DirectAdjoint, and its per-backend VJP menu
+# (:1454-1605) onto the fused AutoVJP pullback. These factories accept and
+# ignore the reference's configuration arguments (compile=, mode=,
+# allow_nothing=, ...) so reference call sites run unchanged.
+# ---------------------------------------------------------------------------
+
+
+def _discrete_ad_alias(ref_name, ref_line):
+    def make(*_args, **_kwargs):
+        return DirectAdjoint()
+
+    make.__name__ = ref_name
+    make.__qualname__ = ref_name
+    make.__doc__ = (
+        f"Reference discrete-AD adjoint (sensitivity_algorithms.jl:"
+        f"{ref_line}) — alias of DirectAdjoint(); JAX has a single AD "
+        f"engine, so the backend choice collapses. Configuration arguments "
+        f"are accepted and ignored."
+    )
+    return make
+
+
+TrackerAdjoint = _discrete_ad_alias("TrackerAdjoint", 744)
+MooncakeAdjoint = _discrete_ad_alias("MooncakeAdjoint", 769)
+ReverseDiffAdjoint = _discrete_ad_alias("ReverseDiffAdjoint", 791)
+ZygoteAdjoint = _discrete_ad_alias("ZygoteAdjoint", 814)
+EnzymeAdjoint = _discrete_ad_alias("EnzymeAdjoint", 845)
+
+
+def _vjp_alias(ref_name, ref_line):
+    def make(*_args, **_kwargs):
+        return AutoVJP()
+
+    make.__name__ = ref_name
+    make.__qualname__ = ref_name
+    make.__doc__ = (
+        f"Reference VJP backend (sensitivity_algorithms.jl:{ref_line}) — "
+        f"alias of AutoVJP(): one fused jax.vjp pullback computes "
+        f"(f(y), λᵀ∂f/∂u, λᵀ∂f/∂p), exactly the reference's EnzymeVJP "
+        f"triple (derivative_wrappers.jl:982-1145). Arguments (compile=, "
+        f"allow_nothing=, ...) are accepted and ignored."
+    )
+    return make
+
+
+ZygoteVJP = _vjp_alias("ZygoteVJP", 1454)
+EnzymeVJP = _vjp_alias("EnzymeVJP", 1488)
+TrackerVJP = _vjp_alias("TrackerVJP", 1522)
+ReverseDiffVJP = _vjp_alias("ReverseDiffVJP", 1555)
+MooncakeVJP = _vjp_alias("MooncakeVJP", 1574)
+ReactantVJP = _vjp_alias("ReactantVJP", 1599)
+
+
+@dataclass(frozen=True)
+class UnconstrainedOptimizationAdjoint(SteadyStateAdjoint):
+    """Differentiates argmin_u φ(u, p) by IFT on ∇_u φ = 0 — the
+    SteadyStateAdjoint machinery applied to the optimality condition
+    (reference sensitivity_algorithms.jl:1397, concrete_solve.jl:2679-2826).
+    Accepted by `solve_unconstrained_optimization(..., sensealg=...)`."""
+
+
+def supports_functor_params(_sensealg) -> bool:
+    """Reference trait (sensitivity_algorithms.jl:1697): which sensealgs
+    accept arbitrary structured parameters. Every algorithm here takes
+    pytree `p` natively, so the answer is always True."""
+    return True
+
+
+__all__ += [
+    "TrackerAdjoint", "MooncakeAdjoint", "ReverseDiffAdjoint",
+    "ZygoteAdjoint", "EnzymeAdjoint",
+    "ZygoteVJP", "EnzymeVJP", "TrackerVJP", "ReverseDiffVJP",
+    "MooncakeVJP", "ReactantVJP",
+    "UnconstrainedOptimizationAdjoint", "supports_functor_params",
+]
