@@ -578,7 +578,10 @@ def bench_pde_megakernel():
     D = jnp.asarray(1e-7, dtype)
     k = jnp.asarray(1.5, dtype)
     inv_dx2, h = float(n) * float(n), 1e-9
-    blk = make_rd1d_rk4_block(n, S, bwd_chunk=32768)
+    # bwd_chunk 16384: the pullback kernel's stage+Laplacian scratch is
+    # 32·S·W_b bytes (~4.2 MB here) — half the VMEM headroom of 32768 with
+    # the same 0.4% halo overhead
+    blk = make_rd1d_rk4_block(n, S, bwd_chunk=16384)
 
     def mega_fwd_fn(nblocks):
         @jax.jit
