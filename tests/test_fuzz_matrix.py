@@ -619,3 +619,105 @@ def test_event_record_overflow_flags_and_poisons():
     assert np.allclose(np.asarray(g_direct), np.asarray(g_ref), rtol=1e-6)
     g_ok = jax.grad(loss)(p, GaussAdjoint(), 256)
     assert np.allclose(np.asarray(g_ok), np.asarray(g_ref), rtol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# Terminal-event fuzzing (round-3 surface): random rotation systems with a
+# random terminal stop (plus a prior non-terminal jump on odd seeds); the
+# dense continuous adjoints reverse from the dynamic t_final — validated
+# against the discrete-forward oracle through the truncated program.
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("seed", [60, 61])
+def test_random_terminal_event_gradient_cross_validation(seed):
+    rng = np.random.default_rng(seed)
+    omega = float(rng.uniform(2.0, 3.5))
+    thresh = float(rng.uniform(-0.7, -0.4))
+    damp = float(rng.uniform(0.85, 0.95))
+    T = float(rng.uniform(2.0, 3.0))
+    wts = rng.normal(size=(5, 2))
+    u0 = jnp.array([1.0, 0.0])
+    p0 = jnp.asarray(rng.uniform(1.5, 2.5, size=(2,)))
+
+    def f(u, q, t):
+        return jnp.array([q[0] * u[1], -q[0] * u[0] - 0.1 * q[1] * u[1]])
+
+    cbs = [ContinuousCallback(lambda u, q, t: u[0] - thresh,
+                              lambda u, q, t: u * damp,
+                              direction=-1, terminal=True)]
+    if seed % 2:
+        cbs.insert(0, ContinuousCallback(
+            lambda u, q, t: u[1] + 0.4,
+            lambda u, q, t: jnp.array([u[0], u[1] - 0.05]), direction=-1))
+    ts = jnp.linspace(0.0, T, 5)
+
+    def loss(q, alg):
+        sol = solve(ODEProblem(f, u0, (0.0, T), q), Tsit5(), saveat=ts,
+                    rtol=1e-10, atol=1e-12, callback=cbs, sensealg=alg,
+                    max_events=64)
+        return jnp.sum(wts * sol.ys) + jnp.sum(sol.ys[-1] ** 2)
+
+    s = solve(ODEProblem(f, u0, (0.0, T), p0), Tsit5(), saveat=ts,
+              rtol=1e-10, atol=1e-12, callback=cbs, max_events=64)
+    assert int(s.retcode) == 5          # the stop must actually fire
+
+    g_ref = np.asarray(jax.grad(lambda q: loss(q, ForwardDiffSensitivity()))
+                       (p0))
+    assert np.isfinite(g_ref).all() and np.linalg.norm(g_ref) > 1e-8
+    for alg in [DirectAdjoint(), GaussAdjoint(), InterpolatingAdjoint(),
+                BacksolveAdjoint(),
+                QuadratureAdjoint(abstol=1e-12, reltol=1e-10)]:
+        g = np.asarray(jax.grad(lambda q: loss(q, alg))(p0))
+        assert np.allclose(g, g_ref, rtol=1e-4, atol=1e-8), (
+            type(alg).__name__, g, g_ref)
+
+
+# ---------------------------------------------------------------------------
+# SDE-callback fuzzing (round-3 surface): random dosed GBM over one fixed
+# noise realization — Interpolating == Direct exactly; both vs forward mode
+# through the realized dosed scheme.
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("seed", [70])
+def test_random_sde_callback_gradient_cross_validation(seed):
+    from scimlsensitivity_jl_tpu import PresetTimeCallback
+
+    rng = np.random.default_rng(seed)
+    n = 2
+    A = rng.normal(size=(n, n)) * 0.3 - 0.6 * np.eye(n)
+    sig = rng.uniform(0.05, 0.25, size=(n,))
+    dosef = rng.uniform(0.5, 0.9)
+    u0 = jnp.asarray(rng.normal(size=(n,)) * 0.3 + 1.0)
+    wts = jnp.asarray(rng.normal(size=(n,)))
+    key = jax.random.PRNGKey(seed)
+    T, nsteps = 1.0, 64
+    dose_ts = [T * 16 / nsteps, T * 40 / nsteps]   # on the dt grid
+
+    p = {"A": jnp.asarray(A), "sig": jnp.asarray(sig),
+         "dose": jnp.asarray(dosef)}
+
+    def drift(u, q, t):
+        return q["A"] @ u
+
+    def diffusion(u, q, t):
+        return q["sig"] * u
+
+    def loss(q, alg):
+        cb = PresetTimeCallback(dose_ts, lambda u, qq, t: u * qq["dose"])
+        prob = SDEProblem(drift, diffusion, u0, (0.0, T), q)
+        sol = solve(prob, dt=T / nsteps, key=key, callback=cb, sensealg=alg,
+                    saveat=jnp.array([0.0, T]))
+        return jnp.sum(wts * sol.ys[-1])
+
+    flat0, unflatten = jax.flatten_util.ravel_pytree(p)
+    g_fwd = jax.jacfwd(lambda fq: loss(unflatten(fq), DirectAdjoint()))(flat0)
+    assert np.isfinite(np.asarray(g_fwd)).all()
+    assert abs(np.asarray(g_fwd)[-1]) > 1e-8       # dose param must flow
+
+    for alg in [DirectAdjoint(), InterpolatingAdjoint()]:
+        g = jax.grad(lambda q: loss(q, alg))(p)
+        g_flat = np.asarray(jax.flatten_util.ravel_pytree(g)[0])
+        assert np.allclose(g_flat, np.asarray(g_fwd), rtol=1e-6,
+                           atol=1e-10), (type(alg).__name__,)
