@@ -1121,49 +1121,82 @@ def make_ode_solve_fn(f, solver, sensealg, opts: SolveOptions, t0, t1, *,
         else:
             ke_init = jnp.asarray(-1, jnp.int32)
 
+        # Terminal stops (retcode Terminated at the dynamic t_final < t1):
+        # intervals entirely at/after t_final are FROZEN — outputs there
+        # hold u(t_final), so their cotangents are pure λ jumps with no
+        # dynamics — and the boundary interval clamps its top to t_final
+        # (the reference's Terminated tspan shrink,
+        # interpolating_adjoint.jl:347-353, applied per checkpoint
+        # interval). For a normal solve t_final == t1 and nothing changes.
+        ttdt = times.dtype
+        tf_r = jnp.asarray(fwd.t_final, ttdt)
+        tdir_r = jnp.where(
+            jnp.asarray(t1, ttdt) >= jnp.asarray(t0, ttdt),
+            jnp.asarray(1.0, ttdt), jnp.asarray(-1.0, ttdt),
+        )
+        tol_tf = 64.0 * jnp.finfo(ttdt).eps * jnp.maximum(jnp.abs(tf_r), 1.0)
+
         def body(carry, i):
             z, worst, ke = carry
             z = z.at[:n].add(jumps[i])
             t_hi = times[i]
             t_lo = times[i - 1]
-            if event_set is not None:
-                # boundary case: an event recorded exactly at this save time
-                z, ke, _ = _match_events(t_hi, z, ke)
-            local = integrate(
-                solver, fvec, t_lo, t_hi, ckpt_vals[i - 1],
-                rtol=opts.rtol, atol=opts.atol, max_steps=seg_max_steps,
-                store_dense=True, event_set=event_set,
-            )
+            frozen = (t_lo - tf_r) * tdir_r >= -tol_tf
+            t_hi_c = jnp.where((t_hi - tf_r) * tdir_r > 0, tf_r, t_hi)
 
-            def aug_rhs(zz, t):
-                lam = zz[:n]
-                y = dense_eval(local.dense, t)
-                _, ubar, pbar = kern.f_and_vjp(y, p, t, lam)
-                return jnp.concatenate([-ubar, -ravel_pytree(pbar)[0]])
-
-            wts = jnp.concatenate(
-                [jnp.ones(n, u0vec.dtype), jnp.zeros(npf, u0vec.dtype)]
-            )
-            if event_set is not None:
-                def stop_tr(t, zz, kec):
-                    zz, kec, fired = _match_events(t, zz, kec)
-                    return zz, kec, fired
-
-                resr = integrate(
-                    bwd_stepper, aug_rhs, t_hi, t_lo, z,
-                    rtol=adj_rtol, atol=adj_atol, max_steps=adj_max_steps,
-                    store_dense=False, err_weights=wts,
-                    tstops=ev_ts_all, stop_transform=stop_tr, hook_carry=ke,
+            def live(args):
+                z, ke, worst = args
+                if event_set is not None:
+                    # boundary cases: an event recorded exactly at this save
+                    # time, or the terminal event at t_final
+                    z, ke, _ = _match_events(t_hi_c, z, ke)
+                local = integrate(
+                    solver, fvec, t_lo, t_hi_c, ckpt_vals[i - 1],
+                    rtol=opts.rtol, atol=opts.atol, max_steps=seg_max_steps,
+                    store_dense=True, event_set=event_set,
                 )
-                ke = resr.hook_carry
-            else:
-                resr = integrate(
-                    bwd_stepper, aug_rhs, t_hi, t_lo, z,
-                    rtol=adj_rtol, atol=adj_atol, max_steps=adj_max_steps,
-                    store_dense=False, err_weights=wts,
+
+                def aug_rhs(zz, t):
+                    lam = zz[:n]
+                    y = dense_eval(local.dense, t)
+                    _, ubar, pbar = kern.f_and_vjp(y, p, t, lam)
+                    return jnp.concatenate([-ubar, -ravel_pytree(pbar)[0]])
+
+                wts = jnp.concatenate(
+                    [jnp.ones(n, u0vec.dtype), jnp.zeros(npf, u0vec.dtype)]
                 )
-            worst = jnp.maximum(worst, jnp.maximum(local.stats.retcode, resr.stats.retcode))
-            return (resr.u_final, worst, ke), None
+                if event_set is not None:
+                    def stop_tr(t, zz, kec):
+                        zz, kec, fired = _match_events(t, zz, kec)
+                        return zz, kec, fired
+
+                    resr = integrate(
+                        bwd_stepper, aug_rhs, t_hi_c, t_lo, z,
+                        rtol=adj_rtol, atol=adj_atol,
+                        max_steps=adj_max_steps,
+                        store_dense=False, err_weights=wts,
+                        tstops=ev_ts_all, stop_transform=stop_tr,
+                        hook_carry=ke,
+                    )
+                    ke = resr.hook_carry
+                else:
+                    resr = integrate(
+                        bwd_stepper, aug_rhs, t_hi_c, t_lo, z,
+                        rtol=adj_rtol, atol=adj_atol,
+                        max_steps=adj_max_steps,
+                        store_dense=False, err_weights=wts,
+                    )
+                # the local re-solve of an interval ending at a terminal
+                # stop legitimately reports Terminated — that is success
+                worst = jnp.maximum(
+                    worst, jnp.maximum(_rc_ok(local.stats.retcode),
+                                       resr.stats.retcode))
+                return resr.u_final, ke, worst
+
+            z, ke, worst = jax.lax.cond(
+                frozen, lambda args: args, live, (z, ke, worst)
+            )
+            return (z, worst, ke), None
 
         nt_ext = times.shape[0]
         z0 = jnp.zeros(n + npf, u0vec.dtype)

@@ -308,19 +308,12 @@ def _solve_ode(prob, solver, *, saveat, rtol, atol, dt0, dt, max_steps,
         # reference shrinks the adjoint tspan on retcode Terminated,
         # interpolating_adjoint.jl:347-353); held saveat rows fold onto
         # the reverse start and the terminal event's implicit-τ correction
-        # pairs against f⁺ = 0. Checkpointed variants pin their interval
-        # grid to the static save times — not supported with a dynamic
-        # stop; DirectAdjoint/FDS differentiate the truncated program
-        # (incl. t_final itself) exactly.
+        # pairs against f⁺ = 0. Checkpointed variants freeze the intervals
+        # past t_final (pure λ-jump accumulation) and clamp the boundary
+        # interval's top to t_final; DirectAdjoint/FDS differentiate the
+        # truncated program (incl. t_final itself) exactly.
         if sensealg is None:
             sensealg = _DA()
-        elif isinstance(sensealg, (_IA, _GA, _GKA)) and \
-                getattr(sensealg, "checkpointing", False):
-            raise NotImplementedError(
-                "terminal callbacks need the dense (non-checkpointed) "
-                "continuous adjoints, DirectAdjoint, or "
-                "ForwardDiffSensitivity"
-            )
         elif not isinstance(sensealg, (_DA, _FDS, _IA, _GA, _GKA, _QA,
                                        _BA)):
             raise NotImplementedError(

@@ -221,20 +221,33 @@ def test_terminal_event_time_to_event_gradient():
                                    err_msg=type(alg).__name__)
 
 
-def test_terminal_event_checkpointing_raises():
+def test_terminal_event_checkpointed_adjoints():
+    """Checkpointed Interpolating/Gauss reverse a Terminated solve by
+    freezing intervals past the dynamic t_final (pure λ-jump accumulation)
+    and clamping the boundary interval — gradients match the
+    discrete-forward oracle."""
     def f(u, p, t):
         return -p * u
 
     cb = DiscreteCallback(lambda u, p, t: u[0] < 0.5,
                           lambda u, p, t: u, terminal=True)
     prob = ODEProblem(f, jnp.array([1.0]), (0.0, 5.0), jnp.array([1.0]))
-    with pytest.raises(NotImplementedError):
-        jax.grad(lambda q: jnp.sum(
-            solve(ODEProblem(f, jnp.array([1.0]), (0.0, 5.0), q), Tsit5(),
-                  callback=cb,
-                  sensealg=InterpolatingAdjoint(checkpointing=True),
-                  **TOLS).ys
-        ))(jnp.array([1.0]))
+    ts = jnp.linspace(0.0, 5.0, 6)
+
+    def loss(q, alg):
+        s = solve(ODEProblem(f, jnp.array([1.0]), (0.0, 5.0), q), Tsit5(),
+                  saveat=ts, callback=cb, sensealg=alg, **TOLS)
+        return jnp.sum(jnp.arange(1.0, 7.0) * s.ys[:, 0])
+
+    g_ref = float(jax.grad(lambda q: loss(q, ForwardDiffSensitivity()))
+                  (jnp.array([1.0]))[0])
+    assert abs(g_ref) > 1e-8
+    for alg in [InterpolatingAdjoint(checkpointing=True),
+                GaussAdjoint(checkpointing=True),
+                InterpolatingAdjoint(), GaussAdjoint()]:
+        g = float(jax.grad(lambda q: loss(q, alg))(jnp.array([1.0]))[0])
+        np.testing.assert_allclose(g, g_ref, rtol=1e-6,
+                                   err_msg=repr(alg))
     # default sensealg silently upgraded to DirectAdjoint, not an error
     s = solve(prob, Tsit5(), callback=cb, **TOLS)
     assert int(s.retcode) == 5
