@@ -487,16 +487,23 @@ def adaptive_gk_dp(kern, p, dense, lam_dense, sensealg, dtype, npf, q_init,
 
 
 def _make_event_apply(kern, p, event_set, fwd_events, n, npf,
-                      q_slice=None, u_snap_start=None, q_in_hc=False):
+                      q_slice=None, u_snap_start=None, q_in_hc=False,
+                      run_cost=None):
     """Reverse event-jump transform (reference: callback_tracking.jl reverse
     affect! :319-458 + ImplicitCorrection :15-58; Eq. 13 of arXiv:1905.10403):
 
-        λ⁻ = (∂A/∂u)ᵀλ⁺ − ∇g·((∂A/∂u·f⁻ − f⁺)·λ⁺)/ġ
+        λ⁻ = (∂A/∂u)ᵀλ⁺ − ∇g·((∂A/∂u·f⁻ − f⁺)·λ⁺ + g_run⁻ − g_run⁺)/ġ
         dq += (∂A/∂p)ᵀλ⁺            (parameter-modifying events)
 
     Discrete callbacks skip the implicit-time correction (their firing time
     is grid-determined). For Backsolve, the trailing u-block is snapped to
     the recorded pre-event state (the reference's event-time checkpoint).
+
+    run_cost (optional, the direct API's continuous cost g(uvec, t)):
+    a running cost ∫ g dt has a MOVING-BOUNDARY term at each continuous
+    event — the integrand jumps by g(u⁻) − g(u⁺) across the affect (and
+    the integral simply STOPS at a terminal event: g⁺ = 0), so dG gains
+    (g⁻ − g⁺)·dτ/d(·); folded into the same implicit-τ correction.
     """
     ev_ts, ev_upre, ev_idx, ev_count = fwd_events
     affect_p = event_set.affect_p
@@ -534,6 +541,13 @@ def _make_event_apply(kern, p, event_set, fwd_events, n, npf,
                 gt = jax.grad(gj, argnums=1)(u_pre, t)
                 gdot = gu @ f_m + gt
                 term = (Af_m - f_p) @ lam
+                if run_cost is not None:
+                    g_m = jnp.asarray(run_cost(u_pre, t))
+                    g_pp = jnp.asarray(run_cost(u_post, t))
+                    if event_set.terminals is not None:
+                        g_pp = jnp.where(event_set.terminals[j],
+                                         jnp.zeros_like(g_pp), g_pp)
+                    term = term + (g_m - g_pp)
                 corr = jnp.where(jnp.abs(gdot) > 1e-300, term / gdot, 0.0)
                 return lam_base - gu * corr
 
@@ -573,7 +587,7 @@ def _event_kwargs(events, event_set, event_apply):
 
 
 def _make_dae_event_apply(kern, p, event_set, fwd_events, n, npf, M_fwd,
-                          dtype, q_slice=None, q_in_hc=False):
+                          dtype, q_slice=None, q_in_hc=False, run_cost=None):
     """Event-jump transform composed with the semi-explicit index-1 DAE
     cotangent projection (round-2 VERDICT missing #5; reference composes
     callback_tracking.jl's reverse affect with the algebraic projection of
@@ -640,6 +654,13 @@ def _make_dae_event_apply(kern, p, event_set, fwd_events, n, npf, M_fwd,
                 gt = jax.grad(gj, argnums=1)(u_pre, t)
                 gdot = gu @ ud_m + gt
                 term = (Aud_m - ud_p) @ nu
+                if run_cost is not None:
+                    g_m = jnp.asarray(run_cost(u_pre, t))
+                    g_pp = jnp.asarray(run_cost(u_post, t))
+                    if event_set.terminals is not None:
+                        g_pp = jnp.where(event_set.terminals[j],
+                                         jnp.zeros_like(g_pp), g_pp)
+                    term = term + (g_m - g_pp)
                 corr = jnp.where(jnp.abs(gdot) > 1e-300, term / gdot, 0.0)
                 return lam_base - gu * corr
 

@@ -49,7 +49,10 @@ def _finish(sol, fwd_events, worst, lam0v, qv, dp_disc, unravel_u,
     bad = worst != 0
     fwd_rc = getattr(sol, "retcode", None)
     if fwd_rc is not None:
-        bad = bad | (jnp.asarray(fwd_rc) != 0)
+        rc = jnp.asarray(fwd_rc)
+        # 5 = Terminated: a deliberate terminal-event stop is success (the
+        # reverse designs integrate [t0, sol.t_final])
+        bad = bad | ((rc != 0) & (rc != 5))
     if fwd_events is not None:
         bad = bad | (fwd_events[3] > fwd_events[0].shape[0])
     lam0 = jnp.where(bad, jnp.full_like(lam0v, jnp.nan), lam0v)
@@ -100,25 +103,19 @@ def adjoint_sensitivities(
     """
     if sol.dense is None:
         raise ValueError("adjoint_sensitivities needs solve(..., dense=True)")
-    rc = getattr(sol, "retcode", None)
-    if rc is not None:
-        try:
-            if int(rc) == 5:  # RETCODE_TERMINATED
-                raise NotImplementedError(
-                    "adjoint_sensitivities on a Terminated solution is not "
-                    "supported (the reverse designs here integrate the "
-                    "static tspan); differentiate through solve() instead "
-                    "— grad-over-solve reverses from the dynamic t_final"
-                )
-        except (jax.errors.ConcretizationTypeError,
-                jax.errors.TracerArrayConversionError):
-            pass  # traced retcode: the NaN-poisoning in _finish flags it
     prob = sol.prob
     solver = solver or sol.solver
     sensealg = sensealg or InterpolatingAdjoint()
     p = prob.p
     u0 = prob.u0
     t0, t1 = prob.tspan
+    # Terminated solutions (retcode 5): the reverse designs integrate
+    # [t0, sol.t_final] — the reference's Terminated tspan shrink
+    # (interpolating_adjoint.jl:347-353). Data times past t_final index the
+    # HELD state u(t_final) (the dense clamp), and reverse_joined_solve's
+    # start consumption folds their λ jumps (and the terminal event's
+    # f⁺ = 0 correction) at the reverse start.
+    tf = sol.t_final if getattr(sol, "t_final", None) is not None else t1
 
     u0vec, unravel_u = ravel_pytree(u0)
     pflat, unravel_p = ravel_pytree(p)
@@ -172,6 +169,20 @@ def adjoint_sensitivities(
         if dgdp_continuous is None and npf > 0:
             dgdp_continuous = jax.grad(g, argnums=1)
 
+        def run_cost(yvec, tt):
+            return g(unravel_u(yvec), p, tt)
+    else:
+        run_cost = None
+        if (event_set is not None and event_set.n_cont > 0
+                and (dgdu_continuous is not None
+                     or dgdp_continuous is not None)):
+            raise NotImplementedError(
+                "continuous cost + continuous-event solutions: pass g= "
+                "(not just dgdu_continuous/dgdp_continuous) — the "
+                "moving-boundary term (g⁻ − g⁺)·dτ/d(·) at each event "
+                "time needs the cost VALUE"
+            )
+
     # λ jumps at data times.
     if dgdu_discrete is not None:
         def jump(i):
@@ -221,6 +232,7 @@ def adjoint_sensitivities(
             _make_event_apply(
                 kern, p, event_set, fwd_events, n, npf,
                 q_slice=q_slice, u_snap_start=u_snap_start, q_in_hc=q_in_hc,
+                run_cost=run_cost,
             ),
         )
 
@@ -262,7 +274,7 @@ def adjoint_sensitivities(
                 fwd_events, event_set,
                 _make_dae_event_apply(
                     kern, p, event_set, fwd_events, n, npf, M_fwd, dtype,
-                    q_slice=q_slice, q_in_hc=q_in_hc,
+                    q_slice=q_slice, q_in_hc=q_in_hc, run_cost=run_cost,
                 ),
             )
 
@@ -294,7 +306,7 @@ def adjoint_sensitivities(
                 stepper, aug_rhs, times, jumps_aug,
                 jnp.zeros(n + npf, dtype), n + npf,
                 rtol=rtol, atol=atol, max_steps=max_steps,
-                err_weights=wts, **_dae_ev(q_slice=n),
+                err_weights=wts, t_span=(t0, tf), **_dae_ev(q_slice=n),
             )
             lam0v, qv = du0_map(z[:n]), z[n:]
         elif isinstance(sensealg, (GaussAdjoint, GaussKronrodAdjoint,
@@ -313,7 +325,7 @@ def adjoint_sensitivities(
                     stepper, aug_rhs, times, lamjs, jnp.zeros(n, dtype), n,
                     rtol=rtol, atol=atol, max_steps=max_steps,
                     collect_dense=True, hook_carry=jnp.zeros(npf, dtype),
-                    **_dae_ev(q_in_hc=True),
+                    t_span=(t0, tf), **_dae_ev(q_in_hc=True),
                 )
                 qv = adaptive_gk_dp(
                     kern, p, dense, lam_dense, sensealg, dtype, npf, q_ev,
@@ -327,7 +339,8 @@ def adjoint_sensitivities(
                 lam, qcarry, worst, _ = reverse_joined_solve(
                     stepper, aug_rhs, times, lamjs, jnp.zeros(n, dtype), n,
                     rtol=rtol, atol=atol, max_steps=max_steps,
-                    hook=hook, hook_carry=q0, **_dae_ev(q_in_hc=True),
+                    hook=hook, hook_carry=q0, t_span=(t0, tf),
+                    **_dae_ev(q_in_hc=True),
                 )
                 qv = finish_q(qcarry) + q_jump_sum
             lam0v = du0_map(lam)
@@ -359,7 +372,7 @@ def adjoint_sensitivities(
         z, _, worst, _ = reverse_joined_solve(
             solver, aug_rhs, times, jumps, z0, n,
             rtol=rtol, atol=atol, max_steps=max_steps, err_weights=wts,
-            **_ev(q_slice=n, u_snap_start=n + npf),
+            t_span=(t0, tf), **_ev(q_slice=n, u_snap_start=n + npf),
         )
         lam0v, qv = z[:n], z[n:n + npf]
     elif isinstance(sensealg, InterpolatingAdjoint):
@@ -377,7 +390,7 @@ def adjoint_sensitivities(
         z, _, worst, _ = reverse_joined_solve(
             solver, aug_rhs, times, jumps, z0, n,
             rtol=rtol, atol=atol, max_steps=max_steps, err_weights=wts,
-            **_ev(q_slice=n),
+            t_span=(t0, tf), **_ev(q_slice=n),
         )
         lam0v, qv = z[:n], z[n:n + npf]
     elif isinstance(sensealg, (GaussAdjoint, GaussKronrodAdjoint)):
@@ -396,7 +409,7 @@ def adjoint_sensitivities(
         lam0v, qcarry, worst, _ = reverse_joined_solve(
             solver, aug_rhs, times, jumps, jnp.zeros(n, dtype), n,
             rtol=rtol, atol=atol, max_steps=max_steps,
-            hook=hook, hook_carry=q0,
+            hook=hook, hook_carry=q0, t_span=(t0, tf),
             **_ev(q_in_hc=True),
         )
         qv = finish_q(qcarry)
@@ -413,7 +426,7 @@ def adjoint_sensitivities(
             solver, aug_rhs, times, jumps, jnp.zeros(n, dtype), n,
             rtol=rtol, atol=atol, max_steps=max_steps,
             collect_dense=True, hook_carry=jnp.zeros(npf, dtype),
-            **_ev(q_in_hc=True),
+            t_span=(t0, tf), **_ev(q_in_hc=True),
         )
         qv = adaptive_gk_dp(kern, p, dense, lam_dense, sensealg, dtype, npf,
                             q_ev, extra_p=extra_p)
@@ -436,6 +449,12 @@ def adjoint_sensitivities(
           if g is not None else jnp.zeros((), dtype))
     f0v = kern.fvec(y0, p, jnp.asarray(t0, dtype))
     dgdt0 = -g0 - jnp.real(jnp.sum(lam0 * f0v))
-    dgdt1 = g1
+    # Terminated before t1: the nominal endpoint has no effect (the solve
+    # stops at the event time τ, not at t1) — dG/dt1 = 0
+    rdt = jnp.promote_types(dtype, jnp.float32)
+    tdir_ = jnp.where(jnp.asarray(t1, rdt) >= jnp.asarray(t0, rdt), 1.0, -1.0)
+    stopped_early = (jnp.asarray(t1, rdt) - jnp.asarray(tf, rdt)) * tdir_ \
+        > 64.0 * jnp.finfo(rdt).eps * jnp.maximum(jnp.abs(jnp.asarray(t1, rdt)), 1.0)
+    dgdt1 = jnp.where(stopped_early, jnp.zeros_like(g1), g1)
     dgdt0 = jnp.where(bad, jnp.full_like(dgdt0, jnp.nan), dgdt0)
     return du0, dp, (dgdt0, dgdt1)

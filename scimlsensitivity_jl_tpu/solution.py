@@ -47,6 +47,8 @@ class ODESolution:
     unravel_u: Optional[Callable] = None
     u_final: Optional[jnp.ndarray] = None  # flat state at t1
     events: Any = None  # (ev_ts, ev_upre, ev_idx, ev_count) when callbacks on
+    t_final: Optional[jnp.ndarray] = None  # realized final time (< t1 iff
+    #                                        Terminated by a terminal event)
 
     @property
     def success(self):
@@ -84,6 +86,6 @@ class ODESolution:
 jax.tree_util.register_dataclass(
     ODESolution,
     data_fields=["ts", "ys", "stats", "retcode", "prob", "dense", "u_final",
-                 "events"],
+                 "events", "t_final"],
     meta_fields=["solver", "sensealg", "unravel_u"],
 )

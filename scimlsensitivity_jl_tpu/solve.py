@@ -510,6 +510,7 @@ def _solve_ode(prob, solver, *, saveat, rtol, atol, dt0, dt, max_steps,
         unravel_u=unravel_u,
         u_final=aux.u_final,
         events=getattr(aux, "events", None),
+        t_final=aux.t_final,
     )
     return sol
 

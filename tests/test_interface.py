@@ -256,3 +256,76 @@ def test_tspan_endpoint_gradients():
     fd_t1 = (G(0.0, 2.0 + eps) - G(0.0, 2.0 - eps)) / (2 * eps)
     assert abs(float(dt0g) - float(fd_t0)) < 1e-3
     assert abs(float(dt1g) - float(fd_t1)) < 1e-3
+
+
+def test_adjoint_sensitivities_terminated_solution():
+    """Direct API on a Terminated solve (reference: the adjoint tspan
+    shrinks to [t0, t_final], interpolating_adjoint.jl:347-353). Held data
+    rows past τ carry their cotangents onto the reverse start; gradients
+    match grad-over-solve for every reverse design."""
+    from scimlsensitivity_jl_tpu import (BacksolveAdjoint,
+                                         ContinuousCallback,
+                                         QuadratureAdjoint)
+
+    def f(u, q, t):
+        return jnp.array([u[1], -q[0]])
+
+    cb = ContinuousCallback(lambda u, q, t: u[0], lambda u, q, t: u,
+                            direction=-1, terminal=True)
+    q0 = jnp.array([3.0])
+    u0 = jnp.array([2.0, 0.0])
+    ts = jnp.linspace(0.0, 5.0, 6)
+    wts = jnp.arange(1.0, 13.0).reshape(6, 2)
+    kw = dict(rtol=1e-12, atol=1e-14)
+
+    def loss(q):
+        s = solve(ODEProblem(f, u0, (0.0, 5.0), q), Tsit5(), saveat=ts,
+                  callback=cb, sensealg=GaussAdjoint(), **kw)
+        return jnp.sum(wts * s.ys)
+
+    g_ref = float(jax.grad(loss)(q0)[0])
+    du0_ref = np.asarray(jax.grad(
+        lambda v: jnp.sum(wts * solve(ODEProblem(f, v, (0.0, 5.0), q0),
+                                      Tsit5(), saveat=ts, callback=cb,
+                                      sensealg=GaussAdjoint(), **kw).ys))(u0))
+    assert abs(g_ref) > 1e-8
+
+    sol = solve(ODEProblem(f, u0, (0.0, 5.0), q0), Tsit5(), saveat=ts,
+                callback=cb, dense=True, **kw)
+    assert int(sol.retcode) == 5
+
+    for alg in [InterpolatingAdjoint(), GaussAdjoint(),
+                QuadratureAdjoint(abstol=1e-13, reltol=1e-11),
+                BacksolveAdjoint()]:
+        du0, dp = adjoint_sensitivities(
+            sol, t=ts, dgdu_discrete=lambda u, q, t, i: wts[i],
+            callback=cb, sensealg=alg, rtol=1e-10, atol=1e-12)
+        np.testing.assert_allclose(float(dp[0]), g_ref, rtol=1e-7,
+                                   err_msg=type(alg).__name__)
+        np.testing.assert_allclose(np.asarray(du0), du0_ref, rtol=1e-7,
+                                   err_msg=type(alg).__name__)
+
+    # continuous cost: G = ∫_0^τ g dt (the reverse only covers [t0, τ]);
+    # oracle = augmented quadrature state through the truncated program
+    def g_cost(u, q, t):
+        return u[1] ** 2
+
+    def loss_aug(q):
+        def faug(z, qq, t):
+            return jnp.concatenate([f(z[:2], qq, t),
+                                    jnp.array([g_cost(z[:2], qq, t)])])
+        cba = ContinuousCallback(lambda z, qq, t: z[0],
+                                 lambda z, qq, t: z,
+                                 direction=-1, terminal=True)
+        s = solve(ODEProblem(faug, jnp.concatenate([u0, jnp.zeros(1)]),
+                             (0.0, 5.0), q), Tsit5(), callback=cba,
+                  sensealg=GaussAdjoint(), **kw)
+        return s.ys[-1, -1]
+
+    gq_ref = float(jax.grad(loss_aug)(q0)[0])
+    du0c, dpc, (dt0g, dt1g) = adjoint_sensitivities(
+        sol, t=jnp.array([5.0]), g=g_cost, callback=cb,
+        sensealg=GaussAdjoint(), rtol=1e-10, atol=1e-12, t_grads=True)
+    np.testing.assert_allclose(float(dpc[0]), gq_ref, rtol=1e-6)
+    # terminated before t1 => the nominal endpoint has no effect
+    np.testing.assert_allclose(float(dt1g), 0.0, atol=1e-12)
