@@ -60,6 +60,84 @@ def _finish(sol, fwd_events, worst, lam0v, qv, dp_disc, unravel_u,
     return unravel_u(lam0), unravel_p(qv)
 
 
+def _replay_direct(sol, *, t, dgdu_discrete, dgdp_discrete, sensealg,
+                   callback):
+    """Direct sensitivities for SDE/RODE solutions by replay: re-solve over
+    the SAME counter-based noise (sol.solve_args carries dt/key), take one
+    jax.vjp of (u0, p) -> ys, and contract with the data-time cotangent
+    rows evaluated at the primal solution."""
+    import jax.tree_util as jtu
+
+    from ..problems import remake
+    from ..solve import solve as _solve
+
+    prob = sol.prob
+    p = prob.p
+    sa = sol.solve_args
+    if sa is None:
+        raise ValueError(
+            "this SDE/RODE solution carries no replay metadata "
+            "(solve_args); re-solve with the package's solve()"
+        )
+    ts = sol.ts if t is None else jnp.asarray(t)
+    import numpy as _np
+
+    try:
+        if not _np.allclose(_np.asarray(ts, float),
+                            _np.asarray(sol.ts, float)):
+            raise ValueError(
+                "t= must equal the solution's save times for SDE/RODE "
+                "direct sensitivities (cotangent rows align with sol.ys); "
+                "re-solve with saveat=t"
+            )
+    except (jax.errors.TracerArrayConversionError,
+            jax.errors.ConcretizationTypeError):
+        pass
+    nt = ts.shape[0]
+    if dgdu_discrete is None:
+        raise ValueError("SDE/RODE direct sensitivities need dgdu_discrete")
+    alg = sensealg if sensealg is not None else sol.sensealg
+
+    kw = dict(saveat=sol.ts, sensealg=alg, key=sa["key"])
+    if sa["kind"] == "sde_adaptive":
+        kw.update(rtol=sa["rtol"], atol=sa["atol"],
+                  max_steps=sa["max_steps"])
+    else:
+        kw.update(dt=sa["dt"])
+        if not isinstance(sol.solver, str):
+            kw["solver"] = sol.solver
+    if callback is not None:
+        kw["callback"] = callback
+
+    solver_arg = kw.pop("solver", None)
+    if (sa["kind"] == "sde_adaptive" and isinstance(sol.solver, str)
+            and "Milstein" in sol.solver):
+        from ..solvers.sde import AdaptiveMilstein
+
+        solver_arg = AdaptiveMilstein()
+
+    def out(u0, pp):
+        s = _solve(remake(prob, u0=u0, p=pp), solver_arg, **kw)
+        return s.ys
+
+    _, pull = jax.vjp(out, prob.u0, p)
+
+    def row(i):
+        ui = jtu.tree_map(lambda a: a[i], sol.ys)
+        return dgdu_discrete(ui, p, ts[i], i)
+
+    cot = jax.vmap(row)(jnp.arange(nt))
+    du0, dp = pull(cot)
+    if dgdp_discrete is not None:
+        def prow(i):
+            ui = jtu.tree_map(lambda a: a[i], sol.ys)
+            return dgdp_discrete(ui, p, ts[i], i)
+
+        extra = jax.vmap(prow)(jnp.arange(nt))
+        dp = jtu.tree_map(lambda a, b: a + jnp.sum(b, axis=0), dp, extra)
+    return du0, dp
+
+
 def adjoint_sensitivities(
     sol,
     solver=None,
@@ -101,6 +179,31 @@ def adjoint_sensitivities(
     (discrete-cost *data times* are differentiated through jax.grad over
     solve's saveat instead). Returns (du0, dp) or (du0, dp, (dGdt0, dGdt1)).
     """
+    from ..problems import RODEProblem, SDEProblem
+
+    if isinstance(sol.prob, (SDEProblem, RODEProblem)):
+        # SDE/RODE solutions (reference SDEAdjointProblem/RODEAdjointProblem
+        # drivers): the adjoint is the exact DISCRETE adjoint of the
+        # realized scheme over the replayable counter-based noise — one
+        # re-solve vjp, contracted with the data-time cotangents (the
+        # reference instead reverses deepcopy(sol.W);
+        # backsolve_adjoint.jl:274-419, interpolating_adjoint.jl:453-613).
+        if (g is not None or dgdu_continuous is not None
+                or dgdp_continuous is not None):
+            raise NotImplementedError(
+                "adjoint_sensitivities on SDE/RODE solutions supports "
+                "discrete costs (dgdu_discrete/dgdp_discrete); put a "
+                "running cost in an augmented quadrature state instead"
+            )
+        if t_grads:
+            raise NotImplementedError(
+                "t_grads on SDE/RODE solutions is not supported (the "
+                "realized noise grid is tied to the tspan)"
+            )
+        return _replay_direct(sol, t=t, dgdu_discrete=dgdu_discrete,
+                              dgdp_discrete=dgdp_discrete,
+                              sensealg=sensealg, callback=callback)
+
     if sol.dense is None:
         raise ValueError("adjoint_sensitivities needs solve(..., dense=True)")
     prob = sol.prob

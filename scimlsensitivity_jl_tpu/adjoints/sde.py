@@ -269,6 +269,7 @@ def solve_rode(
     return ODESolution(
         ts=saveat, ys=ys, stats=stats, retcode=stats.retcode, prob=prob,
         solver="RandomEM", sensealg=sensealg, dense=None, unravel_u=unravel_u,
+        solve_args={"kind": "rode", "dt": dt, "key": key},
     )
 
 
@@ -636,6 +637,7 @@ def solve_sde(
     return ODESolution(
         ts=saveat, ys=ys, stats=stats, retcode=stats.retcode, prob=prob,
         solver=solver, sensealg=sensealg, dense=None, unravel_u=unravel_u,
+        solve_args={"kind": "sde", "dt": dt, "key": key},
     )
 
 
@@ -868,4 +870,6 @@ def _solve_sde_adaptive(prob, *, saveat, key, sensealg, max_steps, rtol,
         ts=saveat, ys=ys, stats=stats, retcode=stats.retcode, prob=prob,
         solver=label, sensealg=sensealg, dense=None,
         unravel_u=unravel_u,
+        solve_args={"kind": "sde_adaptive", "key": key, "rtol": rtol,
+                    "atol": atol, "max_steps": max_steps},
     )

@@ -49,6 +49,8 @@ class ODESolution:
     events: Any = None  # (ev_ts, ev_upre, ev_idx, ev_count) when callbacks on
     t_final: Optional[jnp.ndarray] = None  # realized final time (< t1 iff
     #                                        Terminated by a terminal event)
+    solve_args: Any = None  # SDE/RODE replay kwargs (dt, key, ...): the
+    #                         direct API re-solves over the SAME noise
 
     @property
     def success(self):
@@ -86,6 +88,6 @@ class ODESolution:
 jax.tree_util.register_dataclass(
     ODESolution,
     data_fields=["ts", "ys", "stats", "retcode", "prob", "dense", "u_final",
-                 "events", "t_final"],
+                 "events", "t_final", "solve_args"],
     meta_fields=["solver", "sensealg", "unravel_u"],
 )
