@@ -81,8 +81,21 @@ class EulerHeun:
 
 
 class Milstein:
-    """Strong order 1.0 Ito scheme for diagonal noise:
-    u1 = EM + 0.5·g·(∂g/∂u diag)·(ΔW² - dt). Derivative via one jvp."""
+    """Strong order 1.0 Ito Milstein scheme.
+
+    Diagonal noise (g: (n,)):
+        u1 = EM + 0.5·g·(∂g/∂u diag)·(ΔW² − dt), derivative via one jvp.
+
+    General (n, m) noise under the COMMUTATIVITY condition L^j g_k = L^k g_j
+    (StochasticDiffEq's RKMilCommute scope — the reference stack, like this
+    one, has no Lévy-area generator for the non-commutative case): the
+    iterated-integral sum collapses to
+
+        0.5 · Σ_{j,k} (∂g/∂u · g_{:,j})_k · (ΔW_j ΔW_k − dt δ_{jk}),
+
+    computed as m jvps of g (one per noise column, vmapped — batched on the
+    VPU, no Jacobian materialization). Commutativity is the caller's
+    contract, matching the reference's RKMilCommute."""
 
     name = "Milstein"
     interpretation = "ito"
@@ -93,12 +106,17 @@ class Milstein:
 
     def step(self, fvec, gvec, t, dt, u, dw):
         g0 = gvec(u, t)
-        if g0.ndim != 1:
-            raise NotImplementedError("Milstein implemented for diagonal noise")
-        dg = _gg_jvp(gvec, u, t, g0)  # (∂g/∂u)·g ; diagonal: g·g'
-        return (
-            u + dt * fvec(u, t) + g0 * dw + 0.5 * dg * (dw ** 2 - dt)
-        )
+        if g0.ndim == 1:
+            dg = _gg_jvp(gvec, u, t, g0)  # (∂g/∂u)·g ; diagonal: g·g'
+            return (
+                u + dt * fvec(u, t) + g0 * dw + 0.5 * dg * (dw ** 2 - dt)
+            )
+        # commutative matrix noise: D[j] = (∂g/∂u)·g[:, j], shape (m, n, m)
+        D = jax.vmap(lambda col: _gg_jvp(gvec, u, t, col))(g0.T)
+        eye = jnp.eye(dw.shape[0], dtype=dw.dtype)
+        A = dw[:, None] * dw[None, :] - dt * eye
+        corr = 0.5 * jnp.einsum("jnk,jk->n", D, A)
+        return u + dt * fvec(u, t) + g0 @ dw + corr
 
 
 class SRA1:
