@@ -93,7 +93,7 @@ from .solvers.fbdf import FBDF
 from .solvers.rosenbrock import Rosenbrock23
 from .solvers.seulex import Rodas4Like, Seulex
 from .solvers.sde import (SOSRI, SRA1, SRIW1, AdaptiveMilstein, EulerHeun,
-                          EulerMaruyama, ImplicitEM, Milstein,
+                          EulerMaruyama, ImplicitEM, Milstein, RKMilCommute, RKMilGeneral,
                           StrongTaylor15)
 from .solvers.sdirk import SDIRK4, TRBDF2, Kvaerno3
 
@@ -144,6 +144,8 @@ __all__ = [
     "EulerMaruyama",
     "EulerHeun",
     "Milstein",
+    "RKMilCommute",
+    "RKMilGeneral",
     "SRA1",
     "StrongTaylor15",
     "SRIW1",

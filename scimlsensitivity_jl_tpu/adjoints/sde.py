@@ -443,9 +443,19 @@ def solve_sde(
         w_shape = (n,)
 
     needs_dz = bool(getattr(solver, "needs_dz", False))
+    # Lévy-area Milstein (RKMilGeneral): areas only exist for true matrix
+    # noise; diagonal/scalar noise degenerates to plain Milstein.
+    needs_levy = (bool(getattr(solver, "needs_levy", False))
+                  and prob.noise == "general")
 
     noise_src = getattr(prob, "noise_process", None)
     if noise_src is not None:
+        if needs_levy:
+            raise NotImplementedError(
+                f"{solver!r} needs Lévy areas, which an observed path does "
+                "not determine; use EulerMaruyama/EulerHeun/"
+                "Milstein(commutative=True) with noise_process"
+            )
         # User-supplied driving path (NoiseGrid analogue): the solvers
         # consume its increments; the reverse pass reads the SAME
         # increments, so gradients are exact discrete adjoints over the
@@ -505,6 +515,13 @@ def solve_sde(
         if needs_dz:
             dz = grid_iterated(key, i, w_shape, dt_a, dw).astype(dtype)
             u1 = solver.step(fvec, gvec, t, dt_a, uv, dw, dz)
+        elif needs_levy:
+            from ..ops.brownian import grid_levy_area
+
+            levy_a = grid_levy_area(
+                key, i, w_shape[0], dt_a, dw, terms=solver.levy_terms
+            ).astype(dtype)
+            u1 = solver.step(fvec, gvec, t, dt_a, uv, dw, levy_a)
         else:
             u1 = solver.step(fvec, gvec, t, dt_a, uv, dw)
         if cb_disc or cb_preset:

@@ -150,10 +150,7 @@ def _dgdp_nodes(data: _LSSData, us, ts):
                 lambda pp: data.g(u, pp, t), argnums=0
             )(data.p))[0]
 
-        try:
-            return jax.vmap(gp)(us, ts)
-        except Exception:
-            pass
+        return jax.vmap(gp)(us, ts)
     return jnp.zeros((us.shape[0], data.npf), us.dtype)
 
 

@@ -55,6 +55,7 @@ def solve_nonlinear(
     sensealg: SteadyStateAdjoint = SteadyStateAdjoint(),
     tol: float = 1e-10,
     max_iters: int = 50,
+    verbose: bool = False,
 ) -> NonlinearSolution:
     """Solve f(u, p) = 0 by damped Newton; gradients via the IFT adjoint."""
     if isinstance(prob, SteadyStateProblem):
@@ -103,9 +104,42 @@ def solve_nonlinear(
             def mtv(v):
                 return pullback(v)[0]
 
+            restart = min(30, n)
             lam, _ = jax.scipy.sparse.linalg.gmres(
-                mtv, gbar, tol=1e-12, restart=min(30, n), maxiter=10
+                mtv, gbar,
+                tol=sensealg.linsolve_reltol,
+                restart=restart,
+                maxiter=min(100, max(10, -(-n // restart))),
             )
+            # Residual check (reference fallback-chain semantics:
+            # steadystate_adjoint.jl:162-174 wraps vjp/linear-solve failure
+            # with fallback + warning; a stiff/ill-conditioned (∂f/∂u)ᵀ must
+            # never yield a silently wrong gradient).
+            resid = jnp.linalg.norm(mtv(lam) - gbar)
+            ok = resid <= sensealg.check_reltol * jnp.maximum(
+                jnp.linalg.norm(gbar), jnp.asarray(1e-30, gbar.dtype)
+            )
+            if verbose:
+                jax.lax.cond(
+                    ok,
+                    lambda: None,
+                    lambda: jax.debug.print(
+                        "[scimlsensitivity] SteadyStateAdjoint: GMRES did not "
+                        "converge (resid={r}); "
+                        + ("falling back to dense solve"
+                           if n <= sensealg.dense_fallback_cutoff
+                           else "NaN-poisoning the gradient"),
+                        r=resid,
+                    ),
+                )
+            if n <= sensealg.dense_fallback_cutoff:
+                def _dense_fallback(_):
+                    J = jax.jacfwd(lambda uv: fv(uv, p))(uvec)
+                    return jnp.linalg.solve(J.T, gbar)
+
+                lam = jax.lax.cond(ok, lambda _: lam, _dense_fallback, None)
+            else:
+                lam = jnp.where(ok, lam, jnp.full_like(lam, jnp.nan))
 
         # dL/dp = -λᵀ ∂f/∂p (:162-174)
         _, pb_p = jax.vjp(lambda p_: fv(uvec, p_), p)
@@ -133,9 +167,11 @@ def solve_unconstrained_optimization(
     sensealg: SteadyStateAdjoint = SteadyStateAdjoint(),
     tol: float = 1e-10,
     max_iters: int = 100,
+    verbose: bool = False,
 ) -> NonlinearSolution:
     """Differentiate argmin_u φ(u, p) by treating ∇_u φ = 0 as a steady state
     (UnconstrainedOptimizationAdjoint, reference concrete_solve.jl:2691)."""
     grad_f = jax.grad(objective, argnums=0)
     prob = NonlinearProblem(lambda u, p_: grad_f(u, p_), u0, p)
-    return solve_nonlinear(prob, sensealg=sensealg, tol=tol, max_iters=max_iters)
+    return solve_nonlinear(prob, sensealg=sensealg, tol=tol, max_iters=max_iters,
+                           verbose=verbose)

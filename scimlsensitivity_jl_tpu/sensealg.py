@@ -267,6 +267,14 @@ class SteadyStateAdjoint(AbstractAdjointSensealg):
     autojacvec: VJPChoice = AutoVJP()
     linsolve: Optional[str] = None  # None => size heuristic
     dense_cutoff: int = 50
+    # Matrix-free-path robustness (reference fallback-chain semantics,
+    # steadystate_adjoint.jl:162-174, sensitivity_interface.jl:409-420):
+    # GMRES iterates to linsolve_reltol; the λ residual is then checked
+    # against check_reltol — on failure, n <= dense_fallback_cutoff falls
+    # back to a dense solve, larger systems NaN-poison the gradient.
+    linsolve_reltol: float = 1e-10
+    check_reltol: float = 1e-6
+    dense_fallback_cutoff: int = 2000
 
 
 # --- shadowing ---

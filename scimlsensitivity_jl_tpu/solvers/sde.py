@@ -1,5 +1,7 @@
 """SDE solvers: Euler-Maruyama (Ito), EulerHeun (Stratonovich), Milstein
-(Ito, diagonal noise).
+(Ito: diagonal noise, commutative matrix noise via RKMilCommute, and general
+non-commutative matrix noise via RKMilGeneral with truncated-series Lévy
+areas).
 
 Fixed-grid `lax.scan` time loops (the reference pins SDE adjoints to the
 forward grid via tstops anyway — sensitivity_interface.jl:478-491); noise is
@@ -25,6 +27,8 @@ __all__ = [
     "EulerMaruyama",
     "EulerHeun",
     "Milstein",
+    "RKMilCommute",
+    "RKMilGeneral",
     "SRA1",
     "StrongTaylor15",
     "SRIW1",
@@ -38,7 +42,8 @@ __all__ = [
 
 
 def _gg_jvp(gvec, u, t, v):
-    """(∂g/∂u)·v for diagonal g: one jvp."""
+    """(∂g/∂u)·v by one jvp — diagonal g·g′ terms, or applied per noise
+    column for matrix noise (v = g[:, j] gives L^j g)."""
     return jax.jvp(lambda uu: gvec(uu, t), (u,), (v,))[1]
 
 
@@ -86,23 +91,28 @@ class Milstein:
     Diagonal noise (g: (n,)):
         u1 = EM + 0.5·g·(∂g/∂u diag)·(ΔW² − dt), derivative via one jvp.
 
-    General (n, m) noise under the COMMUTATIVITY condition L^j g_k = L^k g_j
-    (StochasticDiffEq's RKMilCommute scope — the reference stack, like this
-    one, has no Lévy-area generator for the non-commutative case): the
-    iterated-integral sum collapses to
+    Matrix (n, m) noise requires the COMMUTATIVITY condition
+    L^j g_k = L^k g_j and the explicit opt-in ``Milstein(commutative=True)``
+    (or the ``RKMilCommute()`` alias — StochasticDiffEq encodes the same
+    assumption in that solver's name while its plain Milstein rejects
+    non-diagonal noise). Under commutativity the iterated-integral sum
+    collapses to
 
         0.5 · Σ_{j,k} (∂g/∂u · g_{:,j})_k · (ΔW_j ΔW_k − dt δ_{jk}),
 
     computed as m jvps of g (one per noise column, vmapped — batched on the
-    VPU, no Jacobian materialization). Commutativity is the caller's
-    contract, matching the reference's RKMilCommute."""
+    VPU, no Jacobian materialization). For NON-commutative matrix noise use
+    RKMilGeneral (truncated-series Lévy areas)."""
 
     name = "Milstein"
     interpretation = "ito"
     order = 1
 
+    def __init__(self, commutative: bool = False):
+        self.commutative = bool(commutative)
+
     def __repr__(self):
-        return "Milstein()"
+        return f"Milstein(commutative={self.commutative})"
 
     def step(self, fvec, gvec, t, dt, u, dw):
         g0 = gvec(u, t)
@@ -111,11 +121,67 @@ class Milstein:
             return (
                 u + dt * fvec(u, t) + g0 * dw + 0.5 * dg * (dw ** 2 - dt)
             )
+        if not self.commutative:
+            raise NotImplementedError(
+                "Milstein on matrix (n, m) noise assumes commutative noise "
+                "(L^j g_k = L^k g_j); opt in with Milstein(commutative=True)"
+                " / RKMilCommute(), or use RKMilGeneral() for the "
+                "non-commutative case (Lévy-area Milstein)"
+            )
         # commutative matrix noise: D[j] = (∂g/∂u)·g[:, j], shape (m, n, m)
         D = jax.vmap(lambda col: _gg_jvp(gvec, u, t, col))(g0.T)
         eye = jnp.eye(dw.shape[0], dtype=dw.dtype)
         A = dw[:, None] * dw[None, :] - dt * eye
         corr = 0.5 * jnp.einsum("jnk,jk->n", D, A)
+        return u + dt * fvec(u, t) + g0 @ dw + corr
+
+
+def RKMilCommute():
+    """StochasticDiffEq's RKMilCommute slot: Milstein for commutative matrix
+    noise — the commutativity assumption is in the name, as in the
+    reference ecosystem."""
+    return Milstein(commutative=True)
+
+
+class RKMilGeneral:
+    """Strong order 1.0 Ito Milstein for GENERAL (non-commutative) (n, m)
+    noise — the slot StochasticDiffEq fills with RKMilGeneral; the Julia
+    reference itself has no Lévy-area machinery (its jacNoise! handles the
+    diffusion Jacobian only: /root/reference/src/derivative_wrappers.jl:1165-1409).
+
+        u1 = EM + Σ_{j,k} L^j g_{:,k} · I_(j,k),
+        I_(j,k) = ½(ΔW_j ΔW_k − dt δ_jk) + A_jk,
+
+    with the antisymmetric Lévy area A from the truncated Kloeden–Platen
+    series (ops/brownian.py grid_levy_area; `levy_terms` controls the
+    truncation, strong error O(h/√P) per step). L^j g_{:,k} is computed as
+    m vmapped jvps of g — no Jacobian materialization. Diagonal noise
+    degenerates to plain Milstein (areas drop out)."""
+
+    name = "RKMilGeneral"
+    interpretation = "ito"
+    order = 1
+    needs_levy = True
+
+    def __init__(self, levy_terms: int = 10):
+        self.levy_terms = int(levy_terms)
+
+    def __repr__(self):
+        return f"RKMilGeneral(levy_terms={self.levy_terms})"
+
+    def step(self, fvec, gvec, t, dt, u, dw, levy_a=None):
+        g0 = gvec(u, t)
+        if g0.ndim == 1:
+            dg = _gg_jvp(gvec, u, t, g0)
+            return (
+                u + dt * fvec(u, t) + g0 * dw + 0.5 * dg * (dw ** 2 - dt)
+            )
+        D = jax.vmap(lambda col: _gg_jvp(gvec, u, t, col))(g0.T)
+        eye = jnp.eye(dw.shape[0], dtype=dw.dtype)
+        I2 = 0.5 * (dw[:, None] * dw[None, :] - dt * eye)
+        if levy_a is not None:
+            I2 = I2 + levy_a
+        corr = jnp.einsum("jnk,jk->n", D, I2)
         return u + dt * fvec(u, t) + g0 @ dw + corr
 
 

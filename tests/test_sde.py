@@ -607,8 +607,8 @@ def test_milstein_commutative_matrix_noise_strong_vs_exact():
         return jnp.max(jnp.abs(sol.ys[-1] - exact))
 
     keys = jax.random.split(jax.random.PRNGKey(7), 200)
-    e1 = float(jax.vmap(lambda k: path_err(k, 1e-2, Milstein()))(keys).mean())
-    e2 = float(jax.vmap(lambda k: path_err(k, 1e-3, Milstein()))(keys).mean())
+    e1 = float(jax.vmap(lambda k: path_err(k, 1e-2, Milstein(commutative=True)))(keys).mean())
+    e2 = float(jax.vmap(lambda k: path_err(k, 1e-3, Milstein(commutative=True)))(keys).mean())
     # strong order 1: tenfold dt refinement ~ tenfold error drop
     assert e1 / e2 > 5.0, (e1, e2)
     # and Milstein beats EM at the same dt (EM is strong 0.5 here)
@@ -627,7 +627,7 @@ def test_milstein_commutative_gradient_vs_forward_mode():
             lambda u, q, t: q[0] * u,
             lambda u, q, t: jnp.stack([q[1] * u, q[2] * u], axis=1),
             u0, (0.0, 0.5), pp, noise="general", noise_dim=2)
-        sol = solve(prob, Milstein(), dt=1e-2, key=key,
+        sol = solve(prob, Milstein(commutative=True), dt=1e-2, key=key,
                     sensealg=DirectAdjoint())
         return jnp.sum(sol.ys[-1] ** 2)
 

@@ -238,3 +238,181 @@ def test_rode_continuous_adjoint_menu():
     g_b = np.asarray(jax.grad(lambda pp: loss(pp, BacksolveAdjoint()))(p))
     np.testing.assert_allclose(g_i, g_d, rtol=1e-12)
     np.testing.assert_allclose(g_b, g_d, rtol=1e-10)
+
+
+# ---------------------------------------------------------------------------
+# RKMilGeneral: non-commutative (general) noise at strong order 1
+# (reference slot: StochasticDiffEq's RKMilGeneral; adjoint-test strategy
+# mirrors /root/reference/test/SDE2/sde_nondiag_stratonovich.jl — fixed
+# noise, adjoint vs forward-mode over the identical realization).
+# ---------------------------------------------------------------------------
+
+def _noncommutative_g(u, q, t):
+    """g columns g₁ = [q1·u2, 0.1·u1], g₂ = [q3·u1, q2·u1]:
+    L¹g₂ = [q3·q1·u2, q2·q1·u2] ≠ L²g₁ = [q1·q2·u1, 0.1·q3·u1]
+    — genuinely non-commutative (cross-coupled diffusion)."""
+    col1 = jnp.stack([q[1] * u[1], 0.1 * u[0]])
+    col2 = jnp.stack([q[3] * u[0], q[2] * u[0]])
+    return jnp.stack([col1, col2], axis=1)
+
+
+def test_rkmilgeneral_reduces_to_commutative_milstein():
+    """On COMMUTATIVE matrix noise the Lévy-area contraction Σ D_jk·A_jk is
+    symmetric×antisymmetric = 0 analytically, so RKMilGeneral must reproduce
+    Milstein(commutative=True) paths to roundoff — a direct check of the
+    iterated-integral wiring."""
+    from scimlsensitivity_jl_tpu import RKMilGeneral
+
+    key = jax.random.PRNGKey(3)
+    p = jnp.array([0.1, 0.4, 0.25])
+    u0 = jnp.array([1.0, 2.0])
+
+    def g(u, q, t):
+        return jnp.stack([q[1] * u, q[2] * u], axis=1)  # commutative
+
+    def run(solver):
+        prob = SDEProblem(lambda u, q, t: q[0] * u, g, u0, (0.0, 1.0), p,
+                          noise="general", noise_dim=2)
+        return solve(prob, solver, dt=1e-2, key=key).ys[-1]
+
+    a = run(Milstein(commutative=True))
+    b = run(RKMilGeneral(levy_terms=8))
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-12, atol=1e-12)
+
+
+def test_plain_milstein_rejects_matrix_noise():
+    """ADVICE r3: plain Milstein must not silently assume commutativity."""
+    import pytest
+
+    p = jnp.array([0.1, 0.4, 0.25, 0.3])
+    prob = SDEProblem(lambda u, q, t: q[0] * u, _noncommutative_g,
+                      jnp.array([1.0, 0.5]), (0.0, 1.0), p,
+                      noise="general", noise_dim=2)
+    with pytest.raises(NotImplementedError, match="commutative"):
+        solve(prob, Milstein(), dt=1e-2, key=jax.random.PRNGKey(0))
+
+
+def test_levy_area_statistics():
+    """Truncated KP series: antisymmetric by construction, mean 0, and
+    Var(A_jk) → h²/4 (exact Lévy-area variance for j≠k) as terms grow."""
+    from scimlsensitivity_jl_tpu.ops.brownian import grid_levy_area
+
+    key = jax.random.PRNGKey(42)
+    h = 0.25
+    n_samp = 4000
+
+    def one(i):
+        dw = grid_increment(key, i, (2,), jnp.asarray(h))
+        return grid_levy_area(key, i, 2, jnp.asarray(h), dw, terms=400)
+
+    A = jax.vmap(one)(jnp.arange(n_samp))
+    np.testing.assert_allclose(np.asarray(A[:, 0, 1]), -np.asarray(A[:, 1, 0]),
+                               rtol=0, atol=1e-12)
+    assert abs(float(A[:, 0, 1].mean())) < 0.05 * h
+    var = float(jnp.var(A[:, 0, 1]))
+    # truncated series variance is below the exact h²/4 by the O(1/P) tail
+    assert 0.85 * h**2 / 4 < var < 1.1 * h**2 / 4, var
+
+
+def test_rkmilgeneral_strong_order_one_noncommutative():
+    """Strong order 1 on a non-commutative linear SDE, measured against a
+    fine-grid self-reference over the CONSISTENT path: coarse iterated
+    integrals are aggregated from fine ones by the chaining identity
+    I_c(j,k) = Σ_m [I_f(j,k),m + (W_j(t_m)−W_j(0))·δW_k,m] — so every level
+    sees the same Brownian path AND the same Lévy areas."""
+    from scimlsensitivity_jl_tpu import RKMilGeneral
+    from scimlsensitivity_jl_tpu.ops.brownian import grid_levy_area
+
+    T = 1.0
+    K = 10
+    nf = 2**K
+    dtf = T / nf
+    p = jnp.array([0.05, 0.35, 0.3, 0.25])
+    u0 = jnp.array([1.0, 0.5])
+    solver = RKMilGeneral(levy_terms=12)
+
+    def fvec_of(q):
+        return lambda u, t: q[0] * u
+
+    def gvec_of(q):
+        return lambda u, t: _noncommutative_g(u, q, t)
+
+    def one_path(key, level):
+        q = p
+        fvec, gvec = fvec_of(q), gvec_of(q)
+        dWf = jax.vmap(
+            lambda i: grid_increment(key, i, (2,), jnp.asarray(dtf))
+        )(jnp.arange(nf))
+        Af = jax.vmap(
+            lambda i: grid_levy_area(key, i, 2, jnp.asarray(dtf), dWf[i],
+                                     terms=12)
+        )(jnp.arange(nf))
+        # fine iterated integrals I_f(j,k) = ½δWjδWk − ½h δjk + A
+        eye = jnp.eye(2)
+        If = (0.5 * (dWf[:, :, None] * dWf[:, None, :] - dtf * eye)
+              + Af)
+
+        # fine reference solve
+        def fine_step(u, m):
+            t = m * dtf
+            u1 = solver.step(fvec, gvec, t, dtf, u, dWf[m], Af[m])
+            return u1, None
+        uref, _ = jax.lax.scan(fine_step, u0, jnp.arange(nf))
+
+        # coarse solve with aggregated noise
+        mth = 2**level
+        sub = nf // mth
+        dWc = dWf.reshape(mth, sub, 2).sum(1)
+        Wf_local = jnp.cumsum(dWf.reshape(mth, sub, 2), axis=1)
+        W_before = Wf_local - dWf.reshape(mth, sub, 2)  # W_j(t_m)−W_j(t0_blk)
+        cross = jnp.einsum("csj,csk->cjk", W_before, dWf.reshape(mth, sub, 2))
+        Ic = If.reshape(mth, sub, 2, 2).sum(1) + cross
+        Ac = 0.5 * (Ic - jnp.swapaxes(Ic, -1, -2))
+        dtc = T / mth
+
+        def coarse_step(u, m):
+            t = m * dtc
+            u1 = solver.step(fvec, gvec, t, dtc, u, dWc[m], Ac[m])
+            return u1, None
+        uc, _ = jax.lax.scan(coarse_step, u0, jnp.arange(mth))
+        return jnp.max(jnp.abs(uc - uref))
+
+    keys = jnp.arange(200)
+    def err_at(level):
+        return float(jax.vmap(
+            lambda s: one_path(jax.random.PRNGKey(s), level)
+        )(keys).mean())
+
+    e4 = err_at(4)   # dt = 1/16
+    e7 = err_at(7)   # dt = 1/128
+    slope = math.log(e4 / e7) / math.log(2**3)
+    assert slope > 0.8, (e4, e7, slope)
+
+
+def test_rkmilgeneral_gradient_adjoint_vs_forward():
+    """Non-diagonal-noise gradients (reference
+    test/SDE2/sde_nondiag_stratonovich.jl strategy): fixed noise realization,
+    reverse adjoints vs jacfwd THROUGH the same solver — exact discrete
+    agreement expected."""
+    from scimlsensitivity_jl_tpu import RKMilGeneral
+
+    key = jax.random.PRNGKey(17)
+    u0 = jnp.array([1.0, 0.5])
+    p = jnp.array([0.2, 0.3, 0.15, 0.25])
+
+    def loss_with(sensealg):
+        def loss(q):
+            prob = SDEProblem(lambda u, qq, t: qq[0] * u, _noncommutative_g,
+                              u0, (0.0, 0.5), q, noise="general", noise_dim=2)
+            sol = solve(prob, RKMilGeneral(levy_terms=10), dt=1e-2, key=key,
+                        sensealg=sensealg)
+            return jnp.sum(sol.ys[-1] ** 2)
+        return loss
+
+    g_fwd = jax.jacfwd(loss_with(DirectAdjoint()))(p)
+    for sa in [DirectAdjoint(), InterpolatingAdjoint(), BacksolveAdjoint()]:
+        g_rev = jax.grad(loss_with(sa))(p)
+        np.testing.assert_allclose(np.asarray(g_rev), np.asarray(g_fwd),
+                                   rtol=1e-4, atol=1e-9,
+                                   err_msg=repr(sa))
