@@ -62,6 +62,9 @@ from .adjoints.forward import (
 )
 from .solution import ODESolution
 from .solve import solve
+from .adjoints.adjoint_problem import (AdjointSensitivityIntegrand,
+                                       ODEAdjointProblem, RODEAdjointProblem,
+                                       SDEAdjointProblem)
 from .adjoints.interface import adjoint_sensitivities
 from .adjoints.shadowing import (
     AdjointLSSProblem,
@@ -113,6 +116,10 @@ __all__ = [
     "ODEForwardSensitivityProblem",
     "extract_local_sensitivities",
     "adjoint_sensitivities",
+    "ODEAdjointProblem",
+    "SDEAdjointProblem",
+    "RODEAdjointProblem",
+    "AdjointSensitivityIntegrand",
     "second_order_sensitivities",
     "second_order_sensitivity_product",
     "NonlinearSolution",
