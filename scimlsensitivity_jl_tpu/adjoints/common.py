@@ -27,8 +27,159 @@ __all__ = [
     "ForwardResult",
     "forward_saveat_solve",
     "reverse_joined_solve",
+    "reverse_pinned_solve",
     "save_hook_factory",
 ]
+
+
+def reverse_pinned_solve(
+    stepper,
+    make_interval_rhs: Callable,
+    dense: DenseOutput,
+    times: jnp.ndarray,
+    lam_jumps: jnp.ndarray,
+    z_init: jnp.ndarray,
+    n_lam: int,
+    *,
+    rtol,
+    atol,
+    hook: Optional[Callable] = None,
+    hook_carry: Any = None,
+    t_span=None,
+    jump_unroll: int = 3,
+    err_weights=None,
+    guard: float = 100.0,
+    collect_lam_nodes: bool = False,
+):
+    """Reverse solve PINNED to the forward's accepted grid: one `stepper`
+    step per stored forward interval, walking the dense buffer backward by
+    index.
+
+    The forward grid already contains every save time (they are merged into
+    tstops) and was sized by the controller for the forward dynamics — whose
+    linearization the adjoint integrates — so the reverse pass needs neither
+    a controller nor interval searches:
+
+      * NO per-stage dense-output search: the interval's Hermite rows
+        (y_i, f_i, y_{i+1}, f_{i+1}) are directly indexed,
+      * NO step-size controller / rejection branch / next-stop scan,
+      * the embedded local error is still COMPUTED and monitored: any step
+        whose weighted error exceeds `guard` (in units of the accepted
+        tolerance) flags retcode 2, NaN-poisoning the gradient downstream —
+        pinned never silently degrades (set pinned_reverse=False on the
+        sensealg to fall back to the adaptive reverse).
+
+    This is the reference's grid-pinning taken to its conclusion: SDE
+    adjoints are pinned to the forward grid via tstops
+    (sensitivity_interface.jl:478-491) and Backsolve snaps at checkpoints
+    (backsolve_adjoint.jl:523-546); here the ODE reverse rides the forward
+    grid exactly, which on a TPU removes every search/controller op from
+    the hot while_loop body.
+
+    make_interval_rhs(i) -> rhs(z, t): the augmented reverse RHS over
+    interval i, interpolating y from directly-indexed rows. `times`
+    ascending with `lam_jumps` rows added into z[:n_lam] when the walk
+    reaches a node matching times[k] (same pointer-matcher semantics as
+    reverse_joined_solve). hook(rec, carry): per-interval, rec =
+    (ta, tb, lam_a, fa, lam_b, fb, i_interval) — ta > tb walking backward.
+
+    Returns (z_at_t0, hook_carry, retcode, lam_nodes) where lam_nodes is
+    the (buf_len, nz) per-node reverse state when collect_lam_nodes else
+    None.
+    """
+    dtype = z_init.dtype
+    tdtype = jnp.promote_types(jnp.zeros((), dtype).real.dtype, jnp.float32)
+    times = jnp.asarray(times, tdtype)
+    m = times.shape[0]
+    n_steps = dense.n_steps  # dynamic
+    t_hi = dense.ts[n_steps]
+    eps = jnp.finfo(tdtype).eps
+    rtol = jnp.asarray(rtol, tdtype)
+    atol = jnp.asarray(atol, tdtype)
+
+    # start-of-reverse consumption: all jump rows at/above t_hi fire now
+    tol0 = 64.0 * eps * jnp.maximum(jnp.abs(t_hi), 1.0)
+
+    def _consume(state):
+        z, k = state
+        kc = jnp.maximum(k, 0)
+        return z.at[:n_lam].add(lam_jumps[kc]), k - 1
+
+    z0, k0 = jax.lax.while_loop(
+        lambda s: (s[1] >= 0) & (times[jnp.maximum(s[1], 0)] >= t_hi - tol0),
+        _consume,
+        (z_init, jnp.asarray(m - 1, jnp.int32)),
+    )
+
+    if collect_lam_nodes:
+        lam_buf0 = jnp.zeros((dense.ts.shape[0], z_init.shape[0]), dtype)
+        lam_buf0 = lam_buf0.at[jnp.minimum(n_steps, lam_buf0.shape[0] - 1)
+                               ].set(z0)
+    else:
+        lam_buf0 = None
+
+    def apply_jumps(t, z, k):
+        tol = 64.0 * eps * jnp.maximum(
+            jnp.maximum(jnp.abs(t), jnp.abs(t_hi)), 1.0)
+        fired = jnp.asarray(False)
+        for _ in range(jump_unroll):
+            kc = jnp.maximum(k, 0)
+            match = (k >= 0) & (jnp.abs(times[kc] - t) <= tol)
+            z = z.at[:n_lam].add(jnp.where(match, lam_jumps[kc], 0.0))
+            k = k - match.astype(k.dtype)
+            fired = fired | match
+        return z, k, fired
+
+    def body(carry):
+        i, z, f, k, worst, hc, lam_buf = carry
+        ta = dense.ts[i + 1]
+        tb = dense.ts[i]
+        dt = tb - ta  # negative of the forward step width
+        rhs = make_interval_rhs(i)
+        z1, f1, err = stepper.step(rhs, ta, dt, z, f)
+        z1 = z1.astype(dtype)
+        f1 = f1.astype(dtype)
+        # zero-width rows (event discontinuity markers) step nowhere
+        zero_w = jnp.abs(dt) <= 64.0 * eps * jnp.maximum(jnp.abs(ta), 1.0)
+        z1 = jnp.where(zero_w, z, z1)
+        f1 = jnp.where(zero_w, f, f1)
+        sc = atol + rtol * jnp.maximum(jnp.abs(z), jnp.abs(z1))
+        if err_weights is None:
+            e = jnp.sqrt(jnp.mean(jnp.abs(err / sc) ** 2))
+        else:
+            cnt = jnp.maximum(jnp.sum(err_weights > 0), 1)
+            e = jnp.sqrt(jnp.sum(jnp.abs(err_weights * err / sc) ** 2) / cnt)
+        worst = jnp.maximum(worst, jnp.where(zero_w, 0.0, e))
+        if hook is not None:
+            hc = hook((ta, tb, z, f, z1, f1, i), hc)
+        z2, k2, fired = apply_jumps(tb, z1, k)
+        # refresh the FSAL derivative after a jump (rhs is linear in z, but
+        # the post-jump z changes it)
+        f2 = jax.lax.cond(fired, lambda zz: rhs(zz, tb).astype(dtype),
+                          lambda zz: f1, z2)
+        if lam_buf is not None:
+            lam_buf = lam_buf.at[i].set(z2)
+        return i - 1, z2, f2, k2, worst, hc, lam_buf
+
+    i0 = n_steps - 1
+    rhs0 = make_interval_rhs(jnp.maximum(i0, 0))
+    f0 = rhs0(z0, t_hi).astype(dtype)
+    init = (i0, z0, f0, k0, jnp.zeros((), tdtype), hook_carry, lam_buf0)
+    _, z_fin, _, k_fin, worst, hc, lam_buf = jax.lax.while_loop(
+        lambda c: c[0] >= 0, body, init
+    )
+    # any jump rows below the final node (t0 duplicates) — consume
+    def _consume_rest(state):
+        z, k = state
+        kc = jnp.maximum(k, 0)
+        return z.at[:n_lam].add(lam_jumps[kc]), k - 1
+
+    z_fin, _ = jax.lax.while_loop(
+        lambda s: s[1] >= 0, _consume_rest, (z_fin, k_fin)
+    )
+    retcode = jnp.where(worst > guard, jnp.asarray(2, jnp.int32),
+                        jnp.asarray(0, jnp.int32))
+    return z_fin, hc, retcode, lam_buf
 
 
 def reverse_joined_solve(

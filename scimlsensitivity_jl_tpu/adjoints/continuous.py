@@ -55,7 +55,7 @@ from ..sensealg import (
 from ..solvers.integrate import Stats, integrate
 from ..utils.pytree import ravel_pytree
 from .common import (forward_saveat_solve, match_cotangents,
-                     reverse_joined_solve)
+                     reverse_joined_solve, reverse_pinned_solve)
 
 __all__ = ["SolveOptions", "AuxOut", "make_ode_solve_fn"]
 
@@ -279,7 +279,7 @@ def _dae_reverse_stepper(bwd_solver, bwd_stepper):
 
 
 def make_gauss_quad_hook(kern, p, dense, sensealg, t0, t1, dtype, npf,
-                         extra_p=None, lam_fix=None):
+                         extra_p=None, lam_fix=None, pinned=False):
     """Per-accepted-step quadrature hook for a λ-only reverse solve,
     accumulating dG/dp = ∫ λᵀ∂f/∂p (+ optional ∂g/∂p) dt in the hook carry.
 
@@ -300,12 +300,25 @@ def make_gauss_quad_hook(kern, p, dense, sensealg, t0, t1, dtype, npf,
     dtype = jnp.promote_types(dtype, jnp.float32)
     is_gk = isinstance(sensealg, GaussKronrodAdjoint)
 
-    def _node_fn(ta, tb, lam_a, fa, lam_b, fb):
+    def _node_fn(ta, tb, lam_a, fa, lam_b, fb, iv=None):
         # λᵀ∂f/∂p at a quadrature node inside the accepted step [ta, tb]
-        # (λ from the step's own Hermite, y from the forward interpolant).
+        # (λ from the step's own Hermite; y from the forward interpolant —
+        # searched in the generic mode, directly indexed at interval `iv`
+        # in the pinned mode where reverse steps ARE forward intervals).
+        if pinned:
+            ya_, yb_ = dense.ys[iv], dense.ys[iv + 1]
+            fya_, fyb_ = dense.fs[iv], dense.fs[iv + 1]
+            tya_, tyb_ = dense.ts[iv], dense.ts[iv + 1]
+
+            def y_of(tj):
+                return hermite_eval(tj, tya_, tyb_, ya_, fya_, yb_, fyb_)
+        else:
+            def y_of(tj):
+                return dense_eval(dense, tj)
+
         def node(tj):
             lam_j = hermite_eval(tj, ta, tb, lam_a, fa, lam_b, fb)
-            yj = dense_eval(dense, tj)
+            yj = y_of(tj)
             if lam_fix is not None:
                 lam_j = lam_fix(yj, tj, lam_j)
             out = ravel_pytree(kern.vjp_p(yj, p, tj, lam_j))[0]
@@ -315,12 +328,19 @@ def make_gauss_quad_hook(kern, p, dense, sensealg, t0, t1, dtype, npf,
 
         return node
 
+    def _unpack(rec):
+        if pinned:
+            ta, tb, lam_a, fa, lam_b, fb, iv = rec
+            return ta, tb, lam_a, fa, lam_b, fb, iv
+        ta, tb, lam_a, fa, lam_b, fb = rec
+        return ta, tb, lam_a, fa, lam_b, fb, None
+
     if is_gk:
         xk, wk, wg_emb = gauss_kronrod_01(7, dtype)
         T_total = jnp.abs(jnp.asarray(t1, dtype) - jnp.asarray(t0, dtype))
 
-        def gk_step(ta, tb, lam_a, fa, lam_b, fb):
-            node = _node_fn(ta, tb, lam_a, fa, lam_b, fb)
+        def gk_step(ta, tb, lam_a, fa, lam_b, fb, iv=None):
+            node = _node_fn(ta, tb, lam_a, fa, lam_b, fb, iv)
 
             def panel(pa, pb):
                 width = pb - pa  # negative walking backwards
@@ -355,8 +375,8 @@ def make_gauss_quad_hook(kern, p, dense, sensealg, t0, t1, dtype, npf,
 
         def gauss_hook(rec, carry):
             qflat, errsum = carry
-            ta, tb, lam_a, fa, lam_b, fb = rec
-            est, err = gk_step(ta, tb, lam_a, fa, lam_b, fb)
+            ta, tb, lam_a, fa, lam_b, fb, iv = _unpack(rec)
+            est, err = gk_step(ta, tb, lam_a, fa, lam_b, fb, iv)
             return (qflat + est, errsum + err)
 
         q0 = (jnp.zeros(npf, dtype), jnp.zeros((), dtype))
@@ -383,8 +403,9 @@ def make_gauss_quad_hook(kern, p, dense, sensealg, t0, t1, dtype, npf,
     xg, wgl = _gl_nodes(getattr(sensealg, "n_nodes", 7), dtype)
 
     def gauss_hook(rec, qflat):
-        ta, tb, lam_a, fa, lam_b, fb = rec  # tb "<" ta going backwards
-        node = _node_fn(ta, tb, lam_a, fa, lam_b, fb)
+        # tb "<" ta going backwards
+        ta, tb, lam_a, fa, lam_b, fb, iv = _unpack(rec)
+        node = _node_fn(ta, tb, lam_a, fa, lam_b, fb, iv)
         width = tb - ta
         contribs = jax.vmap(lambda xj: node(ta + width * xj))(xg)
         # q += ∫_{ta}^{tb} (-λᵀ∂f/∂p) dt ; width < 0 going backwards.
@@ -711,6 +732,63 @@ def make_ode_solve_fn(f, solver, sensealg, opts: SolveOptions, t0, t1, *,
     bwd_stepper = bwd_solver or solver
     vjp_choice = getattr(sensealg, "autojacvec", None)
 
+    from ..solvers.explicit import ExplicitRK as _ERK
+
+    def _pinned_on(event_set, M_fwd):
+        """Pinned-reverse eligibility (see reverse_pinned_solve): explicit
+        -RK reverse stepper, no events (event rows need the in-loop matcher
+        of the adaptive driver), no DAE mass structure.
+
+        Auto (None) enables pinning for InterpolatingAdjoint only — its
+        joined [λ; q] stage pullbacks cost the same per step either way, so
+        riding the (fewer) forward intervals wins ~1.2x measured on the v5e.
+        The λ-only quadrature designs (Gauss/GK) pay their per-accepted-step
+        hook once per interval, and the forward grid is typically DENSER
+        than the reverse controller's own grid near saveat clusters — pinned
+        is a measured 0.9x there, so it stays opt-in."""
+        want = getattr(sensealg, "pinned_reverse", None)
+        if want is False:
+            return False
+        eligible = (isinstance(bwd_stepper, _ERK) and M_fwd is None
+                    and event_set is None)
+        if want is True and not eligible:
+            raise NotImplementedError(
+                "pinned_reverse=True needs an explicit-RK reverse stepper "
+                "and no events/DAE mass structure; leave it None (auto) or "
+                "set False"
+            )
+        if want is None:
+            return eligible and type(sensealg) is InterpolatingAdjoint
+        return eligible
+
+    def _make_interval_rhs_lam(kern, p, dense, n):
+        def make(i):
+            ta_, tb_ = dense.ts[i], dense.ts[i + 1]
+            y0_, y1_ = dense.ys[i], dense.ys[i + 1]
+            f0_, f1_ = dense.fs[i], dense.fs[i + 1]
+
+            def rhs(lam, t):
+                y = hermite_eval(t, ta_, tb_, y0_, f0_, y1_, f1_)
+                return -kern.vjp_u(y, p, t, lam)
+
+            return rhs
+        return make
+
+    def _make_interval_rhs_joined(kern, p, dense, n):
+        def make(i):
+            ta_, tb_ = dense.ts[i], dense.ts[i + 1]
+            y0_, y1_ = dense.ys[i], dense.ys[i + 1]
+            f0_, f1_ = dense.fs[i], dense.fs[i + 1]
+
+            def rhs(z, t):
+                lam = z[:n]
+                y = hermite_eval(t, ta_, tb_, y0_, f0_, y1_, f1_)
+                _, ubar, pbar = kern.f_and_vjp(y, p, t, lam)
+                return jnp.concatenate([-ubar, -ravel_pytree(pbar)[0]])
+
+            return rhs
+        return make
+
     gauss_ckpt = isinstance(
         sensealg, (GaussAdjoint, GaussKronrodAdjoint)
     ) and getattr(sensealg, "checkpointing", False)
@@ -907,7 +985,12 @@ def make_ode_solve_fn(f, solver, sensealg, opts: SolveOptions, t0, t1, *,
                     "(t1 >= t0)"
                 )
             K = fwd.dense.ts.shape[0]
-            tdt = times.dtype
+            # merge in the TIME dtype (>= f32): sub-f32 states must not
+            # round the node times — the pinned reverse matches jumps
+            # against the TRUE dense.ts values (a bf16-rounded node time is
+            # ~1e-3 off and silently drops every dense-node jump)
+            tdt = jnp.promote_types(times.dtype, jnp.float32)
+            times = times.astype(tdt)
             valid = jnp.arange(K) <= fwd.dense.n_steps
             d_nys = jnp.where(valid[:, None], _materialize(dd.ys), 0.0)
             node_states = fwd.dense.ys
@@ -1007,6 +1090,21 @@ def make_ode_solve_fn(f, solver, sensealg, opts: SolveOptions, t0, t1, *,
                 _, ubar, pbar = kern.f_and_vjp(y, p, t, lam)
                 return jnp.concatenate([-ubar, -ravel_pytree(pbar)[0]])
 
+            def _aug_jac(z, t):
+                # ∂(rhs)/∂z over [λ; q]: [[-Jᵀ, 0], [-J_pᵀ, 0]] — q never
+                # feeds back (analytic adjoint Jacobian, see the λ-only
+                # branches; reference quadrature_adjoint.jl:170-192)
+                y = dense_eval(dense, t)
+                pflat_, unr_p = ravel_pytree(p)
+                Ju = kern.jac_u(y, p, t)
+                Jp = jax.jacrev(
+                    lambda pf: kern.fvec(y, unr_p(pf), t))(pflat_)
+                left = jnp.concatenate([-Ju.T, -Jp.T], axis=0)
+                return jnp.concatenate(
+                    [left, jnp.zeros((n + npf, npf), left.dtype)], axis=1)
+
+            aug_rhs.jac = _aug_jac
+
             M_fwd = getattr(solver, "mass_matrix", None)
             if M_fwd is not None:
                 # Continuous adjoint for semi-explicit index-1 DAEs (general
@@ -1073,6 +1171,17 @@ def make_ode_solve_fn(f, solver, sensealg, opts: SolveOptions, t0, t1, *,
             wts = jnp.concatenate(
                 [jnp.ones(n, u0vec.dtype), jnp.zeros(npf, u0vec.dtype)]
             )
+            if _pinned_on(event_set, None):
+                z, _, worst, _ = reverse_pinned_solve(
+                    bwd_stepper, _make_interval_rhs_joined(kern, p, dense, n),
+                    dense, times, jumps, z0, n,
+                    rtol=adj_rtol, atol=adj_atol,
+                    err_weights=wts, jump_unroll=jump_unroll,
+                )
+                return _returns(unravel_u, unravel_p, z[:n], z[n:] + q_extra,
+                                saveat,
+                                jnp.maximum(_rc_ok(fwd.stats.retcode), worst),
+                                primals=(u0, p), d_saveat=d_saveat)
             ev_kwargs = {}
             if event_set is not None:
                 ev_kwargs = _event_kwargs(
@@ -1294,6 +1403,14 @@ def make_ode_solve_fn(f, solver, sensealg, opts: SolveOptions, t0, t1, *,
             y = dense_eval(dense, t)
             return -kern.vjp_u(y, p, t, lam)
 
+        # Stiff reverse passes: the implicit steppers pick this analytic
+        # adjoint Jacobian up instead of jacfwd-ing through the vjp-valued
+        # RHS (differentiating twice per Newton refresh) — the reference's
+        # -(∂f/∂u)ᵀ∘u(t) reuse, quadrature_adjoint.jl:170-192; honors a
+        # user-supplied prob.jac via kern.jac_u.
+        aug_rhs.jac = lambda lam, t: -kern.jac_u(
+            dense_eval(dense, t), p, t).T
+
         M_fwd = getattr(solver, "mass_matrix", None)
         gauss_hook, q0, finish_q = make_gauss_quad_hook(
             kern, p, dense, sensealg, t0, t1, u0vec.dtype, npf,
@@ -1337,6 +1454,22 @@ def make_ode_solve_fn(f, solver, sensealg, opts: SolveOptions, t0, t1, *,
                             jnp.maximum(_rc_ok(fwd.stats.retcode), worst),
                             primals=(u0, p), d_saveat=d_saveat)
 
+        if _pinned_on(event_set, None):
+            gauss_hook_p, q0p, finish_qp = make_gauss_quad_hook(
+                kern, p, dense, sensealg, t0, t1, u0vec.dtype, npf,
+                pinned=True,
+            )
+            lam, qcarry, worst, _ = reverse_pinned_solve(
+                bwd_stepper, _make_interval_rhs_lam(kern, p, dense, n),
+                dense, times, jumps, lam0, n,
+                rtol=adj_rtol, atol=adj_atol,
+                hook=gauss_hook_p, hook_carry=q0p, jump_unroll=jump_unroll,
+            )
+            return _returns(unravel_u, unravel_p, lam,
+                            finish_qp(qcarry) + q_extra, saveat,
+                            jnp.maximum(_rc_ok(fwd.stats.retcode), worst),
+                            primals=(u0, p), d_saveat=d_saveat)
+
         ev_kwargs = {}
         if event_set is not None:
             ev_kwargs = _event_kwargs(
@@ -1369,6 +1502,14 @@ def make_ode_solve_fn(f, solver, sensealg, opts: SolveOptions, t0, t1, *,
         def aug_rhs(lam, t):
             y = dense_eval(dense, t)
             return -kern.vjp_u(y, p, t, lam)
+
+        # Stiff reverse passes: the implicit steppers pick this analytic
+        # adjoint Jacobian up instead of jacfwd-ing through the vjp-valued
+        # RHS (differentiating twice per Newton refresh) — the reference's
+        # -(∂f/∂u)ᵀ∘u(t) reuse, quadrature_adjoint.jl:170-192; honors a
+        # user-supplied prob.jac via kern.jac_u.
+        aug_rhs.jac = lambda lam, t: -kern.jac_u(
+            dense_eval(dense, t), p, t).T
 
         lam0 = jnp.zeros(n, u0vec.dtype)
         ev_kwargs = {}

@@ -13,9 +13,13 @@ the reference's midpoint scheme (lss.jl:258-343):
 
 with regularizers CosWindowing / Cos2Windowing / TimeDilation(t0skip,t1skip)
 (lss.jl:361-514). TPU-first: every Jacobian/∂f/∂p block is built in one
-vmapped sweep, all parameters solved in one batched dense solve — the
-LAPACK-loop structure of the reference collapses into three einsums and one
-`jnp.linalg.solve`.
+vmapped sweep, and the Schur system — which is block-TRIDIAGONAL with n×n
+blocks (B has two blocks per block-row; the node weights are scalar) — is
+never materialized dense: a block-Thomas elimination (`lax.scan` over the
+trajectory, one batched n×n solve per block, all parameter RHS columns
+together) solves it in O(Nt·n²) memory instead of the reference's dense
+lu(S) at O(Nt²·n²) (lss.jl:336-343) — long chaotic trajectories (Nt ≳ 10⁴,
+the regime LSS exists for) fit on one chip.
 
 AdjointLSS (lss.jl:517-727, TimeDilation only, as in the reference):
   b_adj = E·h + B·(wB⁻¹ ⊙ ∂g/∂u nodes /Nt),  wa = S⁻¹ b_adj,
@@ -52,10 +56,11 @@ class _LSSData:
     umid: jnp.ndarray        # (Ndt, n)
     dudt: jnp.ndarray        # (Ndt, n)
     dt: jnp.ndarray          # (Ndt,)
-    S: jnp.ndarray           # Schur matrix (Ndt·n, Ndt·n)
-    B: jnp.ndarray           # (Ndt·n, Nt·n)
-    E: Optional[jnp.ndarray]  # (Ndt·n, Ndt) or None
-    wBinv: jnp.ndarray       # (Nt·n,)
+    Bl: jnp.ndarray          # (Ndt, n, n) block (i, i) of B
+    Br: jnp.ndarray          # (Ndt, n, n) block (i, i+1) of B
+    Sd: jnp.ndarray          # (Ndt, n, n) Schur diagonal blocks
+    Su: jnp.ndarray          # (Ndt-1, n, n) Schur super-diagonal blocks
+    wBinv: jnp.ndarray       # (Nt,) scalar node weights
     wEinv: Optional[jnp.ndarray]  # (Ndt,)
     p: Any
     kern: Any
@@ -99,32 +104,94 @@ def _build_lss(sol, sensealg, dgdu, dgdp, g):
     eye = jnp.eye(n, dtype=us.dtype)
     Bl = -eye[None] / dt[:, None, None] - J / 2.0  # block (i, i)
     Br = eye[None] / dt[:, None, None] - J / 2.0   # block (i, i+1)
-    ar = jnp.arange(Ndt)
-    B4 = jnp.zeros((Ndt, n, Nt, n), us.dtype)
-    B4 = B4.at[ar, :, ar, :].set(Bl)
-    B4 = B4.at[ar, :, ar + 1, :].set(Br)
-    B = B4.reshape(Ndt * n, Nt * n)
 
-    # node weights wB⁻¹ (lss.jl wB!): 2Δt / (dt-sum at node)
+    # node weights wB⁻¹ (lss.jl wB!): 2Δt / (dt-sum at node) — SCALAR per
+    # node, which is what keeps S block-tridiagonal with dense n×n blocks.
     denom = jnp.concatenate([dt[:1], dt[1:] + dt[:-1], dt[-1:]])
-    wBinv = jnp.repeat(2.0 * dT / denom, n)
+    wBinv = 2.0 * dT / denom  # (Nt,)
+
+    # S = B diag(wB⁻¹⊗I) Bᵀ (+ E diag(wE⁻¹) Eᵀ), assembled BLOCKWISE:
+    #   S[i,i]   = w_i Bl_i Bl_iᵀ + w_{i+1} Br_i Br_iᵀ (+ wE_i d_i d_iᵀ)
+    #   S[i,i+1] = w_{i+1} Br_i Bl_{i+1}ᵀ
+    BlT = jnp.swapaxes(Bl, 1, 2)
+    BrT = jnp.swapaxes(Br, 1, 2)
+    Sd = (wBinv[:-1, None, None] * (Bl @ BlT)
+          + wBinv[1:, None, None] * (Br @ BrT))
+    Su = wBinv[1:-1, None, None] * (Br[:-1] @ BlT[1:])
 
     if isinstance(regularizer, TimeDilation):
         wEinv = dT / (regularizer.alpha ** 2 * dt)
-        E4 = jnp.zeros((Ndt, n, Ndt), us.dtype)
-        E4 = E4.at[ar, :, ar].set(dudt)
-        E = E4.reshape(Ndt * n, Ndt)
-        S = B @ (wBinv[:, None] * B.T) + E @ (wEinv[:, None] * E.T)
+        Sd = Sd + wEinv[:, None, None] * jnp.einsum(
+            "ij,ik->ijk", dudt, dudt)
     else:
         wEinv = None
-        E = None
-        S = B @ (wBinv[:, None] * B.T)
 
     return _LSSData(
-        sensealg=sensealg, ts=ts, us=us, umid=umid, dudt=dudt, dt=dt, S=S,
-        B=B, E=E, wBinv=wBinv, wEinv=wEinv, p=p, kern=kern, g=g, dgdu=dgdu,
+        sensealg=sensealg, ts=ts, us=us, umid=umid, dudt=dudt, dt=dt,
+        Bl=Bl, Br=Br, Sd=Sd, Su=Su,
+        wBinv=wBinv, wEinv=wEinv, p=p, kern=kern, g=g, dgdu=dgdu,
         dgdp=dgdp, n=n, npf=npf, unravel_p=unravel_p,
     )
+
+
+def _schur_solve(data: _LSSData, rhs):
+    """Solve S x = rhs for the block-tridiagonal SPD Schur matrix by block
+    -Thomas elimination (two lax.scans; SPD ⇒ stable without pivoting).
+    rhs: (Ndt, n, k) — all k RHS columns solved together."""
+    Sd, Su = data.Sd, data.Su
+    Ndt, n, _ = Sd.shape
+    SlT = Su  # lower block (i+1, i) = Su[i]ᵀ; keep transposed form
+
+    def fwd_scan(carry, inp):
+        Cprev_G, yprev = carry           # G_{i-1} (n,n), y_{i-1} (n,k)
+        Sd_i, Su_i, Sl_i, b_i = inp      # Sl_i = S[i, i-1] = Su[i-1]ᵀ
+        C = Sd_i - Sl_i @ Cprev_G
+        rhs_i = b_i - Sl_i @ yprev
+        aug = jnp.linalg.solve(C, jnp.concatenate([Su_i, rhs_i], axis=1))
+        G = aug[:, :n]
+        y = aug[:, n:]
+        return (G, y), (G, y)
+
+    k = rhs.shape[-1]
+    zeros_nn = jnp.zeros((n, n), Sd.dtype)
+    # pad Su/Sl to length Ndt (G of the last row is unused; Sl_0 = 0)
+    Su_pad = jnp.concatenate([Su, zeros_nn[None]], axis=0)
+    Sl_pad = jnp.concatenate(
+        [zeros_nn[None], jnp.swapaxes(Su, 1, 2)], axis=0)
+    (_, _), (Gs, ys) = jax.lax.scan(
+        fwd_scan,
+        (zeros_nn, jnp.zeros((n, k), Sd.dtype)),
+        (Sd, Su_pad, Sl_pad, rhs),
+    )
+
+    def bwd_scan(x_next, inp):
+        G_i, y_i = inp
+        x_i = y_i - G_i @ x_next
+        return x_i, x_i
+
+    _, xs_rev = jax.lax.scan(
+        bwd_scan, jnp.zeros((n, k), Sd.dtype),
+        (Gs, ys), reverse=True,
+    )
+    return xs_rev  # (Ndt, n, k)
+
+
+def _Bt_w(data: _LSSData, w):
+    """Bᵀ w blockwise: node j gets Bl_jᵀ w_j + Br_{j-1}ᵀ w_{j-1}.
+    w: (Ndt, n, k) -> (Nt, n, k)."""
+    left = jnp.einsum("iab,iak->ibk", data.Bl, w)    # (Ndt, n, k)
+    right = jnp.einsum("iab,iak->ibk", data.Br, w)
+    n, k = left.shape[1], left.shape[2]
+    z = jnp.zeros((1, n, k), left.dtype)
+    return jnp.concatenate([left, z], axis=0) + jnp.concatenate(
+        [z, right], axis=0)
+
+
+def _B_x(data: _LSSData, x_nodes):
+    """B x blockwise: row i = Bl_i x_i + Br_i x_{i+1}.
+    x_nodes: (Nt, n) -> (Ndt, n)."""
+    return (jnp.einsum("iab,ib->ia", data.Bl, x_nodes[:-1])
+            + jnp.einsum("iab,ib->ia", data.Br, x_nodes[1:]))
 
 
 def _dgdu_nodes(data: _LSSData):
@@ -217,9 +284,9 @@ def shadow_forward(prob: ForwardLSSProblem):
     Ndt = Nt - 1
     tmid = 0.5 * (ts[1:] + ts[:-1])
 
-    b = _fp_blocks(data, data.umid, tmid).reshape(Ndt * n, npf)
-    w = jnp.linalg.solve(data.S, b)                     # (Ndt·n, npf)
-    v = (data.wBinv[:, None] * (data.B.T @ w)).reshape(Nt, n, npf)
+    b = _fp_blocks(data, data.umid, tmid)               # (Ndt, n, npf)
+    w = _schur_solve(data, b)                           # (Ndt, n, npf)
+    v = data.wBinv[:, None, None] * _Bt_w(data, w)      # (Nt, n, npf)
 
     gu = _dgdu_nodes(data)                              # (Nt, n)
     gp = _dgdp_nodes(data, data.us, ts)                 # (Nt, npf)
@@ -235,7 +302,9 @@ def shadow_forward(prob: ForwardLSSProblem):
         return jnp.einsum("j,jk->k", win, vdot)
 
     # TimeDilation with skip window (lss.jl:369-418)
-    eta = (data.wEinv[:, None] * (data.E.T @ w))        # (Ndt, npf)
+    # Eᵀw blockwise: (Eᵀw)_i = dudt_i · w_i
+    eta = data.wEinv[:, None] * jnp.einsum(
+        "ij,ijk->ik", data.dudt, w)                     # (Ndt, npf)
     ts_np = np.asarray(ts)
     n0 = int(np.searchsorted(ts_np, ts_np[0] + reg.t0skip, side="left"))
     n1 = int(np.searchsorted(ts_np, ts_np[-1] - reg.t1skip, side="left"))
@@ -264,14 +333,15 @@ def shadow_adjoint(prob: AdjointLSSProblem):
     tmid = 0.5 * (ts[1:] + ts[:-1])
 
     gu = _dgdu_nodes(data)                              # (Nt, n)
-    wB_corr = data.wBinv * gu.reshape(-1) / Nt          # (Nt·n,)
+    wB_corr = data.wBinv[:, None] * gu / Nt             # (Nt, n)
 
     gmid = jax.vmap(lambda u, t: data.g(u, data.p, t))(data.umid, tmid)
     h = -(gmid - jnp.mean(gmid)) / Ndt
     h = data.wEinv * h                                  # (Ndt,)
 
-    b_adj = data.E @ h + data.B @ wB_corr               # (Ndt·n,)
-    wa = jnp.linalg.solve(data.S, b_adj).reshape(Ndt, n)
+    # E h blockwise (row i = dudt_i·h_i) + B wB_corr blockwise
+    b_adj = data.dudt * h[:, None] + _B_x(data, wB_corr)  # (Ndt, n)
+    wa = _schur_solve(data, b_adj[:, :, None])[..., 0]    # (Ndt, n)
 
     ts_np = np.asarray(ts)
     n0 = int(np.searchsorted(ts_np, ts_np[0] + reg.t0skip, side="left"))

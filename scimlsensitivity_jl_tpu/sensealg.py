@@ -171,11 +171,18 @@ class InterpolatingAdjoint(AbstractAdjointSensealg):
     re-solve interval boundaries, decoupled from saveat (the reference
     accepts an independent checkpoint grid, interpolating_adjoint.jl:43-126)
     — denser checkpoints trade forward-state memory for shorter (cheaper,
-    better-bounded) per-interval re-solves."""
+    better-bounded) per-interval re-solves.
+
+    pinned_reverse: None (auto) / True / False — integrate the reverse pass
+    PINNED to the forward's accepted grid (one reverse step per stored
+    interval, no controller, no interval searches; embedded error still
+    monitored and flagged loudly). Auto enables it for explicit-RK reverse
+    passes without events/DAE structure."""
 
     autojacvec: VJPChoice = AutoVJP()
     checkpointing: bool = False
     checkpoints: Optional[tuple] = None
+    pinned_reverse: Optional[bool] = None
 
 
 @dataclass(frozen=True)
@@ -194,6 +201,7 @@ class QuadratureAdjoint(AbstractAdjointSensealg):
     abstol: float = 1e-6
     reltol: float = 1e-3
     max_depth: int = 6  # per-interval bisection depth bound
+    pinned_reverse: Optional[bool] = None
 
 
 @dataclass(frozen=True)
@@ -207,6 +215,7 @@ class GaussAdjoint(AbstractAdjointSensealg):
     checkpointing: bool = False
     n_nodes: int = 7  # Gauss-Legendre nodes per accepted reverse step
     checkpoints: Optional[tuple] = None  # see InterpolatingAdjoint
+    pinned_reverse: Optional[bool] = None  # see InterpolatingAdjoint
 
 
 @dataclass(frozen=True)
@@ -225,6 +234,7 @@ class GaussKronrodAdjoint(AbstractAdjointSensealg):
     abstol: float = 1e-8
     reltol: float = 1e-6
     max_depth: int = 2  # per-step conditional bisection depth
+    pinned_reverse: Optional[bool] = None  # see InterpolatingAdjoint
 
 
 @dataclass(frozen=True)

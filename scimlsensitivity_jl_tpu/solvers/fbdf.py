@@ -168,7 +168,9 @@ class FBDF:
         pred_poly = _lagrange_extrap(state.t_hist, state.u_hist, pv, x0)
         pred = jnp.where(state.n_hist > 1, pred_poly, u + dt * f0)
 
-        J = jax.jacfwd(lambda uu: fvec(uu, x0))(u)
+        jac_fn = getattr(fvec, "jac", None)  # analytic hook (see sdirk.py)
+        J = (jac_fn(u, x0) if jac_fn is not None
+             else jax.jacfwd(lambda uu: fvec(uu, x0))(u))
         W = w0 * eyeM - J
         lu = lu_factor(W)
 

@@ -45,7 +45,9 @@ class Rosenbrock23:
     def step(self, fvec, t, dt, u, f0):
         d = self.d
         n = u.shape[0]
-        J = jax.jacfwd(lambda uu: fvec(uu, t))(u)
+        jac_fn = getattr(fvec, "jac", None)  # analytic hook (see sdirk.py)
+        J = (jac_fn(u, t) if jac_fn is not None
+             else jax.jacfwd(lambda uu: fvec(uu, t))(u))
         # ∂f/∂t via one jvp in the time direction (the reference threads
         # Rosenbrock time-derivative Duals through its VJP backends,
         # derivative_wrappers.jl:444-469 — here it is a single native jvp).

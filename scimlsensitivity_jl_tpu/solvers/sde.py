@@ -400,7 +400,9 @@ class ImplicitEM:
 
         n = u.shape[0]
         rhs_expl = u + _diffusion_term(gvec(u, t), dw)
-        J = jax.jacfwd(lambda uu: fvec(uu, t + dt))(u)
+        jac_fn = getattr(fvec, "jac", None)  # analytic hook (see sdirk.py)
+        J = (jac_fn(u, t + dt) if jac_fn is not None
+             else jax.jacfwd(lambda uu: fvec(uu, t + dt))(u))
         lu = lu_factor(jnp.eye(n, dtype=u.dtype) - dt * J)
 
         def body(_, u1):

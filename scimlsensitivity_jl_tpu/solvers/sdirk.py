@@ -145,7 +145,14 @@ class ESDIRK:
         gam = tab.gamma
         M = self.mass_matrix
 
-        J = jax.jacfwd(lambda uu: fvec(uu, t))(u)
+        # Analytic Jacobian hook: a rhs carrying `.jac(u, t)` supplies ∂f/∂u
+        # directly — the adjoint passes attach -J(y(t))ᵀ here so stiff
+        # reverse solves don't differentiate through the vjp-valued RHS
+        # (reference reuses the analytic adjoint Jacobian the same way,
+        # quadrature_adjoint.jl:170-192).
+        jac_fn = getattr(fvec, "jac", None)
+        J = (jac_fn(u, t) if jac_fn is not None
+             else jax.jacfwd(lambda uu: fvec(uu, t))(u))
         eyeM = jnp.eye(n, dtype=u.dtype) if M is None else jnp.asarray(M, u.dtype)
         W = eyeM - dt * gam * J
         lu = lu_factor(W)

