@@ -616,15 +616,16 @@ def bench_pde_megakernel():
     )
 
     n = 1048576
-    S = 8
+    S = 16  # r4 sweep: S=16/bwd_chunk=16384 is the best feasible point
+    # (S=32 or bwd_chunk=32768 overflow VMEM: scratch = 32·S·W_b bytes);
+    # grad 32.2 -> 30.0 ms vs the r3 S=8 default. A residual-STORING
+    # variant (stages to HBM, transpose-only pullback) measured 2x SLOWER
+    # (69 vs 32 ms): VMEM recompute beats HBM reads + windowing here.
     dtype = jnp.float32
     u0 = jnp.exp(-(((jnp.arange(n, dtype=dtype) / n) - 0.5) ** 2) * 100.0)
     D = jnp.asarray(1e-7, dtype)
     k = jnp.asarray(1.5, dtype)
     inv_dx2, h = float(n) * float(n), 1e-9
-    # bwd_chunk 16384: the pullback kernel's stage+Laplacian scratch is
-    # 32·S·W_b bytes (~4.2 MB here) — half the VMEM headroom of 32768 with
-    # the same 0.4% halo overhead
     blk = make_rd1d_rk4_block(n, S, bwd_chunk=16384)
 
     def mega_fwd_fn(nblocks):
@@ -646,7 +647,7 @@ def bench_pde_megakernel():
         return f
 
     try:
-        mf = mega_fwd_fn(8)
+        mf = mega_fwd_fn(64 // S)
         pf = plain_fwd_fn(64)
         ms_mf = _slope_time(mf, u0, (D, k))
         ms_pf = _slope_time(pf, u0, (D, k))
@@ -693,7 +694,7 @@ def bench_pde_megakernel():
 
         # 512 steps: non-remat XLA AD needs ~32 GB of residuals (> HBM);
         # per-step remat is the feasible baseline
-        mf512 = mega_fwd_fn(64)
+        mf512 = mega_fwd_fn(512 // S)
         mg512 = jax.jit(lambda u, DD, kk: jax.grad(
             lambda uu: jnp.sum(mf512(uu, DD, kk) ** 2))(u))
 

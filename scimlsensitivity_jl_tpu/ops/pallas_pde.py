@@ -401,7 +401,6 @@ def make_rd1d_rk4_block(n: int, S: int, chunk: int = 65536,
     Cb, Hb, Wb, Gb = _chunk_geometry(n, S, bwd_chunk or max(chunk // 4, 1))
     fwd_kern = _rk4_fwd_kernel_factory(S, n, C, H, W)
     bwd_kern = _rk4_bwd_kernel_factory(S, n, Cb, Hb, Wb)
-
     def _on_kernel_path():
         return _HAVE_PALLAS and (not _use_interpret()
                                  or force_kernel_interpret)
