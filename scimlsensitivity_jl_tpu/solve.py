@@ -55,8 +55,8 @@ def solve(
     solver=None,
     *,
     saveat=None,
-    rtol: float = 1e-7,
-    atol: float = 1e-9,
+    rtol: Optional[float] = None,
+    atol: Optional[float] = None,
     dt0=None,
     dt=None,
     max_steps: int = 4096,
@@ -87,6 +87,18 @@ def solve(
     shapes are fixed under jit, so "save every step" has no analogue; use
     `dense=True` for continuous `sol(t)` evaluation.
     """
+    # Problem-aware default tolerances: ODE/DAE/DDE integrate at
+    # rtol 1e-7 / atol 1e-9; the adaptive SDE path controls a strong-order
+    # ~1 scheme, where 1e-7 would demand dt ~ 1e-5 and starve max_steps —
+    # its defaults are 1e-3 / 1e-6 (the reference's SDE tolerances are
+    # looser for the same reason).
+    from .problems import SDEProblem as _SDEP
+
+    if rtol is None:
+        rtol = 1e-3 if isinstance(prob, _SDEP) else 1e-7
+    if atol is None:
+        atol = 1e-6 if isinstance(prob, _SDEP) else 1e-9
+
     if isinstance(prob, ODEProblem):
         return _solve_ode(
             prob, solver, saveat=saveat, rtol=rtol, atol=atol, dt0=dt0, dt=dt,
