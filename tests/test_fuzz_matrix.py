@@ -721,3 +721,101 @@ def test_random_sde_callback_gradient_cross_validation(seed):
         g_flat = np.asarray(jax.flatten_util.ravel_pytree(g)[0])
         assert np.allclose(g_flat, np.asarray(g_fwd), rtol=1e-6,
                            atol=1e-10), (type(alg).__name__,)
+
+
+# ---------------------------------------------------------------------------
+# Round-4 fuzz groups: non-commutative matrix-noise SDEs (RKMilGeneral with
+# Lévy areas) and SDE continuous/terminal events — random systems, fixed
+# noise realization, every supported adjoint vs the forward-mode oracle.
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("seed", [70, 71])
+def test_random_noncommutative_sde_gradient_cross_validation(seed):
+    from scimlsensitivity_jl_tpu import RKMilGeneral, SDEProblem
+
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(2, 4))
+    m = int(rng.integers(2, 4))
+    A = rng.normal(size=(n, n)) * 0.3 - 0.6 * np.eye(n)
+    # random state-dependent matrix diffusion: g[:, j] = 0.2·(Bj u + bj)
+    B = rng.normal(size=(m, n, n)) * 0.2
+    b = rng.normal(size=(m, n)) * 0.1
+    u0 = rng.normal(size=(n,)) * 0.3 + 1.0
+    T = float(rng.uniform(0.4, 0.8))
+    wts = rng.normal(size=(n,))
+    key = jax.random.PRNGKey(seed)
+    p = {"A": jnp.asarray(A), "B": jnp.asarray(B), "b": jnp.asarray(b)}
+
+    def drift(u, q, t):
+        return q["A"] @ u
+
+    def diffusion(u, q, t):
+        return (jnp.einsum("jab,b->aj", q["B"], u)
+                + q["b"].T)  # (n, m), generically non-commutative
+
+    def loss(q, sensealg):
+        prob = SDEProblem(drift, diffusion, jnp.asarray(u0), (0.0, T), q,
+                          noise="general", noise_dim=m)
+        sol = solve(prob, RKMilGeneral(levy_terms=8), dt=T / 64.0, key=key,
+                    sensealg=sensealg, saveat=jnp.array([0.0, T]))
+        return jnp.sum(wts * sol.ys[-1])
+
+    flat0, unflatten = jax.flatten_util.ravel_pytree(p)
+    g_fwd = jax.jacfwd(lambda fq: loss(unflatten(fq), DirectAdjoint()))(flat0)
+    assert np.isfinite(np.asarray(g_fwd)).all()
+    assert np.linalg.norm(np.asarray(g_fwd)) > 1e-8
+    for alg in [DirectAdjoint(), InterpolatingAdjoint(), BacksolveAdjoint()]:
+        g = jax.grad(loss)(p, alg)
+        g_flat, _ = jax.flatten_util.ravel_pytree(g)
+        assert np.allclose(np.asarray(g_flat), np.asarray(g_fwd),
+                           rtol=1e-6, atol=1e-10), (
+            type(alg).__name__,
+            np.max(np.abs(np.asarray(g_flat) - np.asarray(g_fwd))))
+
+
+@pytest.mark.parametrize("seed", [80, 81])
+def test_random_sde_continuous_event_cross_validation(seed):
+    from scimlsensitivity_jl_tpu import ContinuousCallback, SDEProblem
+
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(2, 4))
+    A = rng.normal(size=(n, n)) * 0.2 - 0.4 * np.eye(n)
+    sig = rng.uniform(0.05, 0.2, size=(n,))
+    u0 = rng.normal(size=(n,)) * 0.2 + 1.0
+    thresh = float(np.sum(u0) * rng.uniform(1.02, 1.1))
+    kick = rng.normal(size=(n,)) * 0.2
+    wts = rng.normal(size=(n,))
+    key = jax.random.PRNGKey(seed + 100)
+    p = {"A": jnp.asarray(A), "sig": jnp.asarray(sig),
+         "kick": jnp.asarray(kick)}
+
+    cb = ContinuousCallback(
+        condition=lambda u, q, t: jnp.sum(u) - thresh,
+        affect=lambda u, q, t: u + q["kick"],
+    )
+
+    def loss(q, sensealg):
+        prob = SDEProblem(lambda u, qq, t: qq["A"] @ u + 0.3,
+                          lambda u, qq, t: qq["sig"] * u,
+                          jnp.asarray(u0), (0.0, 1.0), q)
+        sol = solve(prob, dt=1.0 / 64.0, key=key, sensealg=sensealg,
+                    callback=cb, saveat=jnp.array([0.0, 1.0]))
+        return jnp.sum(wts * sol.ys[-1])
+
+    flat0, unflatten = jax.flatten_util.ravel_pytree(p)
+    g_fwd = jax.jacfwd(lambda fq: loss(unflatten(fq), DirectAdjoint()))(flat0)
+    assert np.isfinite(np.asarray(g_fwd)).all()
+    # the kick parameter must flow iff the event fired; require a draw
+    # where it fired (thresh just above the start, positive forcing)
+    kick_norm = float(np.linalg.norm(np.asarray(
+        jax.flatten_util.ravel_pytree(
+            jax.grad(lambda q: loss(q, DirectAdjoint()))(p)["kick"])[0])))
+    assert kick_norm > 1e-8, "event did not fire for this draw"
+    for alg in [DirectAdjoint(), InterpolatingAdjoint()]:
+        g = jax.grad(loss)(p, alg)
+        g_flat, _ = jax.flatten_util.ravel_pytree(g)
+        assert np.allclose(np.asarray(g_flat), np.asarray(g_fwd),
+                           rtol=1e-6, atol=1e-10), (
+            type(alg).__name__,
+            np.max(np.abs(np.asarray(g_flat) - np.asarray(g_fwd))))
