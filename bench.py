@@ -494,22 +494,41 @@ def _fence(x):
 
 def _slope_time(fn, x0, extra, K1=1, K2=4, reps=3):
     """Median marginal ms/call from K-chained executions with a scalar D2H
-    fence (dispatch + D2H constants cancel in the slope)."""
+    fence (dispatch + D2H constants cancel in the slope).
+
+    Adaptive: when the workload is tiny (chained wall time comparable to
+    dispatch jitter) the raw slope can come out non-positive; escalate the
+    chain lengths 8x (up to 3 times) until the K2 chain runs >= 20 ms or
+    the slope is stably positive."""
     x = fn(x0, *extra)
     _ = _fence(x)  # warm + first (poisoning) D2H
-    med = []
-    for _ in range(reps):
-        ts = []
-        for K in (K1, K2):
-            x = x0
-            t0 = time.perf_counter()
-            for _ in range(K):
-                x = fn(x, *extra)
-            _ = _fence(x)
-            ts.append(time.perf_counter() - t0)
-        med.append((ts[1] - ts[0]) / (K2 - K1))
-    med.sort()
-    return 1e3 * med[len(med) // 2]
+
+    def run(k1, k2):
+        med = []
+        t_long = 0.0
+        for _ in range(reps):
+            ts = []
+            for K in (k1, k2):
+                x = x0
+                t0 = time.perf_counter()
+                for _ in range(K):
+                    x = fn(x, *extra)
+                _ = _fence(x)
+                ts.append(time.perf_counter() - t0)
+            t_long = max(t_long, ts[1])
+            med.append((ts[1] - ts[0]) / (k2 - k1))
+        med.sort()
+        return med[len(med) // 2], t_long
+
+    k1, k2 = K1, K2
+    for _ in range(4):
+        slope, t_long = run(k1, k2)
+        if slope > 0 and t_long >= 0.020:
+            break
+        if slope > 0 and k2 >= 8 * K2:
+            break  # already escalated once and positive; good enough
+        k1, k2 = k1 * 8, k2 * 8
+    return 1e3 * max(slope, 0.0)
 
 
 def bench_pde_scaling():
