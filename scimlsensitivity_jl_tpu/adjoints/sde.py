@@ -383,9 +383,11 @@ def solve_sde(
                     terminal=c.terminal,
                 )
             if getattr(c, "modifies_p", False):
+                # unreachable via solve(): it p-lifts modifies_p callbacks
+                # before dispatching here (callbacks.lift_p_into_state_sde)
                 raise NotImplementedError(
-                    "SDE callbacks: modifies_p is not supported (fixed-"
-                    "length scan; lift the dose into the state)"
+                    "SDE callbacks: modifies_p — call solve(), which lifts "
+                    "p into the state automatically"
                 )
             if getattr(c, "terminal", False):
                 # terminal SDE events: the scan freezes the state at τ and
@@ -887,9 +889,11 @@ def _solve_sde_adaptive(prob, *, saveat, key, sensealg, max_steps, rtol,
         lowered, cb_stops = lower_time_callbacks(callback, prob.f, t0, t1)
         cb_lowered = as_callback_set(lowered)
         if any_modifies_p(cb_lowered):
+            # unreachable via solve(): it p-lifts modifies_p callbacks
+            # before dispatching here (callbacks.lift_p_into_state_sde)
             raise NotImplementedError(
-                "modifies_p on SDE paths is unsupported (lift the dose "
-                "into the state)"
+                "modifies_p on SDE paths: call solve(), which lifts p "
+                "into the state automatically"
             )
 
     saveat = jnp.asarray([t0, t1] if saveat is None else saveat, dtype)

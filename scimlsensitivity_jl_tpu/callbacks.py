@@ -376,3 +376,93 @@ def lift_p_into_state(prob, cbs: CallbackSet):
     )
     prob_z = ODEProblem(f_z, (prob.u0, prob.p), prob.tspan, None)
     return prob_z, cbs_z
+
+
+def lift_p_into_state_sde(prob, callbacks: tuple):
+    """SDE analogue of `lift_p_into_state`: rewrite (SDEProblem, callbacks)
+    so p rides the integration state z = (u, p) with ZERO noise rows —
+    drift (f(u,p,t), 0), diffusion (g(u,p,t), 0) — and p-modifying affects
+    write the p-part. The p-rows are driftless and noiseless, so the SDE
+    solution and every discrete adjoint are unchanged except for the dose
+    jumps (reference param-swap events, callback_tracking.jl:395-421; the
+    reference has no SDE modifies_p path at all).
+
+    Returns (prob_z, callbacks_z, n_u) with n_u the flat dim of the
+    original state (for un-lifting the solution rows)."""
+    import jax.tree_util as jtu
+    from jax.flatten_util import ravel_pytree as _ravel
+
+    from .problems import SDEProblem
+
+    if getattr(prob, "noise_process", None) is not None:
+        raise NotImplementedError(
+            "modifies_p SDE callbacks + user noise_process: the p-lift "
+            "changes the state (and noise) dimension, which a fixed user "
+            "path cannot follow — use framework noise or fold p into the "
+            "state manually"
+        )
+    f, g = prob.f, prob.g
+    n_u = _ravel(prob.u0)[0].shape[0]
+    np_flat = _ravel(prob.p)[0].shape[0] if prob.p is not None else 0
+
+    def f_z(z, _p, t):
+        u, pp = z
+        return (f(u, pp, t), jtu.tree_map(jnp.zeros_like, pp))
+
+    if prob.noise == "general":
+        def g_z(z, _p, t):
+            u, pp = z
+            G = jnp.asarray(g(u, pp, t))
+            return jnp.concatenate(
+                [G, jnp.zeros((np_flat, G.shape[1]), G.dtype)], axis=0
+            )
+    else:  # diagonal / scalar: g returns a pytree shaped like u
+        def g_z(z, _p, t):
+            u, pp = z
+            return (g(u, pp, t), jtu.tree_map(jnp.zeros_like, pp))
+
+    def wrap_affect(aff, modifies_p):
+        if modifies_p:
+            def affect_z(z, _p, t):
+                return aff(z[0], z[1], t)  # returns (u_new, p_new)
+        else:
+            def affect_z(z, _p, t):
+                return (aff(z[0], z[1], t), z[1])
+        return affect_z
+
+    def lift_cb(c):
+        if isinstance(c, ContinuousCallback):
+            cond = c.condition
+            return ContinuousCallback(
+                condition=lambda z, _p, t, cond=cond: cond(z[0], z[1], t),
+                affect=wrap_affect(c.affect, c.modifies_p),
+                direction=c.direction, terminal=c.terminal,
+            )
+        if isinstance(c, DiscreteCallback):
+            cond = c.condition
+            return DiscreteCallback(
+                condition=lambda z, _p, t, cond=cond: cond(z[0], z[1], t),
+                affect=wrap_affect(c.affect, c.modifies_p),
+                terminal=c.terminal,
+            )
+        if isinstance(c, PresetTimeCallback):
+            return PresetTimeCallback(
+                ts=c.ts, affect=wrap_affect(c.affect, c.modifies_p),
+                terminal=c.terminal,
+            )
+        if isinstance(c, PeriodicCallback):
+            return PeriodicCallback(
+                affect=wrap_affect(c.affect, c.modifies_p),
+                period=c.period, terminal=c.terminal,
+            )
+        raise NotImplementedError(
+            f"modifies_p lift: unsupported SDE callback type "
+            f"{type(c).__name__}"
+        )
+
+    prob_z = SDEProblem(
+        f=f_z, g=g_z, u0=(prob.u0, prob.p), tspan=prob.tspan, p=None,
+        noise=prob.noise, interpretation=prob.interpretation,
+        noise_dim=prob.noise_dim,
+    )
+    return prob_z, tuple(lift_cb(c) for c in callbacks), n_u

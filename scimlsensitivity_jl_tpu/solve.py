@@ -111,6 +111,39 @@ def solve(
     if isinstance(prob, SDEProblem):
         from .adjoints.sde import solve_sde
 
+        cb_items = None
+        if callback is not None:
+            cb_items = tuple(callback) if isinstance(
+                callback, (list, tuple)) else (callback,)
+        if cb_items and any(getattr(c, "modifies_p", False)
+                            for c in cb_items):
+            # Parameter-modifying SDE events: lift p into the state (zero
+            # drift/noise rows) so doses on p differentiate exactly through
+            # the discrete adjoints; the solution is un-lifted below.
+            import dataclasses as _dc
+
+            from .callbacks import lift_p_into_state_sde
+
+            orig_prob = prob
+            prob_z, cbs_z, n_u = lift_p_into_state_sde(prob, cb_items)
+            sol = solve_sde(
+                prob_z, solver, saveat=saveat, dt=dt, sensealg=sensealg,
+                max_steps=max_steps, key=key, rtol=rtol, atol=atol,
+                callback=list(cbs_z),
+            )
+            from jax.flatten_util import ravel_pytree as _ravel
+
+            return _dc.replace(
+                sol,
+                ys=sol.ys[0],
+                u_final=(sol.u_final[:n_u]
+                         if sol.u_final is not None else None),
+                unravel_u=_ravel(orig_prob.u0)[1],
+                prob=orig_prob,
+                # replay metadata refers to the lifted problem; the direct
+                # API cannot rebuild the doses from the original one
+                solve_args=None,
+            )
         return solve_sde(
             prob, solver, saveat=saveat, dt=dt, sensealg=sensealg,
             max_steps=max_steps, key=key, rtol=rtol, atol=atol,

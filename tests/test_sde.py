@@ -590,11 +590,109 @@ def test_sde_callback_guards():
     with _pytest.raises(NotImplementedError):
         solve(prob, EulerMaruyama(), dt=0.1, key=KEY, callback=tcb,
               sensealg=InterpolatingAdjoint())
-    # modifies_p still raises
+    # modifies_p now runs (round-4 p-lift); what still raises is the
+    # combination with a user noise_process (the lift changes the state
+    # and noise dimension under the user's fixed path)
+    from scimlsensitivity_jl_tpu.ops.brownian import NoiseGrid
+
     mcb = DiscreteCallback(condition=lambda u, p, t: t > 0.5,
-                           affect=lambda u, p, t: (u, p), modifies_p=True)
-    with _pytest.raises(NotImplementedError, match="modifies_p"):
-        solve(prob, EulerMaruyama(), dt=0.1, key=KEY, callback=mcb)
+                           affect=lambda u, p, t: (u * 0.9, p),
+                           modifies_p=True)
+    sol_m = solve(prob, EulerMaruyama(), dt=0.1, key=KEY, callback=mcb)
+    assert bool(sol_m.success)
+    ts_ng = jnp.linspace(0.0, 1.0, 11)
+    W = jnp.zeros((11, 1))
+    with _pytest.raises(NotImplementedError, match="noise_process"):
+        solve(SDEProblem(prob.f, prob.g, prob.u0, prob.tspan, prob.p,
+                         noise_process=NoiseGrid(ts_ng, W)),
+              EulerMaruyama(), dt=0.1, callback=mcb)
+
+
+def test_sde_modifies_p_dose_gradient_vs_fd():
+    """Parameter-modifying SDE events (round-4, beyond the reference's SDE
+    scope — reference param-swap tracking is ODE-only,
+    callback_tracking.jl:395-421): a dose at t=0.5 multiplies the decay
+    rate p[0] by p[2], p lifted into the state with zero drift/noise rows.
+    Gradients (incl. through the dose factor) vs central FD over the same
+    counter-based noise; Direct and Interpolating agree."""
+    from scimlsensitivity_jl_tpu import PresetTimeCallback
+
+    cb = PresetTimeCallback(
+        ts=[0.5],
+        affect=lambda u, pp, t: (u, pp.at[0].set(pp[0] * pp[2])),
+        modifies_p=True)
+
+    def mk_loss(alg, noise):
+        def loss(p):
+            if noise == "general":
+                prob = SDEProblem(
+                    lambda u, pp, t: -pp[0] * u,
+                    lambda u, pp, t: jnp.array([[pp[1] * u[0],
+                                                 0.05 * u[0]]]),
+                    jnp.array([1.0]), (0.0, 1.0), p,
+                    noise="general", noise_dim=2)
+            else:
+                prob = SDEProblem(
+                    lambda u, pp, t: -pp[0] * u,
+                    lambda u, pp, t: pp[1] * u,
+                    jnp.array([1.0]), (0.0, 1.0), p)
+            s = solve(prob, dt=1 / 256, key=KEY, callback=cb, sensealg=alg)
+            return jnp.sum(s.ys[-1] ** 2)
+        return loss
+
+    p0 = jnp.array([1.3, 0.2, 2.0])
+    eps = 1e-6
+    for noise in ("diagonal", "general"):
+        loss = mk_loss(DirectAdjoint(), noise)
+        g = np.asarray(jax.grad(loss)(p0))
+        g_fd = np.zeros(3)
+        for i in range(3):
+            pp = np.asarray(p0).copy(); pp[i] += eps
+            pm = np.asarray(p0).copy(); pm[i] -= eps
+            g_fd[i] = (float(loss(jnp.asarray(pp)))
+                       - float(loss(jnp.asarray(pm)))) / (2 * eps)
+        assert np.allclose(g, g_fd, rtol=1e-5, atol=1e-10), (noise, g, g_fd)
+        assert abs(g[2]) > 1e-6  # the dose factor flows
+    g_int = np.asarray(jax.grad(mk_loss(InterpolatingAdjoint(),
+                                        "diagonal"))(p0))
+    g_dir = np.asarray(jax.grad(mk_loss(DirectAdjoint(), "diagonal"))(p0))
+    assert np.allclose(g_int, g_dir, rtol=1e-9), (g_int, g_dir)
+
+
+def test_sde_modifies_p_adaptive_near_deterministic():
+    """Adaptive-path (no dt) modifies_p dose: in the near-deterministic
+    regime (sigma=1e-4, where accept/reject flips are numerically
+    negligible) the AD gradient matches central FD; both carry the O(sigma)
+    stochastic correction vs the analytic deterministic limit."""
+    from scimlsensitivity_jl_tpu import PresetTimeCallback
+
+    cb = PresetTimeCallback(
+        ts=[0.5],
+        affect=lambda u, pp, t: (u, pp.at[0].set(pp[0] * pp[2])),
+        modifies_p=True)
+
+    def loss(p):
+        prob = SDEProblem(lambda u, pp, t: -pp[0] * u,
+                          lambda u, pp, t: pp[1] * u,
+                          jnp.array([1.0]), (0.0, 1.0), p)
+        s = solve(prob, key=KEY, callback=cb, rtol=1e-5, atol=1e-8)
+        return jnp.sum(s.ys[-1] ** 2)
+
+    p0 = jnp.array([1.3, 1e-4, 2.0])
+    g = np.asarray(jax.grad(loss)(p0))
+    eps = 1e-5
+    for i in (0, 2):
+        pp = np.asarray(p0).copy(); pp[i] += eps
+        pm = np.asarray(p0).copy(); pm[i] -= eps
+        fd = (float(loss(jnp.asarray(pp)))
+              - float(loss(jnp.asarray(pm)))) / (2 * eps)
+        assert abs(g[i] - fd) / max(abs(fd), 1e-12) < 5e-3, (i, g[i], fd)
+    # analytic deterministic limit: u(1) = exp(-a/2)·exp(-a·c/2)
+    a, c = float(p0[0]), float(p0[2])
+    u1 = np.exp(-a * 0.5) * np.exp(-a * c * 0.5)
+    assert abs(g[0] - 2 * u1 ** 2 * (-(0.5 + 0.5 * c))) < 1e-2 * abs(g[0]) \
+        + 1e-3
+    assert abs(g[2] - 2 * u1 ** 2 * (-a * 0.5)) < 1e-2 * abs(g[2]) + 1e-3
 
 
 def test_milstein_commutative_matrix_noise_strong_vs_exact():
