@@ -256,17 +256,415 @@ def AdjointSensitivityIntegrand(sol, adj_sol, sensealg=None):
     return rho
 
 
-def SDEAdjointProblem(sol, *args, **kwargs):
-    """TPU-first deviation, documented: SDE adjoints here are EXACT DISCRETE
-    adjoints over the replayable counter-based noise (adjoints/sde.py) — a
-    reversed-noise continuous SDE reverse problem (reference
-    backsolve_adjoint.jl:274-419) would re-discretize what is already a
-    discrete pullback. Use `adjoint_sensitivities(sol, ...)` (replay-based)
-    or `jax.grad` over `solve`."""
-    raise NotImplementedError(SDEAdjointProblem.__doc__)
+def _fixed_grid_meta(sol, kind):
+    """(t0, t1, dt, n_steps, key) from a fixed-grid SDE/RODE solution."""
+    sa = getattr(sol, "solve_args", None)
+    if sa is None or sa.get("kind") != kind:
+        raise NotImplementedError(
+            f"{'SDE' if kind == 'sde' else 'RODE'}AdjointProblem needs a "
+            f"FIXED-GRID solution from this package's solve() (adaptive "
+            f"solutions: use adjoint_sensitivities, which replays the "
+            f"realized grid exactly)"
+        )
+    t0, t1 = sol.prob.tspan
+    dt = sa["dt"]
+    n_steps = int(round((float(t1) - float(t0)) / float(dt)))
+    return float(t0), float(t1), float(dt), n_steps, sa["key"]
 
 
-def RODEAdjointProblem(sol, *args, **kwargs):
-    """See SDEAdjointProblem — same replay-based design for RODEs
-    (reference interpolating_adjoint.jl:615-746)."""
-    raise NotImplementedError(SDEAdjointProblem.__doc__)
+def _forward_noise_nodes(prob, key, n_steps, dt, w_shape, dtype):
+    """W at the forward grid nodes — regenerated from the counter-based
+    stream (never stored by the solver), or read from the user's
+    noise_process (the reference instead deepcopies + reverses the recorded
+    NoiseProcess, backsolve_adjoint.jl:395-411)."""
+    from ..ops.brownian import NoiseGrid, grid_path
+
+    t0 = float(prob.tspan[0])
+    src = getattr(prob, "noise_process", None)
+    if src is None:
+        return grid_path(key, n_steps, w_shape, dt).astype(dtype)
+    if isinstance(src, NoiseGrid):
+        return jnp.asarray(src.W, dtype)
+    if callable(src):
+        nodes = t0 + dt * jnp.arange(n_steps + 1)
+        return jax.vmap(
+            lambda t: jnp.broadcast_to(jnp.asarray(src(t)),
+                                       w_shape).astype(dtype)
+        )(nodes)
+    raise TypeError(f"noise_process: NoiseGrid or callable, got {src!r}")
+
+
+def _sde_data_jumps(sol, t, dgdu_discrete, p, n, dtype):
+    """λ jump rows at the solution's save times (SDE/RODE solutions carry
+    no dense output — cotangents anchor to the stored save nodes)."""
+    if dgdu_discrete is None:
+        raise ValueError(
+            "SDE/RODE adjoint problems need dgdu_discrete (continuous "
+            "costs on SDE paths: put a running cost in an augmented "
+            "quadrature state instead)"
+        )
+    ts = sol.ts if t is None else jnp.asarray(t)
+    import numpy as _np
+
+    if not _np.allclose(_np.asarray(ts, float), _np.asarray(sol.ts, float)):
+        raise ValueError(
+            "t= must equal the solution's save times (cotangent rows "
+            "anchor to sol.ys); re-solve with saveat=t"
+        )
+
+    def jump(i):
+        ui = jax.tree_util.tree_map(lambda a: a[i], sol.ys)
+        return ravel_pytree(dgdu_discrete(ui, p, ts[i], i))[0]
+
+    return jnp.asarray(ts, dtype), jax.vmap(jump)(jnp.arange(ts.shape[0]))
+
+
+def _reverse_jump_plumbing(ts, lam_jumps, t0, t1, n, dtype):
+    """Split data-time jumps into (z0 seed at t1, extract-time fold at t0,
+    interior PresetTimeCallback in reversed τ time) — shared by the
+    SDE/RODE constructors. τ = t0 + t1 − t_phys."""
+    import numpy as _np
+
+    at_end = jnp.abs(ts - t1) <= 1e-12 * max(1.0, abs(t1))
+    at_start = jnp.abs(ts - t0) <= 1e-12 * max(1.0, abs(t0))
+    lam_init = jnp.sum(jnp.where(at_end[:, None], lam_jumps, 0.0), axis=0)
+    lam_final = jnp.sum(jnp.where(at_start[:, None], lam_jumps, 0.0), axis=0)
+    interior = ~(at_end | at_start)
+    tau_ts = (t0 + t1) - ts
+
+    def jump_affect(z, p_, tau):
+        i = jnp.argmin(jnp.abs(tau_ts - tau))
+        return z.at[:n].add(jnp.where(interior[i], 1.0, 0.0) * lam_jumps[i])
+
+    interior_host = _np.asarray(interior)
+    cb_times = _np.asarray(tau_ts, float)[interior_host]
+    cb = (PresetTimeCallback(ts=cb_times, affect=jump_affect)
+          if interior_host.any() else None)
+    return lam_init, lam_final, cb, cb_times
+
+
+def SDEAdjointProblem(
+    sol,
+    sensealg=None,
+    t=None,
+    dgdu_discrete: Optional[Callable] = None,
+) -> AdjointProblemSpec:
+    """Build the user-solvable continuous reverse SDE for a fixed-grid SDE
+    solution (reference: SDEAdjointProblem, backsolve_adjoint.jl:274-419 /
+    interpolating_adjoint.jl:453-613).
+
+    The reverse problem is the time-flipped STRATONOVICH augmented system in
+    τ = t0 + t1 − t, driven by the forward Brownian path read backwards
+    (a NoiseGrid over the τ grid — the counter-based stream regenerates the
+    path functionally; the reference deepcopies + reverses the recorded
+    NoiseProcess). With T = t0 + t1 and W̃(τ) = W(T − τ):
+
+        BacksolveAdjoint     z = [λ; q; u]:
+            dz/dτ = [+(∂f̃/∂u)ᵀλ; +(∂f̃/∂p)ᵀλ; −f̃] dτ
+                    + Σ_j [−(∂g_j/∂u)ᵀλ; −(∂g_j/∂p)ᵀλ; +g_j] ∘dW̃_j
+            (noise signs from the discrete time flip ΔW̃_j = −ΔW_{N−1−j})
+        InterpolatingAdjoint z = [λ; q], u(T−τ) interpolated from sol.ys
+            (save densely — saveat on the solve grid — for accuracy)
+
+    where f̃ is the Stratonovich drift (Ito problems get the −½(∂g/∂u)g
+    correction). Solve spec.prob with EulerHeun() on the SAME dt; the
+    returned problem carries the reversed NoiseGrid as noise_process.
+
+    NOTE this is the reference's continuous formulation, exported for
+    inspection/composition parity: it RE-DISCRETIZES the reverse flow, so
+    its gradients match `adjoint_sensitivities` / `jax.grad(solve)` (exact
+    discrete adjoints over the same path) only as dt → 0. Discrete costs
+    only (dgdu_discrete), matching the direct-API SDE scope."""
+    from ..problems import SDEProblem
+    from ..ops.brownian import NoiseGrid
+    from ..solvers.sde import ito_to_stratonovich_drift
+
+    sensealg = sensealg if sensealg is not None else BacksolveAdjoint()
+    if getattr(sol, "events", None) is not None:
+        raise NotImplementedError(
+            "SDEAdjointProblem on event solutions: use jax.grad over solve"
+        )
+    prob = sol.prob
+    if not isinstance(prob, SDEProblem):
+        raise TypeError(f"SDEAdjointProblem needs an SDEProblem solution, "
+                        f"got {type(prob).__name__}")
+    t0, t1, dt, n_steps, key = _fixed_grid_meta(sol, "sde")
+    p = prob.p
+    u0vec, unravel_u = ravel_pytree(prob.u0)
+    pflat, unravel_p = ravel_pytree(p)
+    n, npf = u0vec.shape[0], pflat.shape[0]
+    dtype = u0vec.dtype
+
+    if prob.noise == "general":
+        m = prob.noise_dim
+        w_shape = (m,)
+    elif prob.noise == "scalar":
+        m = 1
+        w_shape = ()
+    else:
+        m = n
+        w_shape = (n,)
+
+    # flat fields + Stratonovich drift (time-reversal is a pathwise change
+    # of variables only in Stratonovich calculus)
+    def fvec(uv, tt):
+        return ravel_pytree(prob.f(unravel_u(uv), p, tt))[0]
+
+    if prob.noise == "general":
+        def gvec(uv, tt):
+            return jnp.asarray(prob.g(unravel_u(uv), p, tt))
+    else:
+        def gvec(uv, tt):
+            return ravel_pytree(prob.g(unravel_u(uv), p, tt))[0]
+
+    f_strat = (ito_to_stratonovich_drift(fvec, gvec)
+               if prob.interpretation == "ito" else fvec)
+
+    # reversed driving path on the τ grid
+    W_fwd = _forward_noise_nodes(prob, key, n_steps, dt, w_shape, dtype)
+    W_rev = W_fwd[::-1]
+    if prob.noise == "scalar":
+        W_rev = W_rev[:, None]
+    tau_nodes = t0 + dt * jnp.arange(n_steps + 1)
+    noise_rev = NoiseGrid(ts=tau_nodes, W=W_rev)
+
+    ts, lam_jumps = _sde_data_jumps(sol, t, dgdu_discrete, p, n, dtype)
+    lam_init, lam_final, cb, cb_times = _reverse_jump_plumbing(
+        ts, lam_jumps, t0, t1, n, dtype)
+
+    def _drift_pullback(uv, tt, lam):
+        """((∂f̃/∂u)ᵀλ, (∂f̃/∂p)ᵀλ) at the physical time tt."""
+        def f_of(uu, pp):
+            fv = ravel_pytree(prob.f(unravel_u(uu), pp, tt))[0]
+            if prob.interpretation != "ito":
+                return fv
+            # Stratonovich correction differentiated too
+            if prob.noise == "general":
+                gv = jnp.asarray(prob.g(unravel_u(uu), pp, tt))
+
+                def col(j):
+                    return jax.jvp(
+                        lambda x: jnp.asarray(
+                            prob.g(unravel_u(x), pp, tt))[:, j],
+                        (uu,), (gv[:, j],))[1]
+
+                corr = 0.5 * jnp.sum(jax.vmap(col)(jnp.arange(m)), axis=0)
+            else:
+                gv = ravel_pytree(prob.g(unravel_u(uu), pp, tt))[0]
+                corr = 0.5 * jax.jvp(
+                    lambda x: ravel_pytree(prob.g(unravel_u(x), pp, tt))[0],
+                    (uu,), (gv,))[1]
+            return fv - corr
+
+        _, pull = jax.vjp(f_of, uv, p)
+        ub, pb = pull(lam)
+        return ub, ravel_pytree(pb)[0]
+
+    def _noise_pullback(uv, tt, lam):
+        """Columns j: ((∂g_j/∂u)ᵀλ, (∂g_j/∂p)ᵀλ) — one batched vjp."""
+        def g_of(uu, pp):
+            if prob.noise == "general":
+                return jnp.asarray(prob.g(unravel_u(uu), pp, tt))
+            return ravel_pytree(prob.g(unravel_u(uu), pp, tt))[0]
+
+        _, pull = jax.vjp(g_of, uv, p)
+        if prob.noise == "general":
+            cots = jax.vmap(
+                lambda j: lam[:, None] * (jnp.arange(m) == j)[None, :]
+            )(jnp.arange(m))
+        elif prob.noise == "scalar":
+            cots = lam[None, :]
+        else:  # diagonal: g_j = g(u)_j e_j → cotangent row j is λ_j e_j
+            cots = jnp.eye(n, dtype=dtype) * lam[None, :]
+
+        def one(c):
+            ub, pb = pull(c)
+            return ub, ravel_pytree(pb)[0]
+
+        return jax.vmap(one)(cots)  # ((m, n), (m, npf))
+
+    def _g_cols(uv, tt):
+        """Full noise matrix columns g_j(u) as (m, n)."""
+        if prob.noise == "general":
+            return jnp.asarray(gvec(uv, tt)).T
+        if prob.noise == "scalar":
+            return gvec(uv, tt)[None, :]
+        return jnp.eye(n, dtype=dtype) * gvec(uv, tt)[None, :]
+
+    T = t0 + t1
+    if isinstance(sensealg, BacksolveAdjoint):
+        def aug_f(z, p_, tau):
+            tt = T - tau
+            lam, u_cur = z[:n], z[n + npf:]
+            ub, pb = _drift_pullback(u_cur, tt, lam)
+            return jnp.concatenate([ub, pb, -f_strat(u_cur, tt)])
+
+        def aug_g(z, p_, tau):
+            # signs from the discrete time-flip (ΔW̃_j = −ΔW_{N−1−j}):
+            # Δũ = −f̃Δτ + g·ΔW̃ ; Δλ̃ = +JᵀλΔτ − (∂g/∂u)ᵀλ·ΔW̃ ;
+            # Δq̃ = +(∂f̃/∂p)ᵀλΔτ − (∂g/∂p)ᵀλ·ΔW̃
+            tt = T - tau
+            lam, u_cur = z[:n], z[n + npf:]
+            gu, gp = _noise_pullback(u_cur, tt, lam)
+            cols = jnp.concatenate(
+                [-gu, -gp, _g_cols(u_cur, tt)], axis=1)  # (m, N_aug)
+            return cols.T  # (N_aug, m)
+
+        u_end = ravel_pytree(
+            jax.tree_util.tree_map(lambda a: a[-1], sol.ys))[0]
+        z0 = jnp.concatenate([lam_init, jnp.zeros(npf, dtype), u_end])
+        note = "BacksolveAdjoint: z = [λ; q; u], u re-integrated backward"
+    elif isinstance(sensealg, InterpolatingAdjoint):
+        ys_flat = jax.vmap(lambda i: ravel_pytree(
+            jax.tree_util.tree_map(lambda a: a[i], sol.ys))[0]
+        )(jnp.arange(jnp.asarray(sol.ts).shape[0]))
+        ts_sol = jnp.asarray(sol.ts, dtype)
+
+        def u_of(tt):
+            return jax.vmap(
+                lambda col: jnp.interp(tt, ts_sol, col))(ys_flat.T)
+
+        def aug_f(z, p_, tau):
+            tt = T - tau
+            lam = z[:n]
+            ub, pb = _drift_pullback(u_of(tt), tt, lam)
+            return jnp.concatenate([ub, pb])
+
+        def aug_g(z, p_, tau):
+            tt = T - tau
+            lam = z[:n]
+            gu, gp = _noise_pullback(u_of(tt), tt, lam)
+            return jnp.concatenate([-gu, -gp], axis=1).T
+
+        z0 = jnp.concatenate([lam_init, jnp.zeros(npf, dtype)])
+        note = ("InterpolatingAdjoint: z = [λ; q], u(t) interpolated from "
+                "sol.ys — save densely for accuracy")
+    else:
+        raise NotImplementedError(
+            f"SDEAdjointProblem supports BacksolveAdjoint/"
+            f"InterpolatingAdjoint layouts, got {sensealg!r}"
+        )
+
+    adj_prob = SDEProblem(
+        aug_f, aug_g, z0, (t0, t1), p, noise="general",
+        interpretation="stratonovich", noise_dim=m, noise_process=noise_rev,
+    )
+
+    def extract(z):
+        return unravel_u(z[:n] + lam_final), unravel_p(z[n:n + npf])
+
+    spec = AdjointProblemSpec(
+        prob=adj_prob, callback=cb, tstops=cb_times, n=n, npf=npf,
+        extract=extract, sensealg=sensealg,
+    )
+    spec.note = note + "; solve with EulerHeun() on the same dt"
+    spec.dt = dt
+    return spec
+
+
+def RODEAdjointProblem(
+    sol,
+    sensealg=None,
+    t=None,
+    dgdu_discrete: Optional[Callable] = None,
+) -> AdjointProblemSpec:
+    """Reverse problem for a fixed-grid RODE solution (reference:
+    RODEAdjointProblem, interpolating_adjoint.jl:615-746). The RODE adjoint
+    is a pathwise ODE driven by the SAME Wiener path:
+
+        dλ/dτ = +(∂f/∂u)ᵀλ,  dq/dτ = +(∂f/∂p)ᵀλ   (τ = t0 + t1 − t)
+
+    returned as a plain ODEProblem whose RHS reads W̃(τ) = W(T−τ) from the
+    regenerated forward path (linearly interpolated between the grid nodes
+    — the same path lift RandomEM samples), so ANY in-repo ODE solver,
+    callback, and tstops work on it. InterpolatingAdjoint (default)
+    interpolates u from sol.ys; BacksolveAdjoint appends −f rows and
+    re-integrates u backward. Solve spec.prob with a fixed grid near
+    spec.dt (the RHS is only as smooth as the Brownian path); gradients
+    match the discrete adjoint as dt → 0."""
+    from ..problems import RODEProblem
+
+    sensealg = sensealg if sensealg is not None else InterpolatingAdjoint()
+    prob = sol.prob
+    if not isinstance(prob, RODEProblem):
+        raise TypeError(f"RODEAdjointProblem needs an RODEProblem solution, "
+                        f"got {type(prob).__name__}")
+    t0, t1, dt, n_steps, key = _fixed_grid_meta(sol, "rode")
+    p = prob.p
+    u0vec, unravel_u = ravel_pytree(prob.u0)
+    pflat, unravel_p = ravel_pytree(p)
+    n, npf = u0vec.shape[0], pflat.shape[0]
+    dtype = u0vec.dtype
+    w_shape = (prob.noise_dim,) if prob.noise_dim else (n,)
+
+    W_fwd = _forward_noise_nodes(prob, key, n_steps, dt, w_shape, dtype)
+    if W_fwd.ndim == 1:
+        W_fwd = W_fwd[:, None]
+    fwd_nodes = t0 + dt * jnp.arange(n_steps + 1)
+
+    def W_of(tt):
+        """Forward path at physical time tt, linearly interpolated."""
+        w = jax.vmap(lambda col: jnp.interp(tt, fwd_nodes, col))(W_fwd.T)
+        return w.reshape(w_shape)
+
+    ts, lam_jumps = _sde_data_jumps(sol, t, dgdu_discrete, p, n, dtype)
+    lam_init, lam_final, cb, cb_times = _reverse_jump_plumbing(
+        ts, lam_jumps, t0, t1, n, dtype)
+
+    T = t0 + t1
+
+    def _pullback(uv, tt, wv, lam):
+        def f_of(uu, pp):
+            return ravel_pytree(prob.f(unravel_u(uu), pp, tt, wv))[0]
+
+        _, pull = jax.vjp(f_of, uv, p)
+        ub, pb = pull(lam)
+        return ub, ravel_pytree(pb)[0]
+
+    if isinstance(sensealg, BacksolveAdjoint):
+        def aug_f(z, p_, tau):
+            tt = T - tau
+            wv = W_of(tt)
+            lam, u_cur = z[:n], z[n + npf:]
+            ub, pb = _pullback(u_cur, tt, wv, lam)
+            fv = ravel_pytree(prob.f(unravel_u(u_cur), p_, tt, wv))[0]
+            return jnp.concatenate([ub, pb, -fv])
+
+        u_end = ravel_pytree(
+            jax.tree_util.tree_map(lambda a: a[-1], sol.ys))[0]
+        z0 = jnp.concatenate([lam_init, jnp.zeros(npf, dtype), u_end])
+        note = "BacksolveAdjoint: z = [λ; q; u]"
+    else:
+        ys_flat = jax.vmap(lambda i: ravel_pytree(
+            jax.tree_util.tree_map(lambda a: a[i], sol.ys))[0]
+        )(jnp.arange(jnp.asarray(sol.ts).shape[0]))
+        ts_sol = jnp.asarray(sol.ts, dtype)
+
+        def u_of(tt):
+            return jax.vmap(
+                lambda col: jnp.interp(tt, ts_sol, col))(ys_flat.T)
+
+        def aug_f(z, p_, tau):
+            tt = T - tau
+            lam = z[:n]
+            ub, pb = _pullback(u_of(tt), tt, W_of(tt), lam)
+            return jnp.concatenate([ub, pb])
+
+        z0 = jnp.concatenate([lam_init, jnp.zeros(npf, dtype)])
+        note = ("InterpolatingAdjoint: z = [λ; q], u(t) interpolated from "
+                "sol.ys — save densely for accuracy")
+
+    adj_prob = ODEProblem(aug_f, z0, (t0, t1), p)
+
+    def extract(z):
+        return unravel_u(z[:n] + lam_final), unravel_p(z[n:n + npf])
+
+    spec = AdjointProblemSpec(
+        prob=adj_prob, callback=cb, tstops=cb_times, n=n, npf=npf,
+        extract=extract, sensealg=sensealg,
+    )
+    spec.note = note + (f"; an ODEProblem over τ = t0+t1−t reading the "
+                        f"replayed path — solve on a fixed grid near "
+                        f"dt={dt} (the RHS is Brownian-rough)")
+    spec.dt = dt
+    return spec

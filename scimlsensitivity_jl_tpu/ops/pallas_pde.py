@@ -253,21 +253,27 @@ def _rk4_fwd_kernel_factory(S: int, n: int, C: int, H: int, W: int):
 def _rk4_bwd_kernel_factory(S: int, n: int, C: int, H: int, W: int):
     """Exact discrete adjoint of S RK4 steps on one halo window. One
     forward sweep re-steps the window from its entry state, caching every
-    stage state AND its Laplacian in VMEM scratch; the reverse sweep then
-    pays only the transpose stencils. Per reverse step s:
+    stage state in VMEM scratch; the reverse sweep then pays only the
+    transpose stencils. Per reverse step s:
 
         w4 = (h/6)λ ;            s4 = J(u+h·k3)ᵀ w4
         w3 = (2h/6)λ + h·s4 ;    s3 = J(u+h/2·k2)ᵀ w3
         w2 = (2h/6)λ + h/2·s3 ;  s2 = J(u+h/2·k1)ᵀ w2
         w1 = (h/6)λ + h/2·s2 ;   s1 = J(u)ᵀ w1
         λ ← λ + s1 + s2 + s3 + s4
-        dD += Σ_interior (L u_i)·w_i / dx² ;  dk += Σ_interior u_i(1−u_i)·w_i
+        dD += Σ_interior (L w_i)·u_i / dx² ;  dk += Σ_interior u_i(1−u_i)·w_i
 
-    with Jᵀv = D/dx²·L v + k(1−2u_i)·v (reflect-padded L is symmetric). The
-    dD/dk sums mask to the interior chunk (halo cells are another program's
-    cells); per-program partials are summed outside."""
+    with Jᵀv = D/dx²·L v + k(1−2u_i)·v (edge-padded L is symmetric). dD
+    uses that symmetry a second time — Σ w·(L u) = Σ (L w)·u globally —
+    so the stage Laplacians need neither storage NOR recomputation: L w_i
+    is already computed for the λ propagation (this halved the r3 kernel's
+    VMEM scratch, 32·S·W → 16·S·W bytes, buying 2× larger chunks). The
+    dD/dk sums mask to the interior chunk (halo cells are another
+    program's cells; the masked per-program partials partition the exact
+    global sum — interior L w_i values are exact because the halo covers
+    the reverse pass's stencil reach); partials are summed outside."""
 
-    def kern(u_ref, prm_ref, lam_ref, du_ref, dp_ref, ustore, lstore):
+    def kern(u_ref, prm_ref, lam_ref, du_ref, dp_ref, ustore):
         i = pl.program_id(0)
         D = prm_ref[0, 0]
         k = prm_ref[0, 1]
@@ -280,78 +286,63 @@ def _rk4_bwd_kernel_factory(S: int, n: int, C: int, H: int, W: int):
         col = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)
         mask = ((col >= off) & (col < off + C)).astype(u0.dtype)
 
-        # one forward sweep caching ALL FOUR stage states AND their
-        # Laplacians in VMEM scratch (2 x S x 4 x W x 4B — single-digit MB
-        # at chunked width): the reverse sweep then does ONLY the transpose
-        # stencils lap(w_i) — the stage chain and its 4 stencils per step
-        # are paid once here instead of once per reverse step, cutting the
-        # reverse kernel from ~12 to ~8 stencil-equivalents per step
+        # one forward sweep caching ALL FOUR stage states in VMEM scratch
+        # (S x 4 x W x 4B — single-digit MB at chunked width): the reverse
+        # sweep then does ONLY the transpose stencils lap(w_i) — the stage
+        # chain's 4 stencils per step are paid once here instead of once
+        # per reverse step (~8 stencil-equivalents per step total)
         def store_and_step(sidx, uu):
-            l1 = _lap(uu)
-            k1 = D * inv_dx2 * l1 + k * uu * (1.0 - uu)
+            k1 = D * inv_dx2 * _lap(uu) + k * uu * (1.0 - uu)
             u2 = uu + 0.5 * h * k1
-            l2 = _lap(u2)
-            k2 = D * inv_dx2 * l2 + k * u2 * (1.0 - u2)
+            k2 = D * inv_dx2 * _lap(u2) + k * u2 * (1.0 - u2)
             u3 = uu + 0.5 * h * k2
-            l3 = _lap(u3)
-            k3 = D * inv_dx2 * l3 + k * u3 * (1.0 - u3)
+            k3 = D * inv_dx2 * _lap(u3) + k * u3 * (1.0 - u3)
             u4 = uu + h * k3
-            l4 = _lap(u4)
-            k4 = D * inv_dx2 * l4 + k * u4 * (1.0 - u4)
+            k4 = D * inv_dx2 * _lap(u4) + k * u4 * (1.0 - u4)
             ustore[pl.ds(4 * sidx + 0, 1), :] = uu
             ustore[pl.ds(4 * sidx + 1, 1), :] = u2
             ustore[pl.ds(4 * sidx + 2, 1), :] = u3
             ustore[pl.ds(4 * sidx + 3, 1), :] = u4
-            lstore[pl.ds(4 * sidx + 0, 1), :] = l1
-            lstore[pl.ds(4 * sidx + 1, 1), :] = l2
-            lstore[pl.ds(4 * sidx + 2, 1), :] = l3
-            lstore[pl.ds(4 * sidx + 3, 1), :] = l4
             return uu + (h / 6.0) * (k1 + 2.0 * (k2 + k3) + k4)
 
         jax.lax.fori_loop(0, S, store_and_step, u0)
 
-        def jt(u_st, v):
-            return D * inv_dx2 * _lap(v) + k * (1.0 - 2.0 * u_st) * v
-
         def rev_step(j, carry):
-            lam, dD, dk = carry
+            # dD/dk accumulate ELEMENTWISE rows (accD/acck); the mask and
+            # the two scalar reductions are applied once after the loop —
+            # 8 full-width reduces per step would dominate the reverse
+            lam, accD, acck = carry
             s = (S - 1) - j
             u = ustore[pl.ds(4 * s + 0, 1), :]
             u2 = ustore[pl.ds(4 * s + 1, 1), :]
             u3 = ustore[pl.ds(4 * s + 2, 1), :]
             u4 = ustore[pl.ds(4 * s + 3, 1), :]
-            l1 = lstore[pl.ds(4 * s + 0, 1), :]
-            l2 = lstore[pl.ds(4 * s + 1, 1), :]
-            l3 = lstore[pl.ds(4 * s + 2, 1), :]
-            l4 = lstore[pl.ds(4 * s + 3, 1), :]
 
+            # Jᵀ(u_st) v = D/dx²·L v + k(1−2u_st)·v; keep L v for dD
             w4 = (h / 6.0) * lam
-            s4 = jt(u4, w4)
+            lw4 = _lap(w4)
+            s4 = D * inv_dx2 * lw4 + k * (1.0 - 2.0 * u4) * w4
             w3 = (2.0 * h / 6.0) * lam + h * s4
-            s3 = jt(u3, w3)
+            lw3 = _lap(w3)
+            s3 = D * inv_dx2 * lw3 + k * (1.0 - 2.0 * u3) * w3
             w2 = (2.0 * h / 6.0) * lam + 0.5 * h * s3
-            s2 = jt(u2, w2)
+            lw2 = _lap(w2)
+            s2 = D * inv_dx2 * lw2 + k * (1.0 - 2.0 * u2) * w2
             w1 = (h / 6.0) * lam + 0.5 * h * s2
-            s1 = jt(u, w1)
+            lw1 = _lap(w1)
+            s1 = D * inv_dx2 * lw1 + k * (1.0 - 2.0 * u) * w1
 
-            wm1 = mask * w1
-            wm2 = mask * w2
-            wm3 = mask * w3
-            wm4 = mask * w4
-            dD = dD + inv_dx2 * (
-                jnp.sum(wm1 * l1) + jnp.sum(wm2 * l2)
-                + jnp.sum(wm3 * l3) + jnp.sum(wm4 * l4)
-            )
-            dk = dk + (
-                jnp.sum(wm1 * u * (1.0 - u))
-                + jnp.sum(wm2 * u2 * (1.0 - u2))
-                + jnp.sum(wm3 * u3 * (1.0 - u3))
-                + jnp.sum(wm4 * u4 * (1.0 - u4))
-            )
-            return (lam + s1 + s2 + s3 + s4, dD, dk)
+            # dD by L-symmetry: Σ w_i·(L u_i) = Σ (L w_i)·u_i globally
+            accD = accD + (lw1 * u + lw2 * u2 + lw3 * u3 + lw4 * u4)
+            acck = acck + (w1 * u * (1.0 - u) + w2 * u2 * (1.0 - u2)
+                           + w3 * u3 * (1.0 - u3) + w4 * u4 * (1.0 - u4))
+            return (lam + s1 + s2 + s3 + s4, accD, acck)
 
-        z = jnp.zeros((), lam0.dtype)
-        lam, dD, dk = jax.lax.fori_loop(0, S, rev_step, (lam0, z, z))
+        zrow = jnp.zeros_like(lam0)
+        lam, accD, acck = jax.lax.fori_loop(
+            0, S, rev_step, (lam0, zrow, zrow))
+        dD = inv_dx2 * jnp.sum(mask * accD)
+        dk = jnp.sum(mask * acck)
         if H == 0:
             du_ref[0] = lam
         else:
@@ -395,10 +386,11 @@ def make_rd1d_rk4_block(n: int, S: int, chunk: int = 65536,
     interpreter — the CPU test path validating the hand-derived pullback
     and the halo geometry."""
     C, H, W, G = _chunk_geometry(n, S, chunk)
-    # the pullback kernel holds 8·S window-sized scratch rows (stage states
-    # + Laplacians) plus live temps — smaller chunks keep it inside VMEM
-    # (scratch bytes = 32·S·W_b; at the default S=8 chunk//4 that is ~4 MB)
-    Cb, Hb, Wb, Gb = _chunk_geometry(n, S, bwd_chunk or max(chunk // 4, 1))
+    # the pullback kernel holds 4·S window-sized scratch rows (stage
+    # states; Laplacians are neither stored nor recomputed — dD rides the
+    # L-symmetry, see _rk4_bwd_kernel_factory) plus live temps — smaller
+    # chunks keep it inside ~16 MB VMEM (scratch bytes = 16·S·W_b)
+    Cb, Hb, Wb, Gb = _chunk_geometry(n, S, bwd_chunk or max(chunk // 2, 1))
     fwd_kern = _rk4_fwd_kernel_factory(S, n, C, H, W)
     bwd_kern = _rk4_bwd_kernel_factory(S, n, Cb, Hb, Wb)
     def _on_kernel_path():
@@ -466,8 +458,7 @@ def make_rd1d_rk4_block(n: int, S: int, chunk: int = 65536,
                 pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM),
             ),
-            scratch_shapes=[pltpu.VMEM((4 * S, Wb), dtype),
-                            pltpu.VMEM((4 * S, Wb), dtype)],
+            scratch_shapes=[pltpu.VMEM((4 * S, Wb), dtype)],
             interpret=_use_interpret(),
         )(uwins, _prm4(D, k, inv_dx2, h, dtype), lwins)
         zero = jnp.zeros((), dtype)

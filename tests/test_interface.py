@@ -492,10 +492,186 @@ def test_quadrature_adjoint_problem_and_integrand():
                                rtol=2e-4, atol=1e-6)
 
 
-def test_sde_adjoint_problem_raises_with_guidance():
+def test_sde_adjoint_problem_manual_solve_matches_replay():
+    """SDEAdjointProblem (reference backsolve_adjoint.jl:274-419): solve the
+    returned time-flipped Stratonovich reverse SDE MANUALLY with EulerHeun
+    over the reversed NoiseGrid and match the exact discrete replay adjoint
+    as dt → 0 — Backsolve ([λ;q;u]) and Interpolating ([λ;q]) layouts,
+    Ito and Stratonovich problems."""
+    import scimlsensitivity_jl_tpu as S
+
+    p0 = jnp.array([1.5, 1.0, 0.2])
+    u0 = jnp.array([1.0, 0.8])
+
+    def f(u, p, t):
+        return jnp.array([p[0] * u[0] - p[1] * u[0] * u[1],
+                          -u[1] + p[1] * u[0] * u[1]])
+
+    def g(u, p, t):
+        return p[2] * u
+
+    N = 1024
+    dt = 1.0 / N
+    ts = jnp.array([0.0, 0.5, 1.0])
+
+    def dg(u, p, t, i):
+        return 2.0 * u
+
+    for interp_name, solver in [("stratonovich", S.EulerHeun()),
+                                ("ito", S.EulerMaruyama())]:
+        prob = S.SDEProblem(f, g, u0, (0.0, 1.0), p0, noise="diagonal",
+                            interpretation=interp_name)
+        sol = S.solve(prob, solver, dt=dt, saveat=ts,
+                      key=jax.random.PRNGKey(7),
+                      sensealg=S.InterpolatingAdjoint())
+        du0_ref, dp_ref = S.adjoint_sensitivities(sol, dgdu_discrete=dg)
+
+        # Backsolve layout: reverse problem self-contained (re-integrates u)
+        spec = S.SDEAdjointProblem(sol, S.BacksolveAdjoint(),
+                                   dgdu_discrete=dg)
+        adj = S.solve(spec.prob, S.EulerHeun(), dt=spec.dt,
+                      callback=spec.callback)
+        du0, dp = spec.extract(
+            jax.tree_util.tree_map(lambda a: a[-1], adj.ys))
+        np.testing.assert_allclose(np.asarray(du0), np.asarray(du0_ref),
+                                   rtol=3e-2, err_msg=interp_name)
+        np.testing.assert_allclose(np.asarray(dp), np.asarray(dp_ref),
+                                   rtol=5e-2, err_msg=interp_name)
+
+    # Interpolating layout needs dense saves; weight the data-time rows
+    prob = S.SDEProblem(f, g, u0, (0.0, 1.0), p0, noise="diagonal",
+                        interpretation="stratonovich")
+    sol = S.solve(prob, S.EulerHeun(), dt=dt, saveat=ts,
+                  key=jax.random.PRNGKey(7),
+                  sensealg=S.InterpolatingAdjoint())
+    du0_ref, dp_ref = S.adjoint_sensitivities(sol, dgdu_discrete=dg)
+    ts_dense = jnp.linspace(0.0, 1.0, N + 1)
+    sol_d = S.solve(prob, S.EulerHeun(), dt=dt, saveat=ts_dense,
+                    key=jax.random.PRNGKey(7),
+                    sensealg=S.InterpolatingAdjoint())
+
+    def dg_dense(u, p, t, i):
+        w = jnp.where(jnp.any(jnp.abs(ts - t) < 1e-9), 1.0, 0.0)
+        return 2.0 * u * w
+
+    spec = S.SDEAdjointProblem(sol_d, S.InterpolatingAdjoint(),
+                               dgdu_discrete=dg_dense)
+    adj = S.solve(spec.prob, S.EulerHeun(), dt=spec.dt,
+                  callback=spec.callback)
+    du0, dp = spec.extract(jax.tree_util.tree_map(lambda a: a[-1], adj.ys))
+    np.testing.assert_allclose(np.asarray(du0), np.asarray(du0_ref),
+                               rtol=3e-2)
+    np.testing.assert_allclose(np.asarray(dp), np.asarray(dp_ref),
+                               rtol=5e-2)
+
+
+def test_sde_adjoint_problem_general_noise():
+    """Non-diagonal (general) matrix noise through SDEAdjointProblem — the
+    augmented reverse noise matrix columns [−(∂g_j/∂u)ᵀλ; −(∂g_j/∂p)ᵀλ;
+    +g_j] (reference jacNoise! column machinery,
+    derivative_wrappers.jl:1165-1409)."""
+    import scimlsensitivity_jl_tpu as S
+
+    p0 = jnp.array([1.5, 1.0, 0.2])
+    u0 = jnp.array([1.0, 0.8])
+
+    def f(u, p, t):
+        return jnp.array([p[0] * u[0] - p[1] * u[0] * u[1],
+                          -u[1] + p[1] * u[0] * u[1]])
+
+    def g(u, p, t):
+        return p[2] * jnp.array([[1.0, 0.3], [0.1, 0.8]]) * u[:, None]
+
+    N = 1024
+    dt = 1.0 / N
+    ts = jnp.array([0.0, 1.0])
+    prob = S.SDEProblem(f, g, u0, (0.0, 1.0), p0, noise="general",
+                        noise_dim=2, interpretation="stratonovich")
+    sol = S.solve(prob, S.EulerHeun(), dt=dt, saveat=ts,
+                  key=jax.random.PRNGKey(7),
+                  sensealg=S.InterpolatingAdjoint())
+
+    def dg(u, p, t, i):
+        return 2.0 * u
+
+    du0_ref, dp_ref = S.adjoint_sensitivities(sol, dgdu_discrete=dg)
+    spec = S.SDEAdjointProblem(sol, S.BacksolveAdjoint(), dgdu_discrete=dg)
+    assert spec.callback is None  # endpoint costs fold into z0/extract
+    adj = S.solve(spec.prob, S.EulerHeun(), dt=spec.dt)
+    du0, dp = spec.extract(jax.tree_util.tree_map(lambda a: a[-1], adj.ys))
+    np.testing.assert_allclose(np.asarray(du0), np.asarray(du0_ref),
+                               rtol=3e-2)
+    np.testing.assert_allclose(np.asarray(dp), np.asarray(dp_ref),
+                               rtol=5e-2)
+
+
+def test_rode_adjoint_problem_manual_solve():
+    """RODEAdjointProblem (reference interpolating_adjoint.jl:615-746): the
+    pathwise reverse ODE driven by the replayed path — fixed-grid Euler for
+    endpoint costs, adaptive Heun + spec.callback/tstops for interior data
+    times."""
+    import scimlsensitivity_jl_tpu as S
+
+    p0 = jnp.array([1.2, 0.6])
+    u0 = jnp.array([1.0, 0.5])
+
+    def f(u, p, t, W):
+        return jnp.array([p[0] * u[0] - u[0] * u[1] + 0.3 * W[0],
+                          -u[1] + p[1] * u[0] * u[1] + 0.2 * W[1] * u[1]])
+
+    N = 2048
+    dt = 1.0 / N
+    prob = S.RODEProblem(f, u0, (0.0, 1.0), p0)
+
+    def dg(u, p, t, i):
+        return 2.0 * u
+
+    # endpoint costs on the fixed grid
+    sol = S.solve(prob, dt=dt, saveat=jnp.array([0.0, 1.0]),
+                  key=jax.random.PRNGKey(3),
+                  sensealg=S.InterpolatingAdjoint())
+    du0_ref, dp_ref = S.adjoint_sensitivities(sol, dgdu_discrete=dg)
+    spec = S.RODEAdjointProblem(sol, S.BacksolveAdjoint(), dgdu_discrete=dg)
+    assert spec.callback is None
+    adj = S.solve(spec.prob, S.Euler(), dt=spec.dt, adaptive=False)
+    du0, dp = spec.extract(jax.tree_util.tree_map(lambda a: a[-1], adj.ys))
+    np.testing.assert_allclose(np.asarray(du0), np.asarray(du0_ref),
+                               rtol=1e-2)
+    np.testing.assert_allclose(np.asarray(dp), np.asarray(dp_ref),
+                               rtol=1e-2)
+
+    # interior data time via the adaptive driver + λ-jump callback
+    ts3 = jnp.array([0.0, 0.5, 1.0])
+    sol3 = S.solve(prob, dt=dt, saveat=ts3, key=jax.random.PRNGKey(3),
+                   sensealg=S.InterpolatingAdjoint())
+    du0_r3, dp_r3 = S.adjoint_sensitivities(sol3, dgdu_discrete=dg)
+    spec3 = S.RODEAdjointProblem(sol3, S.BacksolveAdjoint(),
+                                 dgdu_discrete=dg)
+    adj3 = S.solve(spec3.prob, S.Heun(), callback=spec3.callback,
+                   tstops=jnp.asarray(spec3.tstops), rtol=1e-4, atol=1e-7,
+                   max_steps=8192)
+    assert bool(adj3.success)
+    zf3 = (adj3.u_final if adj3.u_final is not None
+           else jax.tree_util.tree_map(lambda a: a[-1], adj3.ys))
+    du03, dp3 = spec3.extract(zf3)
+    np.testing.assert_allclose(np.asarray(du03), np.asarray(du0_r3),
+                               rtol=1e-2)
+    np.testing.assert_allclose(np.asarray(dp3), np.asarray(dp_r3),
+                               rtol=1e-2)
+
+
+def test_sde_adjoint_problem_rejects_adaptive_solutions():
     import pytest
 
     import scimlsensitivity_jl_tpu as S
 
-    with pytest.raises(NotImplementedError, match="replay"):
-        S.SDEAdjointProblem(None)
+    def f(u, p, t):
+        return -u
+
+    def g(u, p, t):
+        return 0.1 * u
+
+    prob = S.SDEProblem(f, g, jnp.array([1.0]), (0.0, 1.0), None)
+    sol = S.solve(prob, rtol=1e-2, atol=1e-4, key=jax.random.PRNGKey(0))
+    with pytest.raises(NotImplementedError, match="FIXED-GRID"):
+        S.SDEAdjointProblem(sol, dgdu_discrete=lambda u, p, t, i: 2 * u)

@@ -53,11 +53,15 @@ def test_reference_export_list_parity():
     supports_functor_params""".split()
     missing = [s for s in ref_exports if not hasattr(sml, s)]
     assert not missing, missing
-    # documented-internal exceptions: ODE/SDE/RODEAdjointProblem (each
-    # sensealg's custom_vjp bwd), AdjointSensitivityIntegrand,
-    # SensitivityAlg/SensitivityFunction (type machinery),
-    # StochasticTransformedFunction (automatic drift transform) — the
-    # migration guide maps each (docs/migration_from_sciml.md)
+    # ODE/SDE/RODEAdjointProblem and AdjointSensitivityIntegrand are
+    # exported natively (adjoints/adjoint_problem.py). Remaining
+    # documented-internal exceptions: SensitivityAlg/SensitivityFunction
+    # (type machinery), StochasticTransformedFunction (automatic drift
+    # transform) — the migration guide maps each
+    # (docs/migration_from_sciml.md)
+    for s in ["ODEAdjointProblem", "SDEAdjointProblem",
+              "RODEAdjointProblem", "AdjointSensitivityIntegrand"]:
+        assert hasattr(sml, s), s
 
 
 def test_compat_aliases_behave():
