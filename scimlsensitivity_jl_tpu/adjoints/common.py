@@ -418,6 +418,7 @@ def forward_saveat_solve(
     extra_hook_carry: Any = None,
     event_set=None,
     dtmax=None,
+    fixed_dt=None,
 ) -> Tuple[ForwardResult, Any]:
     """Forward solve capturing saveat states exactly; optionally composes a
     second per-step hook (event tracking, Gauss accumulation)."""
@@ -465,6 +466,7 @@ def forward_saveat_solve(
         store_dense=store_dense,
         event_set=event_set,
         dtmax=dtmax,
+        fixed_dt=fixed_dt,
     )
     (save_buf, _k), extra_carry = res.hook_carry
     # Save times never reached (terminal-event stop; also MaxIters/DtMin

@@ -76,6 +76,10 @@ class SolveOptions(NamedTuple):
     max_events: int = 32
     dtmax: Any = None
     verbose: bool = False
+    # fixed-grid forward (solve(..., adaptive=False, dt=...) with a
+    # continuous sensealg): forward marches this dt, reverse stays adaptive
+    # at adj_rtol/adj_atol (or pins to the forward grid per pinned_reverse)
+    fixed_dt: Any = None
 
 
 def _rc_ok(retcode):
@@ -831,6 +835,7 @@ def make_ode_solve_fn(f, solver, sensealg, opts: SolveOptions, t0, t1, *,
             store_dense=store_dense,
             event_set=event_set,
             dtmax=opts.dtmax,
+            fixed_dt=opts.fixed_dt,
         )
         return fwd, unravel_u, kern, event_set
 
@@ -1284,6 +1289,7 @@ def make_ode_solve_fn(f, solver, sensealg, opts: SolveOptions, t0, t1, *,
                     solver, fvec, t_lo, t_hi_c, ckpt_vals[i - 1],
                     rtol=opts.rtol, atol=opts.atol, max_steps=seg_max_steps,
                     store_dense=True, event_set=event_set,
+                    fixed_dt=opts.fixed_dt,
                 )
 
                 def aug_rhs(zz, t):

@@ -388,6 +388,12 @@ def _solve_ode(prob, solver, *, saveat, rtol, atol, dt0, dt, max_steps,
         n = u0vec.shape[0]
         np_ = 0
 
+    # Remember whether the caller picked the sensealg: fixed-grid solves
+    # (adaptive=False) default to the discrete-AD path, but an EXPLICIT
+    # continuous sensealg rides the continuous-adjoint rules with the
+    # forward marching the fixed grid (reference: adaptive=false composes
+    # with every sensealg).
+    explicit_sensealg = sensealg is not None
     if sensealg is None:
         sensealg = default_sensealg(
             n, np_, prob.p is not None, has_callbacks=cbs is not None
@@ -396,11 +402,16 @@ def _solve_ode(prob, solver, *, saveat, rtol, atol, dt0, dt, max_steps,
     if dt is not None and dt0 is None:
         dt0 = dt
 
+    fixed_grid_continuous = (
+        not adaptive and explicit_sensealg
+        and isinstance(sensealg, _CONTINUOUS_RULES)
+    )
     opts = SolveOptions(
         rtol=rtol, atol=atol, dt0=dt0, max_steps=max_steps, tstops=tstops,
         dense=dense, adj_rtol=adj_rtol, adj_atol=adj_atol,
         adj_max_steps=adj_max_steps, callback=cbs, max_events=max_events,
         dtmax=dtmax, verbose=verbose,
+        fixed_dt=(dt if fixed_grid_continuous else None),
     )
 
     if adaptive and unroll and not isinstance(sensealg, DirectAdjoint):
@@ -412,7 +423,43 @@ def _solve_ode(prob, solver, *, saveat, rtol, atol, dt0, dt, max_steps,
             "driver. Use sensealg=DirectAdjoint() or adaptive=False."
         )
 
-    if not adaptive:
+    if fixed_grid_continuous:
+        # Explicit continuous sensealg on a fixed-grid solve: the forward
+        # marches dt inside the continuous-adjoint rule (opts.fixed_dt);
+        # the reverse pass runs at its own adj_rtol/adj_atol tolerance (or
+        # pins to the forward grid — see pinned_reverse). This is the
+        # reference's fixed-dt-with-adjoint composition and the lowest-
+        # gradient-cost mode for over-resolved PDE grids: the λ reverse
+        # takes only the steps accuracy demands.
+        if dt is None:
+            raise ValueError("adaptive=False requires dt=...")
+        if unroll:
+            raise NotImplementedError(
+                "unroll=True applies to the fixed-grid discrete path "
+                "(sensealg=None) and DirectAdjoint; continuous adjoints "
+                "run the while_loop drivers"
+            )
+        if cbs is not None:
+            raise NotImplementedError(
+                "callbacks + adaptive=False + a continuous sensealg are "
+                "not supported; use the adaptive driver (events are "
+                "localized within adaptive steps)"
+            )
+        # Size the dense/step buffers to the grid, not the adaptive default
+        # (max_steps=4096 would allocate a 4096-row dense buffer — 32 GB of
+        # (ys, fs) at n=1M). Interior saveat/tstops each split one step.
+        n_grid = max(int(round(abs(float(t1) - float(t0)) / float(dt))), 1)
+        n_extra = int(getattr(saveat, "shape", (2,))[0]) + (
+            0 if tstops is None else int(jnp.asarray(tstops).shape[0])
+        )
+        opts = opts._replace(
+            max_steps=min(max_steps, n_grid + n_extra + 16),
+            # the adaptive REVERSE keeps the caller's step budget — the
+            # grid bound above is a forward-buffer size, not a reverse cap
+            adj_max_steps=(adj_max_steps if adj_max_steps is not None
+                           else max_steps),
+        )
+    if not adaptive and not fixed_grid_continuous:
         # Fixed-grid mode: dt required; plain AD (discrete adjoint) through
         # the step graph; unroll=True emits straight-line XLA (no loop
         # constructs — fastest for small step counts / loop-dispatch-bound

@@ -138,8 +138,19 @@ def integrate(
     stop_transform: Optional[Callable] = None,
     event_set=None,
     dtmax=None,
+    fixed_dt=None,
 ) -> IntegrateResult:
     """Adaptively integrate du/dt = fvec(u, t) from t0 to t1 (t1 < t0 allowed).
+
+    fixed_dt: when set, march the fixed grid t0 + k·fixed_dt instead of
+        adapting — every step is accepted, the controller is bypassed, and
+        steps still clip to tstops/saveat exactly (resuming with fixed_dt
+        after a stop, the reference's fixed-dt-with-tstops semantics). No
+        error control: instability surfaces as NaN states (never a silent
+        wrong answer — downstream adjoint rules NaN-poison). This is how
+        continuous adjoints ride a fixed-grid forward solve
+        (reference: solve(...; adaptive=false, dt=...) composes with every
+        sensealg).
 
     fvec: (uvec, t) -> duvec over flat state vectors.
     stepper: object with `.order` (int), `.step(fvec, t, dt, u, f0) ->
@@ -178,7 +189,9 @@ def integrate(
         tstops = jnp.asarray(tstops, tdtype)
 
     f0 = fvec(u0, t0).astype(dtype)
-    if dt0 is None:
+    if fixed_dt is not None:
+        dt = tdir * jnp.abs(jnp.asarray(fixed_dt, tdtype))
+    elif dt0 is None:
         # frozen like the controller: the realized grid is not differentiated
         dt = jax.lax.stop_gradient(
             initial_step_size(fvec, t0, u0, f0, order, rtol, atol, tdir)
@@ -284,6 +297,12 @@ def integrate(
         dt_next = jax.lax.stop_gradient(dt_eff * factor)
         if dtmax is not None:
             dt_next = jnp.clip(dt_next, -abs(dtmax), abs(dtmax))
+        if fixed_dt is not None:
+            # fixed-grid mode: every step accepted (no error control — NaN
+            # states propagate and poison, never a silent rejection loop),
+            # next step is the grid dt (clipped to the next stop above).
+            accept = jnp.asarray(True)
+            dt_next = tdir * jnp.abs(jnp.asarray(fixed_dt, tdtype))
 
         t_new = jnp.where(accept, c.t + dt_eff, c.t)
         u_new = jnp.where(accept, u1, c.u)
