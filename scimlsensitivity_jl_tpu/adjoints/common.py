@@ -206,6 +206,7 @@ def reverse_joined_solve(
     t_span=None,
     jump_unroll: int = 3,
     event_unroll: int = 3,
+    unroll_scan: bool = False,
 ):
     """ONE adaptive reverse solve over [t_hi -> t_lo] with the
     discrete loss cotangents `lam_jumps[k]` added into z[:n_lam] exactly when
@@ -347,23 +348,49 @@ def reverse_joined_solve(
         jnp.concatenate([times, jnp.asarray(event_times, tdtype)])
     )
 
-    res = integrate(
-        stepper,
-        aug_rhs,
-        t_hi,
-        t_lo,
-        z0,
-        rtol=rtol,
-        atol=atol,
-        dt0=dt0,
-        max_steps=max_steps + m + 4,
-        tstops=all_stops,
-        hook=wrapped_hook,
-        hook_carry=(hook_carry, k0, ke0),
-        stop_transform=stop_transform,
-        store_dense=collect_dense,
-        err_weights=err_weights,
-    )
+    if unroll_scan:
+        # Straight-line-XLA reverse: fixed trip count, masked adaptivity,
+        # fully unrolled (no loop HLO) — the latency-floor execution mode
+        # for the continuous adjoints on dispatch-bound runtimes. Same
+        # stop_transform jump injection as the while driver.
+        from ..solvers.integrate import integrate_scan
+
+        res = integrate_scan(
+            stepper,
+            aug_rhs,
+            t_hi,
+            t_lo,
+            z0,
+            rtol=rtol,
+            atol=atol,
+            dt0=dt0,
+            max_steps=max_steps + m + 4,
+            tstops=all_stops,
+            hook=wrapped_hook,
+            hook_carry=(hook_carry, k0, ke0),
+            stop_transform=stop_transform,
+            store_dense=collect_dense,
+            err_weights=err_weights,
+            unroll=True,
+        )
+    else:
+        res = integrate(
+            stepper,
+            aug_rhs,
+            t_hi,
+            t_lo,
+            z0,
+            rtol=rtol,
+            atol=atol,
+            dt0=dt0,
+            max_steps=max_steps + m + 4,
+            tstops=all_stops,
+            hook=wrapped_hook,
+            hook_carry=(hook_carry, k0, ke0),
+            stop_transform=stop_transform,
+            store_dense=collect_dense,
+            err_weights=err_weights,
+        )
     hc, _k, _ke = res.hook_carry
     return res.u_final, hc, res.stats.retcode, res.dense
 
@@ -419,9 +446,14 @@ def forward_saveat_solve(
     event_set=None,
     dtmax=None,
     fixed_dt=None,
+    unroll_scan: bool = False,
 ) -> Tuple[ForwardResult, Any]:
     """Forward solve capturing saveat states exactly; optionally composes a
-    second per-step hook (event tracking, Gauss accumulation)."""
+    second per-step hook (event tracking, Gauss accumulation).
+
+    unroll_scan=True runs the masked-scan driver fully unrolled
+    (straight-line XLA, no loop HLO) instead of the while driver — the
+    latency-floor execution mode; max_steps bounds the fixed trip count."""
     dtype = u0vec.dtype
     tdtype = jnp.promote_types(jnp.zeros((), dtype).real.dtype, jnp.float32)
     t0 = jnp.asarray(t0, tdtype)
@@ -450,24 +482,50 @@ def forward_saveat_solve(
         hook = lambda rec, c: (hook_s(rec, c[0]), extra_hook(rec, c[1]))
         carry0 = ((buf0, k0), extra_hook_carry)
 
-    res = integrate(
-        stepper,
-        fvec,
-        t0,
-        t1,
-        u0vec,
-        rtol=rtol,
-        atol=atol,
-        dt0=dt0,
-        max_steps=max_steps,
-        tstops=all_stops,
-        hook=hook,
-        hook_carry=carry0,
-        store_dense=store_dense,
-        event_set=event_set,
-        dtmax=dtmax,
-        fixed_dt=fixed_dt,
-    )
+    if unroll_scan:
+        from ..solvers.integrate import integrate_scan
+
+        if dtmax is not None or fixed_dt is not None:
+            raise NotImplementedError(
+                "unroll=True (scan driver) does not take dtmax/fixed_dt; "
+                "use the while driver (unroll=False) for those"
+            )
+        res = integrate_scan(
+            stepper,
+            fvec,
+            t0,
+            t1,
+            u0vec,
+            rtol=rtol,
+            atol=atol,
+            dt0=dt0,
+            max_steps=max_steps,
+            tstops=all_stops,
+            hook=hook,
+            hook_carry=carry0,
+            store_dense=store_dense,
+            event_set=event_set,
+            unroll=True,
+        )
+    else:
+        res = integrate(
+            stepper,
+            fvec,
+            t0,
+            t1,
+            u0vec,
+            rtol=rtol,
+            atol=atol,
+            dt0=dt0,
+            max_steps=max_steps,
+            tstops=all_stops,
+            hook=hook,
+            hook_carry=carry0,
+            store_dense=store_dense,
+            event_set=event_set,
+            dtmax=dtmax,
+            fixed_dt=fixed_dt,
+        )
     (save_buf, _k), extra_carry = res.hook_carry
     # Save times never reached (terminal-event stop; also MaxIters/DtMin
     # truncation) would otherwise stay zero-initialized — hold the final

@@ -80,6 +80,11 @@ class SolveOptions(NamedTuple):
     # continuous sensealg): forward marches this dt, reverse stays adaptive
     # at adj_rtol/adj_atol (or pins to the forward grid per pinned_reverse)
     fixed_dt: Any = None
+    # straight-line-XLA execution: forward AND reverse run the fully
+    # unrolled masked-scan driver (no loop HLO) — the latency-floor mode
+    # for dispatch-bound runtimes; requires an explicit-RK pair, no
+    # checkpointing/DAE (solve() guards)
+    unroll: bool = False
 
 
 def _rc_ok(retcode):
@@ -753,6 +758,10 @@ def make_ode_solve_fn(f, solver, sensealg, opts: SolveOptions, t0, t1, *,
         want = getattr(sensealg, "pinned_reverse", None)
         if want is False:
             return False
+        if opts.unroll:
+            # unrolled mode: the adaptive masked-scan reverse IS the fast
+            # path (no loop HLO at all); pinning would reintroduce a scan
+            return False
         eligible = (isinstance(bwd_stepper, _ERK) and M_fwd is None
                     and event_set is None)
         if want is True and not eligible:
@@ -836,6 +845,7 @@ def make_ode_solve_fn(f, solver, sensealg, opts: SolveOptions, t0, t1, *,
             event_set=event_set,
             dtmax=opts.dtmax,
             fixed_dt=opts.fixed_dt,
+            unroll_scan=opts.unroll,
         )
         return fwd, unravel_u, kern, event_set
 
@@ -1200,6 +1210,7 @@ def make_ode_solve_fn(f, solver, sensealg, opts: SolveOptions, t0, t1, *,
                 rtol=adj_rtol, atol=adj_atol,
                 max_steps=adj_max_steps,
                 err_weights=wts, t_span=(t0, fwd.t_final), jump_unroll=jump_unroll,
+                unroll_scan=opts.unroll,
                 **ev_kwargs,
             )
             return _returns(unravel_u, unravel_p, z[:n], z[n:] + q_extra,
@@ -1390,6 +1401,7 @@ def make_ode_solve_fn(f, solver, sensealg, opts: SolveOptions, t0, t1, *,
             max_steps=adj_max_steps,
             snap_values=snap_values, snap_start=snap_start,
             err_weights=wts, t_span=(t0, fwd.t_final), jump_unroll=jump_unroll,
+            unroll_scan=opts.unroll,
             **ev_kwargs,
         )
         return _returns(unravel_u, unravel_p, z[:n], z[n:n + npf] + q_extra,
@@ -1490,6 +1502,7 @@ def make_ode_solve_fn(f, solver, sensealg, opts: SolveOptions, t0, t1, *,
             max_steps=adj_max_steps,
             hook=gauss_hook, hook_carry=q0,
             t_span=(t0, fwd.t_final), jump_unroll=jump_unroll,
+            unroll_scan=opts.unroll,
             **ev_kwargs,
         )
         return _returns(unravel_u, unravel_p, lam, finish_q(qcarry) + q_extra,
@@ -1562,6 +1575,7 @@ def make_ode_solve_fn(f, solver, sensealg, opts: SolveOptions, t0, t1, *,
             collect_dense=True,
             hook_carry=q_ev0,
             t_span=(t0, fwd.t_final), jump_unroll=jump_unroll,
+            unroll_scan=(opts.unroll and M_fwd is None),
             **ev_kwargs,
         )
 

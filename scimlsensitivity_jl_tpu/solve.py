@@ -415,13 +415,55 @@ def _solve_ode(prob, solver, *, saveat, rtol, atol, dt0, dt, max_steps,
     )
 
     if adaptive and unroll and not isinstance(sensealg, DirectAdjoint):
-        # no silent no-op knobs: unrolled adaptivity exists only in the
-        # masked-scan driver
-        raise NotImplementedError(
-            "unroll=True with adaptive=True is supported by DirectAdjoint "
-            "(masked-scan driver) only; other sensealgs run the while_loop "
-            "driver. Use sensealg=DirectAdjoint() or adaptive=False."
-        )
+        if isinstance(sensealg, _CONTINUOUS_RULES):
+            # Straight-line-XLA continuous adjoints: forward AND reverse
+            # run the fully unrolled masked-scan driver (real PI-controlled
+            # adaptivity, no loop HLO) — the latency-floor mode for
+            # dispatch-bound runtimes. Needs an explicit-RK pair and no
+            # checkpointing/DAE (those reverse designs nest solves).
+            from .solvers.explicit import ExplicitRK as _ERK
+
+            if getattr(solver, "mass_matrix", None) is not None:
+                raise NotImplementedError(
+                    "unroll=True + continuous adjoints needs a plain ODE "
+                    "(no mass matrix); use the while driver (unroll=False)"
+                )
+            if not isinstance(solver, _ERK) or (
+                bwd_solver is not None
+                and not isinstance(bwd_solver, _ERK)
+            ):
+                raise NotImplementedError(
+                    "unroll=True + continuous adjoints needs explicit-RK "
+                    "forward/reverse steppers (masked-scan driver); "
+                    "stiff/multistep solvers run the while driver"
+                )
+            # Backsolve's "checkpointing" is the snap-at-save-times stop
+            # transform (no nested solves) — it unrolls fine; only the
+            # Interp/Gauss interval-re-solve designs nest solves.
+            if getattr(sensealg, "checkpointing", False) and not isinstance(
+                sensealg, BacksolveAdjoint
+            ):
+                raise NotImplementedError(
+                    "unroll=True does not compose with checkpointing=True "
+                    "(the checkpointed reverse nests interval re-solves); "
+                    "use unroll=False"
+                )
+            if max_steps > 512:
+                raise ValueError(
+                    "unroll=True emits max_steps straight-line iterations; "
+                    "bound max_steps <= 512 (compile time grows with it)"
+                )
+            opts = opts._replace(unroll=True)
+        else:
+            # no silent no-op knobs: unrolled adaptivity exists only in
+            # the masked-scan driver
+            raise NotImplementedError(
+                "unroll=True with adaptive=True is supported by "
+                "DirectAdjoint (masked-scan driver) and the continuous "
+                "adjoints (unrolled forward+reverse); this sensealg runs "
+                "the while_loop driver. Use sensealg=DirectAdjoint() or "
+                "adaptive=False."
+            )
 
     if fixed_grid_continuous:
         # Explicit continuous sensealg on a fixed-grid solve: the forward

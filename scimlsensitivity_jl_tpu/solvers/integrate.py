@@ -517,6 +517,8 @@ def integrate_scan(
     unroll: bool = False,
     remat: bool = False,
     store_dense: bool = False,
+    stop_transform: Optional[Callable] = None,
+    err_weights: Optional[jnp.ndarray] = None,
 ) -> IntegrateResult:
     """Adaptive integration with a *fixed* trip count (`lax.scan` with
     masking) — reverse-mode differentiable, unlike the while_loop driver.
@@ -606,7 +608,15 @@ def integrate_scan(
         u1 = u1.astype(dtype)
         f1 = f1.astype(dtype)
         sc = atol + rtol * jnp.maximum(jnp.abs(u), jnp.abs(u1))
-        err_norm = hairer_norm(err / sc).astype(tdtype)
+        if err_weights is None:
+            err_norm = hairer_norm(err / sc).astype(tdtype)
+        else:
+            # weighted RMS over error-controlled rows only (same rule as
+            # the while driver: pure-quadrature rows must not dilute it)
+            cnt = jnp.maximum(jnp.sum(err_weights > 0), 1)
+            err_norm = jnp.sqrt(
+                jnp.sum(jnp.abs(err_weights * (err / sc)) ** 2) / cnt
+            ).astype(tdtype)
         bad = ~jnp.isfinite(err_norm)
         err_norm = jnp.where(bad, jnp.asarray(2.0, tdtype), err_norm)
         if always_accept:
@@ -629,6 +639,7 @@ def integrate_scan(
         u_new = jnp.where(accept, u1, u)
         f_new = jnp.where(accept, f1, f)
 
+        ev_fired = jnp.asarray(False)
         if event_set is not None:
             # Events in the reverse-differentiable scan driver (DirectAdjoint
             # with callbacks): the step truncates to τ and continues from the
@@ -647,6 +658,7 @@ def integrate_scan(
             u_new = jnp.where(se.fired, se.u_post, u_new)
             f_new = jnp.where(se.fired, se.f_post, f_new)
             ev = se.events
+            ev_fired = se.fired
             # terminal callback: freeze the loop at (τ, u_post); later
             # iterations are masked no-ops (running=False), so plain AD
             # through this scan differentiates t_final = τ and
@@ -673,6 +685,46 @@ def integrate_scan(
             ys_b = ys_b.at[idx].set(jnp.where(accept, u_new, ys_b[idx]))
             fs_b = fs_b.at[idx].set(jnp.where(accept, f_new, fs_b[idx]))
             dbufs = (ts_b, ys_b, fs_b)
+
+        if stop_transform is not None:
+            # Accepted step landed exactly on a stop (dt was clipped and no
+            # event truncated it): apply the transform (λ-jump injection in
+            # the reverse adjoint solves) and re-evaluate f one matching
+            # tolerance INTO the integration direction — same semantics and
+            # dense-gather side convention as the while driver.
+            hit_stop = accept & (jnp.abs(dt) >= jnp.abs(remaining)) & ~ev_fired
+            t_eval = t_new + tdir * (
+                jnp.asarray(64.0, tdtype) * jnp.finfo(tdtype).eps
+                * jnp.maximum(1.0, jnp.abs(t_new))
+            )
+
+            def _apply_stop(args):
+                u_, f_, hc_ = args
+                u_p, hc_p, fired_ = stop_transform(t_new, u_, hc_)
+                f_p = jax.lax.cond(
+                    fired_,
+                    lambda: fvec(u_p, t_eval).astype(f_.dtype),
+                    lambda: f_,
+                )
+                return u_p, f_p, hc_p, fired_
+
+            def _skip_stop(args):
+                u_, f_, hc_ = args
+                return u_, f_, hc_, jnp.asarray(False)
+
+            u_new, f_new, hc, fired = jax.lax.cond(
+                hit_stop, _apply_stop, _skip_stop, (u_new, f_new, hc)
+            )
+            wrote = hit_stop & fired
+            n_acc = n_acc + wrote.astype(jnp.int32)
+            if store_dense:
+                # zero-width dense row carrying the post-transform state
+                ts_b, ys_b, fs_b = dbufs
+                idx2 = jnp.minimum(n_acc, max_steps)
+                ts_b = ts_b.at[idx2].set(jnp.where(wrote, t_new, ts_b[idx2]))
+                ys_b = ys_b.at[idx2].set(jnp.where(wrote, u_new, ys_b[idx2]))
+                fs_b = fs_b.at[idx2].set(jnp.where(wrote, f_new, fs_b[idx2]))
+                dbufs = (ts_b, ys_b, fs_b)
 
         done = accept & ((t1 - t_new) * tdir <= jnp.abs(t1) * 1e-14 + 1e-300)
         # status < 0 guard: a terminal event this step (status already

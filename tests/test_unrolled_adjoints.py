@@ -1,0 +1,77 @@
+"""Unrolled (straight-line XLA) continuous adjoints.
+
+`solve(..., unroll=True, sensealg=<continuous adjoint>)` runs BOTH the
+forward and the λ reverse through the fully unrolled masked-scan driver —
+real PI-controlled adaptivity with no loop HLO (the latency-floor
+execution mode on dispatch-bound runtimes; docs/tpu_performance.md).
+The realized step sequences are identical to the while-loop drivers'
+(same controller arithmetic), so primal AND gradients must match to
+float tolerance.
+"""
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from scimlsensitivity_jl_tpu import (
+    BacksolveAdjoint,
+    GaussAdjoint,
+    InterpolatingAdjoint,
+    ODEProblem,
+    QuadratureAdjoint,
+    Rosenbrock23,
+    Tsit5,
+    solve,
+)
+
+P = jnp.array([1.5, 1.0, 3.0, 1.0])
+U0 = jnp.array([1.0, 1.0])
+T = 3.0
+TS = jnp.linspace(0.0, T, 7)
+
+
+def lv(u, p, t):
+    x, y = u
+    return jnp.array([p[0] * x - p[1] * x * y, -p[2] * y + p[3] * x * y])
+
+
+def loss(p, u0, alg, unroll):
+    sol = solve(ODEProblem(lv, u0, (0.0, T), p), Tsit5(), saveat=TS,
+                rtol=1e-4, atol=1e-7, sensealg=alg, unroll=unroll,
+                max_steps=64)
+    return jnp.sum(sol.ys ** 2)
+
+
+@pytest.mark.parametrize("alg_while,alg_unroll", [
+    # Interp auto-pins its while-driver reverse; unroll runs the adaptive
+    # masked-scan reverse — compare against the UNPINNED while driver so
+    # both sides integrate the same reverse trajectory.
+    (InterpolatingAdjoint(pinned_reverse=False), InterpolatingAdjoint()),
+    (BacksolveAdjoint(), BacksolveAdjoint()),
+    (GaussAdjoint(), GaussAdjoint()),
+    (QuadratureAdjoint(), QuadratureAdjoint()),
+], ids=["InterpolatingAdjoint", "BacksolveAdjoint", "GaussAdjoint",
+        "QuadratureAdjoint"])
+def test_unrolled_matches_while_driver(alg_while, alg_unroll):
+    y_w = loss(P, U0, alg_while, False)
+    y_u = loss(P, U0, alg_unroll, True)
+    assert abs(float(y_u - y_w)) < 1e-9
+    gw = jax.grad(loss)(P, U0, alg_while, False)
+    gu = jax.grad(loss)(P, U0, alg_unroll, True)
+    assert float(jnp.max(jnp.abs(gu - gw) / (jnp.abs(gw) + 1))) < 1e-7
+    gw2 = jax.grad(loss, argnums=1)(P, U0, alg_while, False)
+    gu2 = jax.grad(loss, argnums=1)(P, U0, alg_unroll, True)
+    assert float(jnp.max(jnp.abs(gu2 - gw2) / (jnp.abs(gw2) + 1))) < 1e-7
+
+
+def test_unrolled_guards():
+    with pytest.raises(NotImplementedError, match="explicit-RK"):
+        solve(ODEProblem(lv, U0, (0.0, T), P), Rosenbrock23(), saveat=TS,
+              sensealg=GaussAdjoint(), unroll=True, max_steps=64)
+    with pytest.raises(NotImplementedError, match="checkpointing"):
+        solve(ODEProblem(lv, U0, (0.0, T), P), Tsit5(), saveat=TS,
+              sensealg=InterpolatingAdjoint(checkpointing=True),
+              unroll=True, max_steps=64)
+    with pytest.raises(ValueError, match="max_steps"):
+        solve(ODEProblem(lv, U0, (0.0, T), P), Tsit5(), saveat=TS,
+              sensealg=GaussAdjoint(), unroll=True, max_steps=4096)
