@@ -872,10 +872,14 @@ def bench_neural_ode_mfu():
         except OSError:
             pass
 
+        # NOTE: fixed-grid + continuous adjoint was measured here too
+        # (Backsolve 9.4x fwd): in the MXU-bound regime exact discrete AD
+        # wins by construction — it reuses forward residuals (3x fwd FLOPs
+        # floor) while a continuous adjoint re-linearizes the field per
+        # reverse stage (>=4-5x). The fixed-grid continuous win lives in
+        # the bandwidth-bound PDE regime (pde_cont_adjoint_ratio_*).
         for name, alg, adp in [("gauss", GaussAdjoint(), True),
-                               ("backsolve", BacksolveAdjoint(), True),
-                               ("backsolve_fixedgrid", BacksolveAdjoint(),
-                                False)]:
+                               ("backsolve", BacksolveAdjoint(), True)]:
             if _left() < 300:
                 break
             ms = _slope_time(make_train_step(alg, adaptive=adp),
@@ -1070,6 +1074,13 @@ def bench_digits_training():
             fh.write(json.dumps(rec) + "\n")
     except OSError:
         pass
+
+    # NOTE (measured, round 4): an unrolled train-step variant
+    # (DirectAdjoint + unroll over the vmapped batch) measured 0.47x —
+    # SLOWER. The batched while_loop runs ~max-over-batch steps; the
+    # unrolled scan always pays max_steps trips for every sample. The
+    # unrolled modes win single-trajectory latency, not batched
+    # throughput — so the batched benchmark keeps the adaptive driver.
 
 
 def run_scaling():

@@ -61,8 +61,12 @@ def digits_node_init(key, feature: int = 32, hidden: int = 64,
 
 
 def digits_node_apply(params, x, *, solver=None, sensealg=None,
-                      rtol=1e-3, atol=1e-6, max_steps=128):
-    """Logits for one 64-pixel image via the continuous-depth block."""
+                      rtol=1e-3, atol=1e-6, max_steps=128, unroll=False):
+    """Logits for one 64-pixel image via the continuous-depth block.
+
+    unroll=True runs the adaptive solve (and its reverse) as straight-line
+    XLA (docs/tpu_performance.md) — the latency-floor training mode; bound
+    max_steps accordingly (~48 covers rtol 1e-3 here)."""
     from ..solve import solve
     from ..solvers.explicit import Tsit5
 
@@ -78,7 +82,7 @@ def digits_node_apply(params, x, *, solver=None, sensealg=None,
     sol = solve(ODEProblem(field, h0, (0.0, 1.0), params["field"]),
                 solver, saveat=jnp.array([0.0, 1.0], x.dtype),
                 rtol=rtol, atol=atol, max_steps=max_steps,
-                sensealg=sensealg)
+                sensealg=sensealg, unroll=unroll)
     return mlp_apply(params["head"], sol.ys[-1])
 
 
