@@ -453,6 +453,15 @@ def _solve_ode(prob, solver, *, saveat, rtol, atol, dt0, dt, max_steps,
                     "unroll=True emits max_steps straight-line iterations; "
                     "bound max_steps <= 512 (compile time grows with it)"
                 )
+            if cbs is not None:
+                # measured wrong (the scan driver's dense buffer lacks the
+                # zero-width post-event rows the reverse interpolation
+                # needs) — refuse rather than return a near-miss gradient
+                raise NotImplementedError(
+                    "callbacks + unroll=True + a continuous sensealg are "
+                    "not supported; use DirectAdjoint() (events unroll "
+                    "there) or unroll=False"
+                )
             opts = opts._replace(unroll=True)
         else:
             # no silent no-op knobs: unrolled adaptivity exists only in

@@ -64,6 +64,16 @@ def test_unrolled_matches_while_driver(alg_while, alg_unroll):
     assert float(jnp.max(jnp.abs(gu2 - gw2) / (jnp.abs(gw2) + 1))) < 1e-7
 
 
+def test_unrolled_rejects_callbacks():
+    from scimlsensitivity_jl_tpu import PresetTimeCallback
+
+    cb = PresetTimeCallback(jnp.array([0.9]), lambda u, p, t: u + 0.1)
+    with pytest.raises(NotImplementedError, match="callbacks"):
+        solve(ODEProblem(lv, U0, (0.0, T), P), Tsit5(), saveat=TS,
+              sensealg=GaussAdjoint(), unroll=True, max_steps=64,
+              callback=cb)
+
+
 def test_unrolled_guards():
     with pytest.raises(NotImplementedError, match="explicit-RK"):
         solve(ODEProblem(lv, U0, (0.0, T), P), Rosenbrock23(), saveat=TS,
