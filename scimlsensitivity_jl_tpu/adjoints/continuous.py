@@ -1193,6 +1193,31 @@ def make_ode_solve_fn(f, solver, sensealg, opts: SolveOptions, t0, t1, *,
                     rtol=adj_rtol, atol=adj_atol,
                     err_weights=wts, jump_unroll=jump_unroll,
                 )
+                if getattr(sensealg, "pinned_reverse", None) is None:
+                    # AUTO pinning must never fail where the adaptive
+                    # reverse succeeds: on stiff problems the adjoint
+                    # legitimately needs finer steps than the forward grid
+                    # (round-4 regression: 2-D Brusselator NaN-poisoned).
+                    # When the pinned pass flags its error guard, rerun the
+                    # adaptive joined reverse inside lax.cond — the stiff
+                    # case pays one wasted pinned sweep, the common case
+                    # keeps the measured 1.23× pinned win. Explicit
+                    # pinned_reverse=True keeps the loud NaN-poison
+                    # (the user asked for exactly that design).
+                    def _fallback(_):
+                        za, _hc, wa, _d = reverse_joined_solve(
+                            bwd_stepper, aug_rhs, times, jumps, z0, n,
+                            rtol=adj_rtol, atol=adj_atol,
+                            max_steps=adj_max_steps,
+                            err_weights=wts, t_span=(t0, fwd.t_final),
+                            jump_unroll=jump_unroll,
+                        )
+                        return za, wa
+
+                    z, worst = jax.lax.cond(
+                        worst != 0, _fallback,
+                        lambda _: (z, jnp.asarray(0, jnp.int32)), None
+                    )
                 return _returns(unravel_u, unravel_p, z[:n], z[n:] + q_extra,
                                 saveat,
                                 jnp.maximum(_rc_ok(fwd.stats.retcode), worst),
