@@ -448,10 +448,11 @@ def _solve_ode(prob, solver, *, saveat, rtol, atol, dt0, dt, max_steps,
                     "(the checkpointed reverse nests interval re-solves); "
                     "use unroll=False"
                 )
-            if max_steps > 512:
+            if max_steps > 512 or (adj_max_steps or 0) > 512:
                 raise ValueError(
-                    "unroll=True emits max_steps straight-line iterations; "
-                    "bound max_steps <= 512 (compile time grows with it)"
+                    "unroll=True emits max_steps (and adj_max_steps + "
+                    "|saveat| + 4 reverse) straight-line iterations; bound "
+                    "both <= 512 (compile time grows with them)"
                 )
             if cbs is not None:
                 # measured wrong (the scan driver's dense buffer lacks the
