@@ -819,3 +819,72 @@ def test_random_sde_continuous_event_cross_validation(seed):
                            rtol=1e-6, atol=1e-10), (
             type(alg).__name__,
             np.max(np.abs(np.asarray(g_flat) - np.asarray(g_fwd))))
+
+
+# Round-4 fuzz groups: the two new execution modes — fixed-grid forwards
+# under continuous adjoints (integrate fixed_dt) and fully-unrolled
+# continuous adjoints (masked-scan forward + reverse) — over the same
+# random-system family with pytree params.
+
+
+@pytest.mark.parametrize("seed", [11, 12])
+def test_random_system_fixed_grid_continuous_cross_validation(seed):
+    f, u0, tspan, p, ts, wts = _random_system(seed)
+    n_steps = 192
+    dt = (tspan[1] - tspan[0]) / n_steps
+    # the discrete fixed-grid ORACLE needs grid-aligned saveat (the
+    # continuous fixed-grid path clips-and-resumes off-grid times, but
+    # the comparison must run both on identical rows) — snap to the grid
+    ts = jnp.round((ts - tspan[0]) / dt) * dt + tspan[0]
+
+    def loss(q, sensealg):
+        prob = ODEProblem(f, u0, tspan, q)
+        sol = solve(prob, Tsit5(), saveat=ts, dt=dt, adaptive=False,
+                    sensealg=sensealg, adj_rtol=1e-9, adj_atol=1e-11)
+        return jnp.sum(wts * sol.ys) + jnp.sum(sol.ys[-1] ** 2)
+
+    # oracle: exact discrete AD through the same fixed grid
+    g_ref = jax.grad(loss)(p, None)
+    ref_flat = np.concatenate([np.ravel(x) for x in
+                               jax.tree_util.tree_leaves(g_ref)])
+    assert np.isfinite(ref_flat).all() and np.linalg.norm(ref_flat) > 1e-6
+
+    for alg in [InterpolatingAdjoint(), BacksolveAdjoint(), GaussAdjoint(),
+                QuadratureAdjoint()]:
+        g = jax.grad(loss)(p, alg)
+        g_flat = np.concatenate([np.ravel(x) for x in
+                                 jax.tree_util.tree_leaves(g)])
+        assert np.allclose(g_flat, ref_flat, rtol=5e-5, atol=1e-7), (
+            type(alg).__name__,
+            np.max(np.abs(g_flat - ref_flat) / (np.abs(ref_flat) + 1e-8)),
+        )
+
+
+@pytest.mark.parametrize("seed", [13])
+def test_random_system_unrolled_continuous_cross_validation(seed):
+    # Unrolled (straight-line XLA) continuous adjoints over pytree params:
+    # must match the while-driver gradient of the SAME sensealg to float
+    # tolerance (identical controller arithmetic, identical steps).
+    f, u0, tspan, p, ts, wts = _random_system(seed)
+
+    def loss(q, sensealg, unroll):
+        prob = ODEProblem(f, u0, tspan, q)
+        sol = solve(prob, Tsit5(), saveat=ts, rtol=1e-5, atol=1e-8,
+                    sensealg=sensealg, unroll=unroll, max_steps=96)
+        return jnp.sum(wts * sol.ys) + jnp.sum(sol.ys[-1] ** 2)
+
+    for alg_w, alg_u in [
+        (InterpolatingAdjoint(pinned_reverse=False), InterpolatingAdjoint()),
+        (GaussAdjoint(), GaussAdjoint()),
+    ]:
+        gw = jax.grad(loss)(p, alg_w, False)
+        gu = jax.grad(loss)(p, alg_u, True)
+        wf = np.concatenate([np.ravel(x) for x in
+                             jax.tree_util.tree_leaves(gw)])
+        uf = np.concatenate([np.ravel(x) for x in
+                             jax.tree_util.tree_leaves(gu)])
+        assert np.isfinite(wf).all()
+        assert np.allclose(uf, wf, rtol=1e-7, atol=1e-10), (
+            type(alg_u).__name__,
+            np.max(np.abs(uf - wf) / (np.abs(wf) + 1e-10)),
+        )
