@@ -454,14 +454,19 @@ def _solve_ode(prob, solver, *, saveat, rtol, atol, dt0, dt, max_steps,
                     "|saveat| + 4 reverse) straight-line iterations; bound "
                     "both <= 512 (compile time grows with them)"
                 )
-            if cbs is not None:
-                # measured wrong (the scan driver's dense buffer lacks the
-                # zero-width post-event rows the reverse interpolation
-                # needs) — refuse rather than return a near-miss gradient
+            if cbs is not None and len(cbs.continuous) > 0:
+                # Discrete callbacks (incl. lowered PresetTime/Periodic
+                # doses) unroll exactly — the scan driver stores the same
+                # pre-affect + zero-width post-affect dense rows as the
+                # while driver, so the reverse interpolation never crosses
+                # a jump (validated to 0 ulp on the dosed decay).
+                # CONTINUOUS events still hit a tracer leak in the unrolled
+                # crossing localization — refuse those loudly.
                 raise NotImplementedError(
-                    "callbacks + unroll=True + a continuous sensealg are "
-                    "not supported; use DirectAdjoint() (events unroll "
-                    "there) or unroll=False"
+                    "continuous callbacks + unroll=True + a continuous "
+                    "sensealg are not supported; use DirectAdjoint() "
+                    "(events unroll there) or unroll=False. Discrete/"
+                    "PresetTime/Periodic callbacks unroll fine."
                 )
             opts = opts._replace(unroll=True)
         else:

@@ -681,9 +681,29 @@ def integrate_scan(
         if store_dense:
             ts_b, ys_b, fs_b = dbufs
             idx = jnp.minimum(n_acc, max_steps)
+            if event_set is not None:
+                # mirror the while driver's discontinuity representation:
+                # the accepted row holds the PRE-affect state at τ (the
+                # right limit of the continuous branch), then a zero-width
+                # row carries the post-affect state — interpolation inside
+                # the event-containing interval must not cross the jump
+                u_row = jnp.where(ev_fired, se.u_pre, u_new)
+                f_row = jnp.where(ev_fired, se.f_pre, f_new)
+            else:
+                u_row, f_row = u_new, f_new
             ts_b = ts_b.at[idx].set(jnp.where(accept, t_new, ts_b[idx]))
-            ys_b = ys_b.at[idx].set(jnp.where(accept, u_new, ys_b[idx]))
-            fs_b = fs_b.at[idx].set(jnp.where(accept, f_new, fs_b[idx]))
+            ys_b = ys_b.at[idx].set(jnp.where(accept, u_row, ys_b[idx]))
+            fs_b = fs_b.at[idx].set(jnp.where(accept, f_row, fs_b[idx]))
+            if event_set is not None:
+                wrote_ev = accept & ev_fired
+                n_acc = n_acc + wrote_ev.astype(jnp.int32)
+                idx2 = jnp.minimum(n_acc, max_steps)
+                ts_b = ts_b.at[idx2].set(
+                    jnp.where(wrote_ev, t_new, ts_b[idx2]))
+                ys_b = ys_b.at[idx2].set(
+                    jnp.where(wrote_ev, u_new, ys_b[idx2]))
+                fs_b = fs_b.at[idx2].set(
+                    jnp.where(wrote_ev, f_new, fs_b[idx2]))
             dbufs = (ts_b, ys_b, fs_b)
 
         if stop_transform is not None:

@@ -64,11 +64,43 @@ def test_unrolled_matches_while_driver(alg_while, alg_unroll):
     assert float(jnp.max(jnp.abs(gu2 - gw2) / (jnp.abs(gw2) + 1))) < 1e-7
 
 
-def test_unrolled_rejects_callbacks():
+def test_unrolled_discrete_callbacks_match_while_driver():
+    # Discrete/preset doses unroll exactly: the scan driver stores the
+    # same pre-affect + zero-width post-affect dense rows as the while
+    # driver, so the reverse interpolation never crosses the jump.
     from scimlsensitivity_jl_tpu import PresetTimeCallback
 
-    cb = PresetTimeCallback(jnp.array([0.9]), lambda u, p, t: u + 0.1)
-    with pytest.raises(NotImplementedError, match="callbacks"):
+    def decay(u, p, t):
+        return -p[0] * u
+
+    u0 = jnp.array([1.0])
+    p = jnp.array([0.8, 0.35])
+    ts = jnp.linspace(0.0, 2.0, 5)
+
+    def loss(pp, alg, unroll):
+        cb = PresetTimeCallback(jnp.array([0.9]),
+                                lambda u, pr, t: u + pr[1])
+        sol = solve(ODEProblem(decay, u0, (0.0, 2.0), pp), Tsit5(),
+                    saveat=ts, rtol=1e-6, atol=1e-9, sensealg=alg,
+                    unroll=unroll, max_steps=64, callback=cb)
+        return jnp.sum(sol.ys ** 2)
+
+    for alg_w, alg_u in [
+        (GaussAdjoint(), GaussAdjoint()),
+        (InterpolatingAdjoint(pinned_reverse=False), InterpolatingAdjoint()),
+    ]:
+        gw = jax.grad(loss)(p, alg_w, False)
+        gu = jax.grad(loss)(p, alg_u, True)
+        assert jnp.max(jnp.abs(gu - gw) / (jnp.abs(gw) + 1)) < 1e-8, (
+            type(alg_u).__name__, gw, gu)
+
+
+def test_unrolled_rejects_continuous_callbacks():
+    from scimlsensitivity_jl_tpu import ContinuousCallback
+
+    cb = ContinuousCallback(lambda u, p, t: u[0] - 0.5,
+                            lambda u, p, t: u * 0.9)
+    with pytest.raises(NotImplementedError, match="continuous callbacks"):
         solve(ODEProblem(lv, U0, (0.0, T), P), Tsit5(), saveat=TS,
               sensealg=GaussAdjoint(), unroll=True, max_steps=64,
               callback=cb)
