@@ -89,6 +89,7 @@ def ODEAdjointProblem(
     dgdu_continuous: Optional[Callable] = None,
     dgdp_continuous: Optional[Callable] = None,
     g: Optional[Callable] = None,
+    callback=None,
 ) -> AdjointProblemSpec:
     """Build the reversed augmented adjoint problem for an ODE solution
     (reference: interpolating_adjoint.jl:307-451, backsolve_adjoint.jl /
@@ -96,16 +97,24 @@ def ODEAdjointProblem(
 
     sol must carry dense output for the Interpolating/Quadrature designs
     (`solve(..., dense=True)`); Backsolve re-integrates u and only needs
-    sol.u_final. Solutions with event records are not supported here — use
-    `adjoint_sensitivities(callback=...)` or `jax.grad` over solve.
+    sol.u_final.
+
+    Mass-matrix problems (incl. singular semi-explicit index-1 DAEs, e.g.
+    Robertson): the returned problem carries the block mass matrix
+    [Mᵀ 0; 0 I] (reference interpolating_adjoint.jl:413-426) and the loss
+    jumps are projected onto the differential adjoint (the
+    ReverseLossCallback algebraic projection, adjoint_common.jl:790-817);
+    solve it with SDIRK4() and an explicit dt0 like any in-repo DAE.
+    Interpolating layout only.
+
+    Event solutions: pass the forward `callback=` (the same object(s)
+    given to solve) and the recorded event-jump VJPs are bundled as a
+    second PresetTimeCallback at the recorded event times (the reference
+    wires these via generate_callbacks, adjoint_common.jl:824-868 +
+    callback_tracking.jl). Non-terminal, non-p-modifying events;
+    Interpolating/Backsolve layouts.
     """
     sensealg = sensealg if sensealg is not None else InterpolatingAdjoint()
-    if getattr(sol, "events", None) is not None:
-        raise NotImplementedError(
-            "ODEAdjointProblem on event solutions: the reverse event-jump "
-            "VJPs are applied by adjoint_sensitivities(callback=...) / "
-            "jax.grad over solve, not by the standalone problem"
-        )
     prob = sol.prob
     p = prob.p
     u0 = prob.u0
@@ -114,11 +123,37 @@ def ODEAdjointProblem(
     pflat, unravel_p = ravel_pytree(p)
     n, npf = u0vec.shape[0], pflat.shape[0]
     dtype = u0vec.dtype
-    if getattr(prob, "mass_matrix", None) is not None:
+    # solve() moves a singular mass matrix onto the solver (the problem is
+    # remade with mass_matrix=None), so look in both places
+    M_fwd = getattr(prob, "mass_matrix", None)
+    if M_fwd is None:
+        M_fwd = getattr(getattr(sol, "solver", None), "mass_matrix", None)
+    if M_fwd is not None and not isinstance(sensealg, InterpolatingAdjoint):
         raise NotImplementedError(
-            "ODEAdjointProblem on mass-matrix DAEs: use "
-            "adjoint_sensitivities (the projected-jump machinery is not "
-            "exposed as a standalone problem)"
+            "ODEAdjointProblem on mass-matrix problems exposes the "
+            "InterpolatingAdjoint layout (block [Mᵀ 0; 0 I]); use "
+            "adjoint_sensitivities for the other designs"
+        )
+
+    has_events = getattr(sol, "events", None) is not None
+    if has_events and callback is None:
+        raise ValueError(
+            "this solution carries event records; pass the forward "
+            "callback=... so the reverse event-jump VJPs can be bundled "
+            "(reference adjoint_common.jl:824-868)"
+        )
+    if callback is not None and not has_events:
+        raise ValueError(
+            "callback= given but the solution carries no event records"
+        )
+    if has_events and M_fwd is not None:
+        raise NotImplementedError(
+            "events + mass-matrix DAEs: use adjoint_sensitivities"
+        )
+    if has_events and isinstance(sensealg, QuadratureAdjoint):
+        raise NotImplementedError(
+            "QuadratureAdjoint's λ-only layout cannot carry the event "
+            "q-jumps; use the Interpolating or Backsolve layout"
         )
 
     kern = make_vjp_kernels(prob.f, u0, p, user_jac=prob.jac,
@@ -173,6 +208,59 @@ def ODEAdjointProblem(
     cb = (PresetTimeCallback(ts=cb_times, affect=jump_affect)
           if cb_times is not None and dgdu_discrete is not None else None)
 
+    def _event_callback(u_snap_start=None):
+        """Reverse event-jump PresetTimeCallback at the recorded event
+        times (newest record first at coincident times), built from the
+        forward callback objects + the solution's event records."""
+        from ..callbacks import as_callback_set, lower_time_callbacks
+        from ..callbacks import build_event_set, any_modifies_p
+        from .continuous import _make_event_apply
+
+        cbs_l, _stops = lower_time_callbacks(callback, prob.f, t0, t1)
+        cbs_set = as_callback_set(cbs_l)
+        if any_modifies_p(cbs_set):
+            raise NotImplementedError(
+                "parameter-modifying events: the p-lifted layout is not "
+                "exposed as a standalone problem — use jax.grad over solve"
+            )
+        if any(getattr(c, "terminal", False)
+               for c in tuple(cbs_set.continuous) + tuple(cbs_set.discrete)):
+            raise NotImplementedError(
+                "terminal events reverse from the dynamic t_final; use "
+                "adjoint_sensitivities / jax.grad over solve"
+            )
+        ev_ts, ev_upre, ev_idx, ev_count = sol.events
+        event_set = build_event_set(cbs_set, p, unravel_u,
+                                    int(jnp.asarray(ev_ts).shape[0]))
+        apply = _make_event_apply(kern, p, event_set, sol.events, n, npf,
+                                  q_slice=n, u_snap_start=u_snap_start)
+        k_ev = int(ev_count)  # eager constructor (matches ts handling)
+        if k_ev == 0:
+            return None, _np.zeros(0)
+        ev_ts_host = _np.asarray(ev_ts, float)[:k_ev]
+        span = max(abs(float(t1)), abs(float(t0)), 1.0)
+        if _np.any(_np.abs(ev_ts_host - float(t0)) <= 1e-10 * span) or \
+                _np.any(_np.abs(ev_ts_host - float(t1)) <= 1e-10 * span):
+            raise NotImplementedError(
+                "events at the integration endpoints: use jax.grad over "
+                "solve (endpoint jumps fold into z0/extract there)"
+            )
+
+        def event_affect(z, p_, tt):
+            tol = 64.0 * jnp.finfo(jnp.asarray(tt).dtype).eps * jnp.maximum(
+                jnp.abs(tt), 1.0)
+            for i in reversed(range(k_ev)):  # reverse firing order
+                match = jnp.abs(jnp.asarray(ev_ts[i], tt.dtype) - tt) <= tol
+                z = jax.lax.cond(
+                    match,
+                    lambda zz, i=i: apply(jnp.asarray(i), tt, zz, None)[0],
+                    lambda zz: zz, z)
+            return z
+
+        return (PresetTimeCallback(ts=_np.unique(ev_ts_host),
+                                   affect=event_affect),
+                _np.unique(ev_ts_host))
+
     if isinstance(sensealg, QuadratureAdjoint):
         def aug_f(z, p_, tt):
             y = dense_eval(sol.dense, tt)
@@ -204,6 +292,60 @@ def ODEAdjointProblem(
             return unravel_u(z[:n] + lam_final), unravel_p(z[n:n + npf])
 
         note = "BacksolveAdjoint: z = [λ; q; u]"
+    elif M_fwd is not None:
+        # InterpolatingAdjoint on a mass-matrix problem: the reverse DAE
+        #     Mᵀ λ' = −Jᵀλ − ∂g/∂u,   q' = −f_pᵀλ − ∂g/∂p
+        # returned with the block mass matrix [Mᵀ 0; 0 I] (reference
+        # interpolating_adjoint.jl:413-426); discrete loss cotangents are
+        # PROJECTED onto the differential adjoint (ReverseLossCallback
+        # algebraic projection, adjoint_common.jl:790-817), and
+        # dG/du0 = Mᵀλ(t0).
+        from .continuous import _dae_project_jumps
+
+        alg_j, du0_map, lamjs, qjs = _dae_project_jumps(
+            jnp.asarray(M_fwd, dtype), kern, p, sol.dense, ts, lam_jumps,
+            dtype)
+        lam_init_d = jnp.sum(jnp.where(at_end[:, None], lamjs, 0.0), axis=0)
+        q_init_d = jnp.sum(jnp.where(at_end[:, None], qjs, 0.0), axis=0)
+        lam_final_d = jnp.sum(jnp.where(at_start[:, None], lamjs, 0.0),
+                              axis=0)
+        q_final_d = jnp.sum(jnp.where(at_start[:, None], qjs, 0.0), axis=0)
+
+        def dae_jump_affect(z, p_, tt):
+            i = jnp.argmin(jnp.abs(ts - tt))
+            w = jnp.where(interior[i], 1.0, 0.0)
+            z = z.at[:n].add(w * lamjs[i])
+            return z.at[n:n + npf].add(w * qjs[i])
+
+        cb = (PresetTimeCallback(ts=cb_times, affect=dae_jump_affect)
+              if cb_times is not None and dgdu_discrete is not None
+              else None)
+
+        def aug_f(z, p_, tt):
+            # constraint rows enforced by the user's stiffly-accurate
+            # mass-matrix stages (solve with SDIRK4 + explicit dt0)
+            lam = z[:n]
+            y = dense_eval(sol.dense, tt)
+            _, ubar, pbar = kern.f_and_vjp(y, p_, tt, lam)
+            return jnp.concatenate([
+                -ubar - cost_u(y, tt),
+                -ravel_pytree(pbar)[0] - cost_p(y, tt),
+            ])
+
+        M_aug = _np.eye(n + npf)
+        M_aug[:n, :n] = _np.asarray(M_fwd, float).T
+        MT = jnp.asarray(_np.asarray(M_fwd, float).T, dtype)
+        z0 = jnp.concatenate([lam_init_d, q_init_d])
+        adj_prob = ODEProblem(aug_f, z0, (t1, t0), p,
+                              mass_matrix=jnp.asarray(M_aug, dtype))
+
+        def extract(z):
+            return (unravel_u(MT @ (z[:n] + lam_final_d)),
+                    unravel_p(z[n:n + npf] + q_final_d))
+
+        note = ("InterpolatingAdjoint DAE: z = [λ; q], mass [Mᵀ 0; 0 I] — "
+                "solve with SDIRK4() and an explicit dt0; "
+                "dG/du0 = Mᵀλ(t0) (algebraic rows 0 by convention)")
     else:  # InterpolatingAdjoint (default) — joined [λ; q]
         def aug_f(z, p_, tt):
             lam = z[:n]
@@ -222,9 +364,22 @@ def ODEAdjointProblem(
 
         note = "InterpolatingAdjoint: z = [λ; q]"
 
+    ev_cb, ev_times = (None, _np.zeros(0))
+    if has_events:
+        ev_cb, ev_times = _event_callback(
+            u_snap_start=(n + npf) if isinstance(sensealg, BacksolveAdjoint)
+            else None)
+
+    cbs_out = tuple(c for c in (cb, ev_cb) if c is not None)
+    cb_out = (None if not cbs_out
+              else cbs_out[0] if len(cbs_out) == 1 else list(cbs_out))
+    tstops_out = _np.union1d(
+        ts_host[interior_host] if interior_host.any() else _np.zeros(0),
+        _np.asarray(ev_times, float))
+
     spec = AdjointProblemSpec(
-        prob=adj_prob, callback=cb,
-        tstops=ts_host[interior_host] if interior_host.any() else _np.zeros(0),
+        prob=adj_prob, callback=cb_out,
+        tstops=tstops_out,
         n=n, npf=npf, extract=extract, sensealg=sensealg,
     )
     spec.note = note

@@ -1193,7 +1193,8 @@ def make_ode_solve_fn(f, solver, sensealg, opts: SolveOptions, t0, t1, *,
                     rtol=adj_rtol, atol=adj_atol,
                     err_weights=wts, jump_unroll=jump_unroll,
                 )
-                if getattr(sensealg, "pinned_reverse", None) is None:
+                if (getattr(sensealg, "pinned_reverse", None) is None
+                        and getattr(sensealg, "pinned_fallback", True)):
                     # AUTO pinning must never fail where the adaptive
                     # reverse succeeds: on stiff problems the adjoint
                     # legitimately needs finer steps than the forward grid
@@ -1204,6 +1205,9 @@ def make_ode_solve_fn(f, solver, sensealg, opts: SolveOptions, t0, t1, *,
                     # keeps the measured 1.23× pinned win. Explicit
                     # pinned_reverse=True keeps the loud NaN-poison
                     # (the user asked for exactly that design).
+                    # COST under vmap: cond lowers to select, so BOTH
+                    # passes run per batch element — ensemble users set
+                    # pinned_fallback=False to keep the single pass.
                     def _fallback(_):
                         za, _hc, wa, _d = reverse_joined_solve(
                             bwd_stepper, aug_rhs, times, jumps, z0, n,
@@ -1257,7 +1261,17 @@ def make_ode_solve_fn(f, solver, sensealg, opts: SolveOptions, t0, t1, *,
         # time inside the interval and applies the event-jump VJP there.
         ckpt_vals = snap_vals  # aligned with `times` (no dense merge here)
         fvec = lambda uv, t: kern.fvec(uv, p, t)
-        seg_max_steps = max(opts.max_steps // 8, 64)
+        if opts.fixed_dt is not None:
+            # Fixed-grid forward: one inter-save interval can contain the
+            # whole grid's steps (saveat=endpoints), and opts.max_steps was
+            # already shrunk to ~n_grid in solve(); the //8 heuristic would
+            # MAXITERS-poison any interval longer than max_steps//8 fixed
+            # steps with no way for the caller to raise the budget. Size the
+            # local re-solve to the full grid budget — only one interval's
+            # buffer is live at a time inside the reverse scan.
+            seg_max_steps = opts.max_steps
+        else:
+            seg_max_steps = max(opts.max_steps // 8, 64)
 
         if event_set is not None:
             ev_ts_all, _ev_upre, _ev_idx, ev_count = fwd.events
@@ -1670,11 +1684,17 @@ def make_ode_solve_fn(f, solver, sensealg, opts: SolveOptions, t0, t1, *,
                                      opts.max_events)
             else:
                 es = None
+            # The jvp re-solve must run the SAME discrete program as the
+            # primal: thread fixed_dt/dtmax/unroll through (omitting
+            # fixed_dt here silently contracted against tangents of an
+            # adaptive solve while the primal marched the dt grid).
             fr, _ = forward_saveat_solve(
                 solver, fvec, u0v, t0, t1, jnp.asarray(saveat, u0v.dtype),
                 rtol=opts.rtol, atol=opts.atol, dt0=opts.dt0,
                 max_steps=opts.max_steps, tstops=opts.tstops,
                 store_dense=use_dense, event_set=es,
+                dtmax=opts.dtmax, fixed_dt=opts.fixed_dt,
+                unroll_scan=opts.unroll,
             )
             out = (fr.ys_save, fr.u_final, fr.t_final)
             if use_dense:

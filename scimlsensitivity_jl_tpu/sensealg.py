@@ -177,12 +177,22 @@ class InterpolatingAdjoint(AbstractAdjointSensealg):
     PINNED to the forward's accepted grid (one reverse step per stored
     interval, no controller, no interval searches; embedded error still
     monitored and flagged loudly). Auto enables it for explicit-RK reverse
-    passes without events/DAE structure."""
+    passes without events/DAE structure.
+
+    pinned_fallback: with auto pinning (pinned_reverse=None), rerun the
+    adaptive joined reverse when the pinned pass flags its error guard
+    (stiff adjoints need finer reverse steps than the forward grid). The
+    rerun is a `lax.cond`; under `vmap` (ensembles / batched training)
+    cond lowers to `select`, so BOTH reverse passes execute for every
+    batch element — set pinned_fallback=False there to keep the
+    single-pass pinned reverse (failures then NaN-poison loudly, as with
+    pinned_reverse=True)."""
 
     autojacvec: VJPChoice = AutoVJP()
     checkpointing: bool = False
     checkpoints: Optional[tuple] = None
     pinned_reverse: Optional[bool] = None
+    pinned_fallback: bool = True
 
 
 @dataclass(frozen=True)
@@ -202,6 +212,7 @@ class QuadratureAdjoint(AbstractAdjointSensealg):
     reltol: float = 1e-3
     max_depth: int = 6  # per-interval bisection depth bound
     pinned_reverse: Optional[bool] = None
+    pinned_fallback: bool = True  # see InterpolatingAdjoint
 
 
 @dataclass(frozen=True)
@@ -216,6 +227,7 @@ class GaussAdjoint(AbstractAdjointSensealg):
     n_nodes: int = 7  # Gauss-Legendre nodes per accepted reverse step
     checkpoints: Optional[tuple] = None  # see InterpolatingAdjoint
     pinned_reverse: Optional[bool] = None  # see InterpolatingAdjoint
+    pinned_fallback: bool = True  # see InterpolatingAdjoint
 
 
 @dataclass(frozen=True)
@@ -235,6 +247,7 @@ class GaussKronrodAdjoint(AbstractAdjointSensealg):
     reltol: float = 1e-6
     max_depth: int = 2  # per-step conditional bisection depth
     pinned_reverse: Optional[bool] = None  # see InterpolatingAdjoint
+    pinned_fallback: bool = True  # see InterpolatingAdjoint
 
 
 @dataclass(frozen=True)
@@ -359,16 +372,38 @@ class NILSAS(AbstractShadowingSensealg):
 
 
 def default_sensealg(n: int, np_: int, has_params: bool, is_ode: bool = True,
-                     has_callbacks: bool = False) -> AbstractSensealg:
+                     has_callbacks: bool = False, fixed_grid: bool = False,
+                     unroll: bool = False) -> AbstractSensealg:
     """Mirror of `automatic_sensealg_choice` (reference:
     src/concrete_solve.jl:145-345), with the VJP-probing collapsed away —
-    `jax.vjp` always applies, so only the problem-shape rules remain:
+    `jax.vjp` always applies, so only the problem-shape rules remain —
+    plus the MEASURED v5e execution-mode rules (docs/tpu_performance.md
+    decision table; VERDICT r4 #3 wired them into dispatch):
 
+      unroll=True, ODE      -> DirectAdjoint (the masked-scan drivers; the
+                               measured-best unrolled mode — spiral device
+                               grad/fwd 1.59x vs Gauss-unrolled's drift)
+      fixed grid, n >= 16384,
+      ODE, no callbacks     -> BacksolveAdjoint (fixed-grid continuous:
+                               the lambda reverse takes only the steps
+                               accuracy demands — measured 1.31-1.34x
+                               forward at 262k/1M states vs the 2x-floored
+                               exact discrete AD at 2.25-2.65x)
       n + p <= 100          -> ForwardDiffSensitivity (crossover rule :177-183)
       no parameters         -> QuadratureAdjoint (:271-282)
       plain ODE             -> GaussAdjoint (:283-316)
       otherwise             -> InterpolatingAdjoint
+
+    The fixed-grid rule changes the default gradient from exact-discrete
+    to continuous-adjoint (rel err ~5e-8 at adj_rtol 1e-3 on the PDE
+    bench) — same trade the reference's heuristic makes by defaulting to
+    continuous adjoints everywhere.
     """
+    if unroll and is_ode:
+        return DirectAdjoint()
+    if (fixed_grid and is_ode and has_params and not has_callbacks
+            and n >= 16384):
+        return BacksolveAdjoint()
     if n + np_ <= 100 and not has_callbacks:
         return ForwardDiffSensitivity()
     if not has_params:

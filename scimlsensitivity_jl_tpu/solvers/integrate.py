@@ -694,9 +694,13 @@ def integrate_scan(
             ts_b = ts_b.at[idx].set(jnp.where(accept, t_new, ts_b[idx]))
             ys_b = ys_b.at[idx].set(jnp.where(accept, u_row, ys_b[idx]))
             fs_b = fs_b.at[idx].set(jnp.where(accept, f_row, fs_b[idx]))
-            if event_set is not None:
-                wrote_ev = accept & ev_fired
-                n_acc = n_acc + wrote_ev.astype(jnp.int32)
+        if event_set is not None:
+            # The zero-width post-affect row counts toward n_accepted in
+            # BOTH drivers' stats whether or not dense output is stored
+            # (the while driver increments per firing unconditionally).
+            wrote_ev = accept & ev_fired
+            n_acc = n_acc + wrote_ev.astype(jnp.int32)
+            if store_dense:
                 idx2 = jnp.minimum(n_acc, max_steps)
                 ts_b = ts_b.at[idx2].set(
                     jnp.where(wrote_ev, t_new, ts_b[idx2]))
@@ -704,6 +708,7 @@ def integrate_scan(
                     jnp.where(wrote_ev, u_new, ys_b[idx2]))
                 fs_b = fs_b.at[idx2].set(
                     jnp.where(wrote_ev, f_new, fs_b[idx2]))
+        if store_dense:
             dbufs = (ts_b, ys_b, fs_b)
 
         if stop_transform is not None:

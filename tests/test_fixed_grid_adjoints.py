@@ -103,3 +103,45 @@ def test_fixed_grid_interior_saveat_rows():
     s_ref = solve(ODEProblem(lv, LV_U0, (0.0, T), LV_P), Tsit5(),
                   saveat=ts, rtol=1e-10, atol=1e-12)
     assert jnp.max(jnp.abs(s.ys - s_ref.ys)) < 1e-4
+
+
+def test_fixed_grid_forwarddiff_matches_discrete_oracle(oracle):
+    # FDS on a fixed grid is discretize-then-optimize over the SAME
+    # discrete program as sensealg=None: the jvp re-solve must march the
+    # dt grid (regression: it once re-solved adaptively — a silently
+    # different program), so the gradients agree to float roundoff.
+    from scimlsensitivity_jl_tpu import ForwardDiffSensitivity
+
+    gp_ref, gu_ref = oracle
+    gp = jax.grad(loss_fixed)(LV_P, LV_U0, ForwardDiffSensitivity())
+    gu = jax.grad(loss_fixed, argnums=1)(LV_P, LV_U0,
+                                         ForwardDiffSensitivity())
+    assert jnp.max(jnp.abs(gp - gp_ref) / (jnp.abs(gp_ref) + 1)) < 1e-9
+    assert jnp.max(jnp.abs(gu - gu_ref) / (jnp.abs(gu_ref) + 1)) < 1e-9
+
+
+def test_fixed_grid_checkpointed_long_interval():
+    # saveat=endpoints means ONE checkpoint interval containing the whole
+    # grid; the local re-solve budget must cover all n_grid fixed steps
+    # (regression: seg_max_steps = max_steps//8 MAXITERS-poisoned any
+    # interval longer than that).
+    n_grid = 600
+    dt = T / n_grid
+    ts = jnp.array([0.0, T])
+
+    def loss(p):
+        sol = solve(ODEProblem(lv, LV_U0, (0.0, T), p), Tsit5(),
+                    saveat=ts, dt=dt, adaptive=False,
+                    sensealg=InterpolatingAdjoint(checkpointing=True),
+                    adj_rtol=1e-8, adj_atol=1e-10)
+        return jnp.sum(sol.ys ** 2)
+
+    def loss_ref(p):
+        sol = solve(ODEProblem(lv, LV_U0, (0.0, T), p), Tsit5(),
+                    saveat=ts, dt=dt, adaptive=False)
+        return jnp.sum(sol.ys ** 2)
+
+    gp = jax.grad(loss)(LV_P)
+    gp_ref = jax.grad(loss_ref)(LV_P)
+    assert jnp.all(jnp.isfinite(gp))
+    assert jnp.max(jnp.abs(gp - gp_ref) / (jnp.abs(gp_ref) + 1)) < 2e-4

@@ -675,3 +675,110 @@ def test_sde_adjoint_problem_rejects_adaptive_solutions():
     sol = S.solve(prob, rtol=1e-2, atol=1e-4, key=jax.random.PRNGKey(0))
     with pytest.raises(NotImplementedError, match="FIXED-GRID"):
         S.SDEAdjointProblem(sol, dgdu_discrete=lambda u, p, t, i: 2 * u)
+
+
+def test_ode_adjoint_problem_dae_robertson():
+    """VERDICT r4 #7: ODEAdjointProblem returns the mass-matrix reverse
+    problem (block [Mᵀ 0; 0 I], reference interpolating_adjoint.jl:413-426)
+    with projected loss jumps; solving it manually with SDIRK4 matches
+    adjoint_sensitivities on the Robertson DAE."""
+    import scimlsensitivity_jl_tpu as S
+
+    P = jnp.array([0.04, 3e7, 1e4])
+    M = jnp.diag(jnp.array([1.0, 1.0, 0.0]))
+
+    def rober(u, p, t):
+        y1, y2, y3 = u[0], u[1], u[2]
+        k1, k2, k3 = p[0], p[1], p[2]
+        return jnp.stack([
+            -k1 * y1 + k3 * y2 * y3,
+            k1 * y1 - k2 * y2 ** 2 - k3 * y2 * y3,
+            y1 + y2 + y3 - 1.0,
+        ])
+
+    ts = jnp.array([0.05, 0.4, 1.0])
+    prob = S.ODEProblem(rober, jnp.array([1.0, 0.0, 0.0]), (0.0, 1.0), P,
+                        mass_matrix=M)
+    sol = S.solve(prob, S.SDIRK4(), saveat=ts, rtol=1e-8, atol=1e-10,
+                  dt0=1e-6, max_steps=8192, dense=True,
+                  sensealg=S.InterpolatingAdjoint())
+
+    def dg(u, p, t, i):
+        return 2.0 * u
+
+    du0_ref, dp_ref = S.adjoint_sensitivities(
+        sol, t=ts, dgdu_discrete=dg, sensealg=S.InterpolatingAdjoint(),
+        rtol=1e-7, atol=1e-9)
+
+    spec = S.ODEAdjointProblem(sol, S.InterpolatingAdjoint(), t=ts,
+                               dgdu_discrete=dg)
+    assert spec.prob.mass_matrix is not None
+    assert spec.prob.mass_matrix.shape == (3 + 3, 3 + 3)
+    adj_sol = S.solve(spec.prob, S.SDIRK4(), callback=spec.callback,
+                      tstops=jnp.asarray(spec.tstops), dt0=1e-4,
+                      saveat=jnp.array([1.0, 0.0]),
+                      rtol=1e-7, atol=1e-9, max_steps=8192)
+    assert bool(adj_sol.success)
+    du0, dp = spec.extract(adj_sol.u_final)
+    np.testing.assert_allclose(np.asarray(du0), np.asarray(du0_ref),
+                               rtol=2e-4, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(dp), np.asarray(dp_ref),
+                               rtol=2e-4, atol=1e-12)
+
+
+def test_ode_adjoint_problem_event_solution():
+    """VERDICT r4 #7: ODEAdjointProblem accepts event solutions — pass the
+    forward callback and the recorded event-jump VJPs are bundled as a
+    PresetTimeCallback on the reverse problem (reference
+    adjoint_common.jl:824-868). Dosed decay, Interpolating AND Backsolve
+    layouts, oracle = exact discrete AD over solve."""
+    import scimlsensitivity_jl_tpu as S
+
+    p0 = jnp.array([0.8, 0.35])
+    u0 = jnp.array([1.0])
+    ts = jnp.linspace(0.0, 2.0, 5)
+
+    def decay(u, p, t):
+        return -p[0] * u
+
+    def mk_cb():
+        return S.PresetTimeCallback(jnp.array([0.9]),
+                                    lambda u, pr, t: u + pr[1])
+
+    def loss(pp, uu0):
+        sol = S.solve(S.ODEProblem(decay, uu0, (0.0, 2.0), pp), S.Tsit5(),
+                      saveat=ts, rtol=1e-9, atol=1e-11, callback=mk_cb(),
+                      sensealg=S.DirectAdjoint(), max_steps=512)
+        return jnp.sum(sol.ys ** 2)
+
+    dp_ref = jax.grad(loss)(p0, u0)
+    du0_ref = jax.grad(loss, argnums=1)(p0, u0)
+
+    sol = S.solve(S.ODEProblem(decay, u0, (0.0, 2.0), p0), S.Tsit5(),
+                  saveat=ts, rtol=1e-9, atol=1e-11, callback=mk_cb(),
+                  dense=True)
+    assert sol.events is not None
+
+    def dg(u, p, t, i):
+        return 2.0 * u
+
+    import pytest
+
+    # without the forward callback the constructor must refuse loudly
+    with pytest.raises(ValueError, match="event records"):
+        S.ODEAdjointProblem(sol, S.InterpolatingAdjoint(), t=ts,
+                            dgdu_discrete=dg)
+
+    for sa in [S.InterpolatingAdjoint(), S.BacksolveAdjoint()]:
+        spec = S.ODEAdjointProblem(sol, sa, t=ts, dgdu_discrete=dg,
+                                   callback=mk_cb())
+        adj_sol = S.solve(spec.prob, S.Tsit5(), callback=spec.callback,
+                          tstops=jnp.asarray(spec.tstops),
+                          saveat=jnp.array([2.0, 0.0]),
+                          rtol=1e-9, atol=1e-11, max_steps=2048)
+        assert bool(adj_sol.success), repr(sa)
+        du0, dp = spec.extract(adj_sol.u_final)
+        np.testing.assert_allclose(np.asarray(du0), np.asarray(du0_ref),
+                                   rtol=1e-5, atol=1e-9, err_msg=repr(sa))
+        np.testing.assert_allclose(np.asarray(dp), np.asarray(dp_ref),
+                                   rtol=1e-5, atol=1e-9, err_msg=repr(sa))

@@ -334,3 +334,99 @@ def test_bfloat16_with_events():
     assert sol2.ys.dtype == jnp.bfloat16
     assert int(sol2.retcode) == 0
     assert int(sol2.events[3]) >= 1  # the bounce fired
+
+
+@pytest.mark.parametrize("algname", [
+    "interp", "gauss", "backsolve", "quadrature", "direct", "forwarddiff",
+])
+def test_complex_parameter_adjoints_vs_finite_differences(algname):
+    # Gradients wrt COMPLEX parameters (reference
+    # test/Core1/complex_adjoints.jl:10-31: their loss
+    # 1 - |tr(u_final * target') / 2|^2 on a complex matrix ODE).
+    # Convention: for a real loss, jax.grad returns the CONJUGATE Wirtinger
+    # gradient (dL/dRe - i*dL/dIm) so `p - lr * grad` descends directly;
+    # Zygote/FiniteDiff report dL/dRe + i*dL/dIm — compare against conj(FD)
+    # (docs/sensitivity_algorithms.md "Complex states and parameters").
+    from scimlsensitivity_jl_tpu import (
+        BacksolveAdjoint,
+        DirectAdjoint,
+        ForwardDiffSensitivity,
+        InterpolatingAdjoint,
+    )
+
+    alg = {
+        "forwarddiff": ForwardDiffSensitivity(),
+        "gauss": GaussAdjoint(),
+        "interp": InterpolatingAdjoint(),
+        "backsolve": BacksolveAdjoint(),
+        "quadrature": QuadratureAdjoint(),
+        "direct": DirectAdjoint(),
+    }[algname]
+
+    A = jnp.array([[1.0j, 2.0], [3.0, 4.0]])
+    u0 = jnp.array([[1.0, 0.0j], [0.0, 1.0]])
+    ut = jnp.array([[0.0j, 1.0], [1.0, 0.0]])
+
+    def f(u, p, t):
+        # scaled down from the reference's coefficients so the loss stays
+        # O(1) and the FD oracle keeps digits
+        return (A @ u) * (p[0] * t + p[1] * t ** 2) * 0.2
+
+    def loss(p, sensealg=alg):
+        sol = solve(ODEProblem(f, u0, (0.0, 1.0), p), Tsit5(),
+                    saveat=jnp.array([0.0, 1.0]), rtol=1e-10, atol=1e-12,
+                    sensealg=sensealg)
+        uf = sol.ys[-1]
+        return 1.0 - jnp.abs(jnp.trace(uf @ ut.conj().T) / 2.0) ** 2
+
+    p0 = jnp.array([1.5 + 1.0j, 1.0 - 0.5j], jnp.complex128)
+    g = jax.grad(loss)(p0)
+    assert jnp.iscomplexobj(g)
+
+    eps = 1e-7
+    gfd = np.zeros(2, complex)
+    for k in range(2):
+        e = np.zeros(2, complex)
+        e[k] = 1.0
+        dre = (float(loss(p0 + eps * e)) - float(loss(p0 - eps * e))) / (2 * eps)
+        dim = (float(loss(p0 + 1j * eps * e))
+               - float(loss(p0 - 1j * eps * e))) / (2 * eps)
+        gfd[k] = dre + 1j * dim
+    err = np.max(np.abs(np.asarray(g) - np.conj(gfd))
+                 / (np.abs(gfd) + 1e-12))
+    assert err < 1e-6, (algname, np.asarray(g), gfd)
+
+
+def test_complex_u0_real_params_saveat_series():
+    # Second reference case (complex_adjoints.jl:33-63): complex u0, REAL
+    # p, rhs = p .* u, loss = sum(abs(u(t_i))) over a saveat series; the
+    # gradient wrt real p must be real and sensealg-independent.
+    from scimlsensitivity_jl_tpu import BacksolveAdjoint, InterpolatingAdjoint
+
+    u0 = jnp.array([1.0 + 2.0j, 2.0 + 1.0j])
+    ts = jnp.linspace(0.0, 1.0, 11)
+
+    def loss(p, alg):
+        sol = solve(ODEProblem(lambda u, q, t: q * u, u0, (0.0, 1.0), p),
+                    Tsit5(), saveat=ts, rtol=1e-10, atol=1e-12, sensealg=alg)
+        return jnp.sum(jnp.abs(sol.ys[-1]))
+
+    p0 = jnp.array([1.0])
+    grads = [jax.grad(lambda q: loss(q, alg))(p0)
+             for alg in (InterpolatingAdjoint(), QuadratureAdjoint(),
+                         BacksolveAdjoint(), GaussAdjoint())]
+    # analytic: u(1) = u0 e^p, d/dp sum|u(1)| = sum|u0| e^p
+    g_exact = float(np.sum(np.abs(np.asarray(u0))) * np.exp(1.0))
+    for g in grads:
+        assert not jnp.iscomplexobj(g)
+        assert np.isclose(float(g[0]), g_exact, rtol=1e-7), (float(g[0]),
+                                                             g_exact)
+
+
+def test_saveat_stays_real_for_complex_states():
+    # regression: saveat was cast to the (complex) state dtype, tripping a
+    # ComplexWarning + silent imaginary-part discard in the drivers
+    sol = solve(ODEProblem(lambda u, p, t: 1j * u,
+                           jnp.array([1.0 + 0j]), (0.0, 1.0), None),
+                Tsit5(), saveat=jnp.linspace(0.0, 1.0, 3))
+    assert not jnp.iscomplexobj(sol.ts)
