@@ -323,6 +323,74 @@ def any_modifies_p(cbs: CallbackSet) -> bool:
                for c in tuple(cbs.continuous) + tuple(cbs.discrete))
 
 
+def _closure_tracers(fn, _depth=0):
+    """Find jax Tracers captured in `fn`'s closure (recursing through
+    captured functions / containers, depth-bounded)."""
+    import functools
+
+    import jax
+
+    if _depth > 4:
+        return []
+    found = []
+
+    def _scan_value(v, d):
+        # only AD-trace tracers break the custom_vjp boundary; tracers
+        # from an enclosing jit/vmap (DynamicJaxprTracer/BatchTracer)
+        # inline into the same trace and are fine
+        if isinstance(v, jax.core.Tracer) and type(v).__name__ in (
+                "JVPTracer", "LinearizeTracer"):
+            found.append(v)
+        elif isinstance(v, (list, tuple)):
+            for x in v:
+                _scan_value(x, d)
+        elif isinstance(v, dict):
+            for x in v.values():
+                _scan_value(x, d)
+        elif isinstance(v, functools.partial):
+            for x in v.args:
+                _scan_value(x, d)
+            for x in v.keywords.values():
+                _scan_value(x, d)
+            found.extend(_closure_tracers(v.func, d + 1))
+        elif callable(v) and hasattr(v, "__closure__"):
+            found.extend(_closure_tracers(v, d + 1))
+
+    cells = getattr(fn, "__closure__", None) or ()
+    for cell in cells:
+        try:
+            _scan_value(cell.cell_contents, _depth)
+        except ValueError:  # empty cell
+            pass
+    return found
+
+
+def check_callback_closures(cbs: CallbackSet) -> None:
+    """Loud guard for the custom_vjp boundary: callback conditions/affects
+    whose Python closures capture TRACED values (e.g. the loss's own
+    parameter argument) cannot cross a continuous-adjoint custom_vjp rule —
+    JAX raises a cryptic UnexpectedTracerError deep inside the driver (this
+    bit r4 in both the while and scan drivers). Traced values must be
+    threaded through the problem's params: condition/affect receive
+    (u, p, t). DirectAdjoint/ForwardDiffSensitivity (plain AD through the
+    solver, no custom_vjp boundary) support closure capture fine, so this
+    check runs only on the continuous-adjoint dispatch path."""
+    for c in tuple(cbs.continuous) + tuple(cbs.discrete):
+        for role in ("condition", "affect"):
+            fn = getattr(c, role, None)
+            if fn is not None and _closure_tracers(fn):
+                raise ValueError(
+                    f"the {role} of a {type(c).__name__} closure-captures "
+                    "a traced value (a jax Tracer, e.g. the argument being "
+                    "differentiated). Continuous adjoints run through a "
+                    "custom_vjp rule, and closure-captured tracers cannot "
+                    "cross that boundary. Thread the value through the "
+                    "problem's params instead — condition/affect receive "
+                    "(u, p, t) — or use sensealg=DirectAdjoint() (exact "
+                    "discrete AD, no custom_vjp boundary)."
+                )
+
+
 def lift_p_into_state(prob, cbs: CallbackSet):
     """Rewrite (prob, callbacks) so that p becomes part of the integration
     state: z = (u, p), f_z = (f(u,p,t), 0), conditions/affects read p from

@@ -407,6 +407,11 @@ def _solve_ode(prob, solver, *, saveat, rtol, atol, dt0, dt, max_steps,
             fixed_grid=not adaptive, unroll=unroll,
         )
 
+    if cbs is not None and isinstance(sensealg, _CONTINUOUS_RULES):
+        from .callbacks import check_callback_closures
+
+        check_callback_closures(cbs)
+
     if dt is not None and dt0 is None:
         dt0 = dt
 
@@ -466,22 +471,15 @@ def _solve_ode(prob, solver, *, saveat, rtol, atol, dt0, dt, max_steps,
                     "|saveat| + 4 reverse) straight-line iterations; bound "
                     "both <= 512 (compile time grows with them)"
                 )
-            import os as _os
-            if (cbs is not None and len(cbs.continuous) > 0
-                    and not _os.environ.get("SCIML_UNROLL_CONT_EVENTS")):
-                # Discrete callbacks (incl. lowered PresetTime/Periodic
-                # doses) unroll exactly — the scan driver stores the same
-                # pre-affect + zero-width post-affect dense rows as the
-                # while driver, so the reverse interpolation never crosses
-                # a jump (validated to 0 ulp on the dosed decay).
-                # CONTINUOUS events still hit a tracer leak in the unrolled
-                # crossing localization — refuse those loudly.
-                raise NotImplementedError(
-                    "continuous callbacks + unroll=True + a continuous "
-                    "sensealg are not supported; use DirectAdjoint() "
-                    "(events unroll there) or unroll=False. Discrete/"
-                    "PresetTime/Periodic callbacks unroll fine."
-                )
+            # Callbacks unroll exactly in this mode — discrete/PresetTime/
+            # Periodic doses AND continuous crossings: the scan driver
+            # stores the same pre-affect + zero-width post-affect dense
+            # rows as the while driver and localizes crossings on the same
+            # Hermite interpolant, so gradients match the while driver to
+            # 0 ulp (tests/test_unrolled.py). The r4 "tracer leak" in this
+            # combination was closure-captured traced params in user
+            # callback closures — a custom_vjp boundary constraint hit by
+            # BOTH drivers, now caught loudly in _check_callback_closures.
             opts = opts._replace(unroll=True)
         else:
             # no silent no-op knobs: unrolled adaptivity exists only in

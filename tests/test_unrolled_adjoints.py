@@ -99,15 +99,74 @@ def test_unrolled_discrete_callbacks_match_while_driver():
             type(alg_u).__name__, gw, gu)
 
 
-def test_unrolled_rejects_continuous_callbacks():
+def test_unrolled_continuous_callbacks_match_while_driver():
+    # Continuous crossings unroll exactly too: the scan driver localizes τ
+    # on the same Hermite interpolant (interior sampling + bisection +
+    # Newton polish) and stores the same pre-affect + zero-width
+    # post-affect dense rows as the while driver (VERDICT r4 #6 — the
+    # "tracer leak" was closure-captured traced params, caught below).
     from scimlsensitivity_jl_tpu import ContinuousCallback
 
-    cb = ContinuousCallback(lambda u, p, t: u[0] - 0.5,
-                            lambda u, p, t: u * 0.9)
-    with pytest.raises(NotImplementedError, match="continuous callbacks"):
-        solve(ODEProblem(lv, U0, (0.0, T), P), Tsit5(), saveat=TS,
-              sensealg=GaussAdjoint(), unroll=True, max_steps=64,
-              callback=cb)
+    def decay(u, p, t):
+        return -p[0] * u
+
+    u0 = jnp.array([1.0])
+    p = jnp.array([0.8, 0.9])
+    ts = jnp.linspace(0.0, 2.0, 5)
+
+    def loss(pp, alg, unroll):
+        # clip |u| down by p[1] when u crosses 0.5 downward
+        cb = ContinuousCallback(lambda u, pr, t: u[0] - 0.5,
+                                lambda u, pr, t: u * pr[1])
+        sol = solve(ODEProblem(decay, u0, (0.0, 2.0), pp), Tsit5(),
+                    saveat=ts, rtol=1e-6, atol=1e-9, sensealg=alg,
+                    unroll=unroll, max_steps=32, callback=cb)
+        return jnp.sum(sol.ys ** 2)
+
+    for alg_w, alg_u in [
+        (GaussAdjoint(), GaussAdjoint()),
+        (InterpolatingAdjoint(pinned_reverse=False),
+         InterpolatingAdjoint(pinned_reverse=False)),
+    ]:
+        gw = jax.grad(loss)(p, alg_w, False)
+        gu = jax.grad(loss)(p, alg_u, True)
+        assert jnp.max(jnp.abs(gu - gw) / (jnp.abs(gw) + 1)) < 1e-8, (
+            type(alg_u).__name__, gw, gu)
+
+
+def test_callback_closure_tracer_raises_loudly():
+    # Closure-captured traced params in a callback cannot cross the
+    # continuous-adjoint custom_vjp boundary (either driver) — the loud
+    # guard replaces JAX's cryptic UnexpectedTracerError. DirectAdjoint
+    # (plain AD, no boundary) supports the same closure fine.
+    from scimlsensitivity_jl_tpu import ContinuousCallback, DirectAdjoint
+
+    def decay(u, p, t):
+        return -p[0] * u
+
+    u0 = jnp.array([1.0])
+    p = jnp.array([0.8, 0.9])
+    ts = jnp.linspace(0.0, 2.0, 5)
+
+    def loss(pp, alg, unroll):
+        cb = ContinuousCallback(lambda u, pr, t: u[0] - 0.5,
+                                lambda u, pr, t: u * pp[1])  # closure!
+        sol = solve(ODEProblem(decay, u0, (0.0, 2.0), pp), Tsit5(),
+                    saveat=ts, rtol=1e-6, atol=1e-9, sensealg=alg,
+                    unroll=unroll, max_steps=32, callback=cb)
+        return jnp.sum(sol.ys ** 2)
+
+    for unroll in (False, True):
+        with pytest.raises(ValueError, match="closure-captures a traced"):
+            jax.grad(loss)(p, GaussAdjoint(), unroll)
+    # DirectAdjoint differentiates the closure exactly (vs FD oracle)
+    g = jax.grad(loss)(p, DirectAdjoint(), False)
+    h = 1e-6
+    for i in range(2):
+        e = jnp.zeros(2).at[i].set(h)
+        fd = (loss(p + e, DirectAdjoint(), False)
+              - loss(p - e, DirectAdjoint(), False)) / (2 * h)
+        assert abs(float(fd - g[i])) < 1e-5 * max(1.0, abs(float(fd)))
 
 
 def test_unrolled_guards():
