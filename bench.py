@@ -55,6 +55,16 @@ except Exception:
 BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "2400"))
 _T0 = time.time()
 
+# Child processes inherit the parent's platform override through this
+# var and apply it in-process: sitecustomize re-pins JAX_PLATFORMS at
+# interpreter start, so plain env propagation is silently ignored.
+_plat_override = os.environ.get("BENCH_CHILD_PLATFORM")
+if _plat_override:
+    try:
+        jax.config.update("jax_platforms", _plat_override)
+    except Exception:
+        pass
+
 
 def _left():
     return BUDGET_S - (time.time() - _T0)
@@ -1408,6 +1418,47 @@ def main():
     plat = jax.config.jax_platforms
     if plat:
         env["JAX_PLATFORMS"] = plat
+        env["BENCH_CHILD_PLATFORM"] = plat  # the one that actually works
+
+    # Device preflight, in a bounded subprocess: the remote (axon) backend
+    # init HANGS (retry loop, no error) when the tunnel is down — without
+    # this check one outage would silently burn the whole driver budget
+    # and leave an artifact with no rows and no explanation. Two attempts
+    # ~3 min apart, then emit a self-documenting headline row and exit.
+    def _device_preflight():
+        # sitecustomize re-pins JAX_PLATFORMS at interpreter start, so a
+        # platform override must be applied IN-PROCESS via jax.config
+        # (shell env is ignored) — same reason tests/conftest.py does.
+        code = ("import os, jax\n"
+                "p = os.environ.get('BENCH_PREFLIGHT_PLATFORM')\n"
+                "if p: jax.config.update('jax_platforms', p)\n"
+                "print('NDEV', len(jax.devices()))\n")
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", code], timeout=180,
+                env=dict(env, BENCH_PREFLIGHT_PLATFORM=plat or ""),
+                capture_output=True, text=True)
+            return r.returncode == 0 and "NDEV" in (r.stdout or "")
+        except subprocess.TimeoutExpired:
+            return False
+
+    if not _device_preflight():
+        _emit_rec({"metric": "device_preflight", "ok": False,
+                   "note": "accelerator backend init hung/failed; "
+                           "retrying once in 120 s"})
+        time.sleep(120.0)
+        if not _device_preflight():
+            # Last JSON line is what the driver records: make it say why
+            # there is no measurement rather than hanging until killed.
+            _emit_rec({"metric": "spiral_neural_ode_gradient_time",
+                       "value": None, "unit": "ms",
+                       "error": "accelerator unavailable: device preflight "
+                                "timed out twice (axon tunnel down); see "
+                                "bench_results.jsonl for the last captured "
+                                "device-level rows"})
+            return
+        _emit_rec({"metric": "device_preflight", "ok": True,
+                   "note": "second attempt"})
 
     # compute-bound scaling benches FIRST — they carry the north-star
     # evidence (r4 lost it to a tail timeout). Own subprocess: their D2H
