@@ -15,6 +15,7 @@ from .problems import (
     ODEProblem,
     RODEProblem,
     SDEProblem,
+    SecondOrderODEProblem,
     SteadyStateProblem,
     remake,
 )
@@ -110,6 +111,7 @@ __all__ = [
     "RODEProblem",
     "NonlinearProblem",
     "SteadyStateProblem",
+    "SecondOrderODEProblem",
     "DDEProblem",
     "remake",
     "solve",

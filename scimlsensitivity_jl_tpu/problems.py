@@ -205,3 +205,26 @@ for _cls, _data, _meta in [
 def remake(prob, **kwargs):
     """Rebuild a problem with some fields replaced (SciMLBase.remake analogue)."""
     return dataclasses.replace(prob, **kwargs)
+
+
+def SecondOrderODEProblem(f, du0, u0, tspan, p=None, **kwargs):
+    """u'' = f(u', u, p, t) as a first-order system over the pytree state
+    (du, u) — the SciMLBase.SecondOrderODEProblem / DynamicalODEProblem
+    analogue (adjoints through it tested in the reference at
+    test/Core6/second_order_odes.jl:9; there the partitioned state is an
+    ArrayPartition, here it is a native pytree tuple, so every sensealg
+    works unchanged and gradients come back per-leaf: (ddu0, du0grad)).
+
+    f : callable (v, u, p, t) -> dv  (the acceleration), pytree-valued
+    du0 / u0 : initial velocity / position (matching pytrees)
+    Returns an ODEProblem with u0=(du0, u0); sol.ys leaves are stacked
+    (velocity, position) trajectories.
+    """
+    def first_order(z, pp, t):
+        v, u = z
+        return (f(v, u, pp, t), v)
+
+    return ODEProblem(first_order, (du0, u0), tspan, p, **kwargs)
+
+
+__all__.append("SecondOrderODEProblem")

@@ -270,3 +270,40 @@ def test_branching_rhs_derivatives():
         g = np.asarray(jax.grad(make_loss(alg))(p0))
         np.testing.assert_allclose(g, g_ref, rtol=1e-6, atol=1e-9,
                                    err_msg=type(alg).__name__)
+
+
+def test_second_order_ode_problem_adjoints():
+    """SecondOrderODEProblem: u'' = -p*u, gradients wrt (du0, u0, p) under
+    the four continuous adjoints, vs the exact discrete-forward oracle
+    (reference test/Core6/second_order_odes.jl: same system, same cost
+    sum(solution), InterpolatingAdjoint/BacksolveAdjoint/QuadratureAdjoint/
+    GaussAdjoint cross-agreement)."""
+    from scimlsensitivity_jl_tpu import SecondOrderODEProblem
+
+    p0 = jnp.array([1.01, 0.9])
+    du0 = jnp.array([0.0, 2.0])
+    u0 = jnp.array([1.0, 2.0])
+    ts = jnp.linspace(0.0, 1.0, 20)
+
+    def ff(v, u, p, t):
+        return -p * u
+
+    def make_loss(sa):
+        def loss(du0_, u0_, p_):
+            prob = SecondOrderODEProblem(ff, du0_, u0_, (0.0, 1.0), p_)
+            sol = solve(prob, Tsit5(), saveat=ts, rtol=1e-8, atol=1e-10,
+                        sensealg=sa)
+            v, u = sol.ys
+            return jnp.sum(v) + jnp.sum(u)
+
+        return loss
+
+    refs = jax.grad(make_loss(ForwardDiffSensitivity()),
+                    argnums=(0, 1, 2))(du0, u0, p0)
+    for sa in [InterpolatingAdjoint(), BacksolveAdjoint(),
+               QuadratureAdjoint(), GaussAdjoint()]:
+        got = jax.grad(make_loss(sa), argnums=(0, 1, 2))(du0, u0, p0)
+        for g, r, name in zip(got, refs, ("ddu0", "du0", "dp")):
+            np.testing.assert_allclose(
+                np.asarray(g), np.asarray(r), rtol=1e-5, atol=1e-8,
+                err_msg=f"{type(sa).__name__} {name}")

@@ -222,6 +222,53 @@ def test_discrete_cost_quadrature_family():
                                rtol=1e-6)
 
 
+def test_mixed_discrete_continuous_costs():
+    """A discrete AND a continuous cost in ONE adjoint_sensitivities call
+    (reference test/Core7/mixed_costs.jl:392-460: quadgk running cost plus
+    point costs at the saving times, with both u- and p-dependence in each).
+
+    G = ∫₀¹⁰ (u₁² + p₁) dt + Σᵢ (u₁(tᵢ)² + p₂),  tᵢ = 1…9.
+    Oracle: exact AD of the augmented-quadrature formulation (q' = u₁² + p₁
+    appended to the state) — a mechanically different path than the reverse
+    λ jumps + in-solve/post-hoc quadrature under test.
+    """
+    from scimlsensitivity_jl_tpu import QuadratureAdjoint
+
+    ts_data = jnp.linspace(1.0, 9.0, 9)
+
+    def G(u0_, p_):
+        def aug(z, pp, t):
+            du = lv(z[:2], pp, t)
+            return jnp.concatenate([du, (z[0] ** 2 + pp[0])[None]])
+
+        aprob = ODEProblem(aug, jnp.concatenate([u0_, jnp.zeros(1)]),
+                           (0.0, 10.0), p_)
+        s = solve(aprob, Tsit5(),
+                  saveat=jnp.concatenate([ts_data, jnp.array([10.0])]),
+                  rtol=1e-11, atol=1e-13)
+        return s.ys[-1, 2] + jnp.sum(s.ys[:-1, 0] ** 2 + p_[1])
+
+    gdu0, gdp = jax.grad(G, argnums=(0, 1))(LV_U0, LV_P)
+
+    prob = ODEProblem(lv, LV_U0, (0.0, 10.0), LV_P)
+    sol = solve(prob, Tsit5(), rtol=1e-10, atol=1e-12, dense=True)
+
+    for sa in [InterpolatingAdjoint(), BacksolveAdjoint(),
+               QuadratureAdjoint(), GaussAdjoint()]:
+        du0, dp = adjoint_sensitivities(
+            sol, Tsit5(), t=ts_data,
+            dgdu_discrete=lambda u, pp, t, i: jnp.array([2 * u[0], 0.0]),
+            dgdp_discrete=lambda u, pp, t, i: jnp.array([0.0, 1.0, 0.0, 0.0]),
+            dgdu_continuous=lambda u, pp, t: jnp.array([2 * u[0], 0.0]),
+            dgdp_continuous=lambda u, pp, t: jnp.array([1.0, 0.0, 0.0, 0.0]),
+            sensealg=sa, rtol=1e-9, atol=1e-11,
+        )
+        np.testing.assert_allclose(np.asarray(du0), np.asarray(gdu0),
+                                   rtol=2e-6, err_msg=repr(sa))
+        np.testing.assert_allclose(np.asarray(dp), np.asarray(gdp),
+                                   rtol=2e-6, err_msg=repr(sa))
+
+
 def test_tspan_endpoint_gradients():
     """adjoint_sensitivities(t_grads=True): dG/dt0 = -g - lam(t0).f(u0),
     dG/dt1 = g(u(t1)) for a continuous cost, vs finite differences of the
