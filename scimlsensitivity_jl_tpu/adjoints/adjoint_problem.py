@@ -232,8 +232,24 @@ def ODEAdjointProblem(
         ev_ts, ev_upre, ev_idx, ev_count = sol.events
         event_set = build_event_set(cbs_set, p, unravel_u,
                                     int(jnp.asarray(ev_ts).shape[0]))
+        # A running cost ∫ g dt gains the moving-boundary term
+        # (g⁻ − g⁺)·dτ at each CONTINUOUS event — that needs the cost
+        # VALUE, exactly as in adjoint_sensitivities (interface.py).
+        run_cost = None
+        if g is not None:
+            run_cost = lambda yvec, tt: g(unravel_u(yvec), p, tt)
+        elif (event_set.n_cont > 0
+              and (dgdu_continuous is not None
+                   or dgdp_continuous is not None)):
+            raise NotImplementedError(
+                "continuous cost + continuous-event solutions: pass g= "
+                "(not just dgdu_continuous/dgdp_continuous) — the "
+                "moving-boundary term (g⁻ − g⁺)·dτ/d(·) at each event "
+                "time needs the cost VALUE"
+            )
         apply = _make_event_apply(kern, p, event_set, sol.events, n, npf,
-                                  q_slice=n, u_snap_start=u_snap_start)
+                                  q_slice=n, u_snap_start=u_snap_start,
+                                  run_cost=run_cost)
         k_ev = int(ev_count)  # eager constructor (matches ts handling)
         if k_ev == 0:
             return None, _np.zeros(0)
@@ -246,20 +262,34 @@ def ODEAdjointProblem(
                 "solve (endpoint jumps fold into z0/extract there)"
             )
 
-        def event_affect(z, p_, tt):
-            tol = 64.0 * jnp.finfo(jnp.asarray(tt).dtype).eps * jnp.maximum(
-                jnp.abs(tt), 1.0)
-            for i in reversed(range(k_ev)):  # reverse firing order
-                match = jnp.abs(jnp.asarray(ev_ts[i], tt.dtype) - tt) <= tol
-                z = jax.lax.cond(
-                    match,
-                    lambda zz, i=i: apply(jnp.asarray(i), tt, zz, None)[0],
-                    lambda zz: zz, z)
-            return z
+        # Group records by preset stop EAGERLY (exact float equality — the
+        # stop list below is built from the same host array), so each
+        # record is applied exactly once and the compiled affect is
+        # O(k_ev) VJP blocks total (one lax.switch branch per unique
+        # time), not O(k_ev²) threshold-matched conds. Nearest-stop
+        # argmin matching cannot double-apply records whose times differ
+        # by less than any tolerance.
+        uniq_host = _np.unique(ev_ts_host)
+        groups = [tuple(int(i)
+                        for i in _np.nonzero(ev_ts_host == tu)[0])
+                  for tu in uniq_host]
+        uniq_dev = jnp.asarray(uniq_host, ts.dtype)
 
-        return (PresetTimeCallback(ts=_np.unique(ev_ts_host),
-                                   affect=event_affect),
-                _np.unique(ev_ts_host))
+        def _branch(idxs):
+            def run(zz, tt):
+                for i in reversed(idxs):  # reverse firing order
+                    zz = apply(jnp.asarray(i), tt, zz, None)[0]
+                return zz
+            return run
+
+        branches = [_branch(g_) for g_ in groups]
+
+        def event_affect(z, p_, tt):
+            iu = jnp.argmin(jnp.abs(uniq_dev - jnp.asarray(tt, ts.dtype)))
+            return jax.lax.switch(iu, branches, z, tt)
+
+        return (PresetTimeCallback(ts=uniq_host, affect=event_affect),
+                uniq_host)
 
     if isinstance(sensealg, QuadratureAdjoint):
         def aug_f(z, p_, tt):
@@ -302,7 +332,7 @@ def ODEAdjointProblem(
         # dG/du0 = Mᵀλ(t0).
         from .continuous import _dae_project_jumps
 
-        alg_j, du0_map, lamjs, qjs = _dae_project_jumps(
+        _, du0_map, lamjs, qjs = _dae_project_jumps(
             jnp.asarray(M_fwd, dtype), kern, p, sol.dense, ts, lam_jumps,
             dtype)
         lam_init_d = jnp.sum(jnp.where(at_end[:, None], lamjs, 0.0), axis=0)
@@ -334,13 +364,13 @@ def ODEAdjointProblem(
 
         M_aug = _np.eye(n + npf)
         M_aug[:n, :n] = _np.asarray(M_fwd, float).T
-        MT = jnp.asarray(_np.asarray(M_fwd, float).T, dtype)
         z0 = jnp.concatenate([lam_init_d, q_init_d])
         adj_prob = ODEProblem(aug_f, z0, (t1, t0), p,
                               mass_matrix=jnp.asarray(M_aug, dtype))
 
         def extract(z):
-            return (unravel_u(MT @ (z[:n] + lam_final_d)),
+            # dL/du0 = Mᵀλ(t0) — the same convention as the sealed rule
+            return (unravel_u(du0_map(z[:n] + lam_final_d)),
                     unravel_p(z[n:n + npf] + q_final_d))
 
         note = ("InterpolatingAdjoint DAE: z = [λ; q], mass [Mᵀ 0; 0 I] — "

@@ -1071,7 +1071,9 @@ def make_ode_solve_fn(f, solver, sensealg, opts: SolveOptions, t0, t1, *,
                     bad,
                     lambda: jax.debug.print(
                         "adjoint: non-success retcode {} in the forward or "
-                        "reverse solve (1=MaxIters, 2=DtMin); gradients are "
+                        "reverse solve (1=MaxIters, 2=DtMin, 3=Backsolve "
+                        "u-reconstruction drift — see BacksolveAdjoint."
+                        "recon_guard); gradients are "
                         "NaN-poisoned. For stiff problems try looser "
                         "adj_rtol/adj_atol or a larger adj_max_steps "
                         "(the reverse pass often needs ~2x the forward "
@@ -1443,6 +1445,22 @@ def make_ode_solve_fn(f, solver, sensealg, opts: SolveOptions, t0, t1, *,
             unroll_scan=opts.unroll,
             **ev_kwargs,
         )
+        # Stability guard: the reverse ends at t0, where the TRUE u0 is
+        # known — a drifted reconstruction means Jᵀλ / f_pᵀλ were
+        # evaluated on the wrong trajectory (backward integration of
+        # dissipative dynamics is exponentially unstable), so the gradient
+        # is untrustworthy. Poison loudly (retcode 3) rather than return a
+        # finite-but-wrong value; see BacksolveAdjoint.recon_guard.
+        guard = getattr(sensealg, "recon_guard", None)
+        if guard is not None:
+            drift = jnp.linalg.norm(z[n + npf:] - u0vec) / (
+                1.0 + jnp.linalg.norm(u0vec))
+            # ~(drift <= guard) so an overflowed (NaN/inf) reconstruction
+            # also trips the guard — NaN comparisons are False
+            bad_rec = jnp.logical_not(drift <= guard)
+            worst = jnp.maximum(
+                worst, jnp.where(bad_rec, 3, 0).astype(
+                    jnp.asarray(worst).dtype))
         return _returns(unravel_u, unravel_p, z[:n], z[n:n + npf] + q_extra,
                         saveat,
                         jnp.maximum(_rc_ok(fwd.stats.retcode), worst),

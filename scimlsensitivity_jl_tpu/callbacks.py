@@ -372,9 +372,10 @@ def check_callback_closures(cbs: CallbackSet) -> None:
     JAX raises a cryptic UnexpectedTracerError deep inside the driver (this
     bit r4 in both the while and scan drivers). Traced values must be
     threaded through the problem's params: condition/affect receive
-    (u, p, t). DirectAdjoint/ForwardDiffSensitivity (plain AD through the
-    solver, no custom_vjp boundary) support closure capture fine, so this
-    check runs only on the continuous-adjoint dispatch path."""
+    (u, p, t). Only DirectAdjoint (plain discrete AD through the solver,
+    no custom_vjp boundary) supports closure capture; every sensealg in
+    solve.py's _CONTINUOUS_RULES — including ForwardDiffSensitivity,
+    whose jvp re-solve crosses the same boundary — is checked here."""
     for c in tuple(cbs.continuous) + tuple(cbs.discrete):
         for role in ("condition", "affect"):
             fn = getattr(c, role, None)

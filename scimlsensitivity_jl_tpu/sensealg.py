@@ -151,10 +151,22 @@ class BacksolveAdjoint(AbstractAdjointSensealg):
     """O(1)-memory adjoint: augmented reverse state [λ; q; u], the ODE
     re-solved backwards; `checkpointing` snaps u back to forward saveat
     values at each segment boundary for stability (reference:
-    src/backsolve_adjoint.jl, checkpoint snap :523-572)."""
+    src/backsolve_adjoint.jl, checkpoint snap :523-572).
+
+    recon_guard: backward re-integration of u is exponentially UNSTABLE
+    for dissipative dynamics (diffusion: errors grow as exp(D·k²·t) in
+    reverse — the instability the reference's docs warn about). The
+    reverse pass ends at t0, where the true u0 is known exactly; if the
+    reconstructed u(t0) drifts by more than `recon_guard` relative
+    (‖u_rec−u0‖/(1+‖u0‖)), the gradient was contracted against a wrong
+    trajectory and is NaN-poisoned loudly (retcode 3) instead of being
+    returned silently wrong. None disables the check. Remedies: denser
+    saveat (each save point snaps u back), checkpointing=True (default),
+    or InterpolatingAdjoint(checkpointing=True) / DirectAdjoint()."""
 
     autojacvec: VJPChoice = AutoVJP()
     checkpointing: bool = True
+    recon_guard: Optional[float] = 1e-2
     # The reference's `noisemixing` knob (sensitivity_algorithms.jl:1679) has
     # no analogue here: the SDE adjoints replay the exact stored trajectory
     # (discrete adjoint over the forward grid), which is exact for mixing and
@@ -211,8 +223,9 @@ class QuadratureAdjoint(AbstractAdjointSensealg):
     abstol: float = 1e-6
     reltol: float = 1e-3
     max_depth: int = 6  # per-interval bisection depth bound
-    pinned_reverse: Optional[bool] = None
-    pinned_fallback: bool = True  # see InterpolatingAdjoint
+    # no pinned_reverse here: the λ-only reverse collects its own dense
+    # output for the post-hoc quadrature, which the pinned driver does not
+    # produce — Gauss/GK are the pinnable λ-only designs
 
 
 @dataclass(frozen=True)
@@ -226,8 +239,12 @@ class GaussAdjoint(AbstractAdjointSensealg):
     checkpointing: bool = False
     n_nodes: int = 7  # Gauss-Legendre nodes per accepted reverse step
     checkpoints: Optional[tuple] = None  # see InterpolatingAdjoint
-    pinned_reverse: Optional[bool] = None  # see InterpolatingAdjoint
-    pinned_fallback: bool = True  # see InterpolatingAdjoint
+    # pinned_reverse here is OPT-IN ONLY (measured 0.90× — the per-step
+    # quadrature hook runs once per forward interval, and the forward grid
+    # is the denser one); True keeps the loud NaN-poison on guard failure,
+    # exactly like InterpolatingAdjoint(pinned_reverse=True). There is no
+    # pinned_fallback: auto mode never pins this design.
+    pinned_reverse: Optional[bool] = None
 
 
 @dataclass(frozen=True)
@@ -246,8 +263,7 @@ class GaussKronrodAdjoint(AbstractAdjointSensealg):
     abstol: float = 1e-8
     reltol: float = 1e-6
     max_depth: int = 2  # per-step conditional bisection depth
-    pinned_reverse: Optional[bool] = None  # see InterpolatingAdjoint
-    pinned_fallback: bool = True  # see InterpolatingAdjoint
+    pinned_reverse: Optional[bool] = None  # opt-in only, see GaussAdjoint
 
 
 @dataclass(frozen=True)
@@ -388,7 +404,17 @@ def default_sensealg(n: int, np_: int, has_params: bool, is_ode: bool = True,
                                the lambda reverse takes only the steps
                                accuracy demands — measured 1.31-1.34x
                                forward at 262k/1M states vs the 2x-floored
-                               exact discrete AD at 2.25-2.65x)
+                               exact discrete AD at 2.25-2.65x). Backward
+                               u-reconstruction can be unstable for
+                               dissipative dynamics over long horizons
+                               (the reference's heuristic avoids Backsolve
+                               for this reason) — here the default stays
+                               fast but SAFE: save-time snaps
+                               (checkpointing=True) plus the recon_guard
+                               drift check at t0 NaN-poison rather than
+                               return silently wrong gradients; the
+                               remedy list is in BacksolveAdjoint's
+                               docstring.
       n + p <= 100          -> ForwardDiffSensitivity (crossover rule :177-183)
       no parameters         -> QuadratureAdjoint (:271-282)
       plain ODE             -> GaussAdjoint (:283-316)

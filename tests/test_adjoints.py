@@ -307,3 +307,50 @@ def test_second_order_ode_problem_adjoints():
             np.testing.assert_allclose(
                 np.asarray(g), np.asarray(r), rtol=1e-5, atol=1e-8,
                 err_msg=f"{type(sa).__name__} {name}")
+
+
+def test_backsolve_recon_guard():
+    """Backward re-integration of dissipative dynamics is exponentially
+    unstable (high-k heat modes decay below roundoff forward, then amplify
+    as exp(D k² (T−t)) in the reverse reconstruction). The reverse ends at
+    t0 where the TRUE u0 is known: BacksolveAdjoint.recon_guard compares
+    them and NaN-poisons (retcode 3) instead of returning a finite but
+    wrong gradient — the failure-detection convention of the repo.
+    Benign horizons must stay clean (no false positives)."""
+    n = 32
+    h = 1.0 / n
+    x = jnp.arange(n) * h
+    u0 = jnp.exp(-40.0 * (x - 0.5) ** 2)
+    p = jnp.array([1.0])
+
+    def heat(u, pp, t):
+        return pp[0] * (jnp.roll(u, 1) - 2.0 * u + jnp.roll(u, -1)) / h**2
+
+    def loss(pp, T, sa):
+        prob = ODEProblem(heat, u0, (0.0, T), pp)
+        sol = solve(prob, Tsit5(), saveat=jnp.array([0.0, T]),
+                    rtol=1e-8, atol=1e-10, sensealg=sa,
+                    max_steps=16384, adj_max_steps=16384)
+        return jnp.sum(sol.ys[-1] ** 2)
+
+    # benign horizon: lam_max*T = (4/h^2)*T ~ 4 — guard must NOT trip,
+    # gradient must match exact discrete AD
+    sa = BacksolveAdjoint(checkpointing=False)
+    g_ok = jax.grad(loss)(p, 0.001, sa)
+    g_ref = jax.grad(loss)(p, 0.001, None)  # default: exact discrete path?
+    assert np.all(np.isfinite(np.asarray(g_ok)))
+    np.testing.assert_allclose(np.asarray(g_ok), np.asarray(g_ref),
+                               rtol=1e-4)
+
+    # unstable horizon: lam_max*T ~ 45 e-folds — the fastest modes sit at
+    # absolute roundoff by T, the reconstruction amplifies that to O(1e3)
+    # relative drift at t0. Guard trips -> NaN poison.
+    T_bad = 45.0 / (4.0 / h**2)
+    g_bad = jax.grad(loss)(p, T_bad, sa)
+    assert np.all(np.isnan(np.asarray(g_bad))), np.asarray(g_bad)
+
+    # guard disabled: the O(1)-memory trade is explicit, result is finite
+    # (and for this LINEAR field even correct — J is u-independent)
+    g_off = jax.grad(loss)(
+        p, T_bad, BacksolveAdjoint(checkpointing=False, recon_guard=None))
+    assert np.all(np.isfinite(np.asarray(g_off))), np.asarray(g_off)

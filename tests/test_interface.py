@@ -829,3 +829,117 @@ def test_ode_adjoint_problem_event_solution():
                                    rtol=1e-5, atol=1e-9, err_msg=repr(sa))
         np.testing.assert_allclose(np.asarray(dp), np.asarray(dp_ref),
                                    rtol=1e-5, atol=1e-9, err_msg=repr(sa))
+
+
+def test_ode_adjoint_problem_continuous_event_running_cost():
+    """A running cost ∫ g dt over a solution with a CONTINUOUS event has a
+    moving-boundary term (g⁻ − g⁺)·dτ/d(·) at the event time (reference
+    callback_tracking.jl ImplicitCorrection). The public constructor must
+    thread the cost value into the bundled reverse event-jump callback
+    exactly as adjoint_sensitivities does — a dropped term is silent and
+    only visible against the direct API's (independently oracle-tested)
+    gradient. Bouncing ball with restitution, g depends on the velocity
+    the bounce rescales, so g⁻ ≠ g⁺."""
+    import pytest
+    import scimlsensitivity_jl_tpu as S
+
+    u0 = jnp.array([1.0, 0.0])
+    p0 = jnp.array([0.9])  # restitution
+
+    def ball_f(u, p, t):
+        return jnp.stack([u[1], -9.81 * jnp.ones_like(u[1])])
+
+    def mk_cb():
+        return S.ContinuousCallback(
+            condition=lambda u, p, t: u[0],
+            affect=lambda u, p, t: jnp.stack([u[0], -p[0] * u[1]]),
+            direction=-1,
+        )
+
+    def g(u, p, t):
+        return u[0] ** 2 + 0.1 * u[1] ** 2
+
+    sol = S.solve(S.ODEProblem(ball_f, u0, (0.0, 1.2), p0), S.Tsit5(),
+                  rtol=1e-10, atol=1e-12, dense=True, callback=mk_cb())
+    assert sol.events is not None and int(np.asarray(sol.events[3])) >= 1
+
+    du0_ref, dp_ref = adjoint_sensitivities(
+        sol, Tsit5(), g=g, sensealg=InterpolatingAdjoint(),
+        rtol=1e-10, atol=1e-12, callback=mk_cb())
+
+    # derivative-only continuous cost cannot carry the boundary term —
+    # the constructor must refuse exactly like the direct API does
+    with pytest.raises(NotImplementedError, match="moving-boundary"):
+        S.ODEAdjointProblem(
+            sol, InterpolatingAdjoint(), callback=mk_cb(),
+            dgdu_continuous=jax.grad(g, argnums=0))
+
+    for sa in [InterpolatingAdjoint(), BacksolveAdjoint()]:
+        spec = S.ODEAdjointProblem(sol, sa, g=g, callback=mk_cb())
+        adj_sol = S.solve(spec.prob, Tsit5(), callback=spec.callback,
+                          tstops=jnp.asarray(spec.tstops),
+                          saveat=jnp.array([1.2, 0.0]),
+                          rtol=1e-10, atol=1e-12, max_steps=4096)
+        assert bool(adj_sol.success), repr(sa)
+        du0, dp = spec.extract(adj_sol.u_final)
+        np.testing.assert_allclose(np.asarray(du0), np.asarray(du0_ref),
+                                   rtol=1e-5, atol=1e-8, err_msg=repr(sa))
+        np.testing.assert_allclose(np.asarray(dp), np.asarray(dp_ref),
+                                   rtol=1e-5, atol=1e-8, err_msg=repr(sa))
+
+
+def test_ode_adjoint_problem_coincident_and_multiple_events():
+    """Multiple recorded events, including two DISTINCT callbacks firing at
+    the SAME time: the reverse event callback groups records by stop
+    eagerly (one lax.switch branch per unique time, records applied
+    newest-first within a stop) — each record applied exactly once.
+    Oracle: exact discrete AD over solve."""
+    import scimlsensitivity_jl_tpu as S
+
+    p0 = jnp.array([0.8, 0.35, 1.15])
+    u0 = jnp.array([1.0])
+    ts = jnp.linspace(0.0, 2.0, 5)
+
+    def decay(u, p, t):
+        return -p[0] * u
+
+    def mk_cbs():
+        # dose at 0.5 and 1.3; scale ALSO at 1.3 (coincident, noncommuting
+        # with the dose: (u+d)*s != u*s+d)
+        return [
+            S.PresetTimeCallback(jnp.array([0.5, 1.3]),
+                                 lambda u, pr, t: u + pr[1]),
+            S.PresetTimeCallback(jnp.array([1.3]),
+                                 lambda u, pr, t: u * pr[2]),
+        ]
+
+    def loss(pp, uu0):
+        sol = S.solve(S.ODEProblem(decay, uu0, (0.0, 2.0), pp), S.Tsit5(),
+                      saveat=ts, rtol=1e-9, atol=1e-11, callback=mk_cbs(),
+                      sensealg=S.DirectAdjoint(), max_steps=512)
+        return jnp.sum(sol.ys ** 2)
+
+    dp_ref = jax.grad(loss)(p0, u0)
+    du0_ref = jax.grad(loss, argnums=1)(p0, u0)
+
+    sol = S.solve(S.ODEProblem(decay, u0, (0.0, 2.0), p0), S.Tsit5(),
+                  saveat=ts, rtol=1e-9, atol=1e-11, callback=mk_cbs(),
+                  dense=True)
+    assert int(np.asarray(sol.events[3])) == 3
+
+    def dg(u, p, t, i):
+        return 2.0 * u
+
+    for sa in [InterpolatingAdjoint(), BacksolveAdjoint()]:
+        spec = S.ODEAdjointProblem(sol, sa, t=ts, dgdu_discrete=dg,
+                                   callback=mk_cbs())
+        adj_sol = S.solve(spec.prob, Tsit5(), callback=spec.callback,
+                          tstops=jnp.asarray(spec.tstops),
+                          saveat=jnp.array([2.0, 0.0]),
+                          rtol=1e-9, atol=1e-11, max_steps=2048)
+        assert bool(adj_sol.success), repr(sa)
+        du0, dp = spec.extract(adj_sol.u_final)
+        np.testing.assert_allclose(np.asarray(du0), np.asarray(du0_ref),
+                                   rtol=1e-5, atol=1e-9, err_msg=repr(sa))
+        np.testing.assert_allclose(np.asarray(dp), np.asarray(dp_ref),
+                                   rtol=1e-5, atol=1e-9, err_msg=repr(sa))
