@@ -36,6 +36,7 @@ headline line prints LAST.
 """
 
 import json
+import math
 import os
 import time
 
@@ -83,13 +84,27 @@ def _time_fn(fn, args, n_rep):
     return 1e3 * times[len(times) // 2]
 
 
+def _json_safe(v):
+    """NaN/inf are not RFC 8259 JSON — json.dumps emits bare NaN tokens
+    that strict parsers (jq, JSON.parse) reject, which would make a
+    NaN-poisoned gradient (the library's deliberate loud-failure mode)
+    corrupt the driver artifact. Map non-finite floats to a string."""
+    if isinstance(v, float) and not math.isfinite(v):
+        return repr(v)  # 'nan' / 'inf' / '-inf', as a JSON string
+    if isinstance(v, dict):
+        return {k: _json_safe(x) for k, x in v.items()}
+    if isinstance(v, (list, tuple)):
+        return [_json_safe(x) for x in v]
+    return v
+
+
 def _emit_rec(rec):
     """Print one metric row AND persist it to bench_results.jsonl.
 
     EVERY metric goes through here (round-4 failure mode: the most
     important rows were print-only and the driver artifact captured
     nothing device-level — VERDICT r4 missing #1)."""
-    line = json.dumps(rec)
+    line = json.dumps(_json_safe(rec))
     print(line, flush=True)
     try:
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -638,66 +653,96 @@ def bench_pde_cont_adjoint():
                 return jnp.sum(sol.ys[-1] ** 2)
             return jax.grad(loss)(u)
 
+        # Each arm warms and validates INDEPENDENTLY (one failing arm —
+        # e.g. an OOM in the exact-AD residual store — must not destroy
+        # the other north-star rows), then the surviving arms are timed
+        # interleaved in one _ab_rounds call.
+        row_of = {"cont": f"pde_cont_adjoint_ratio_n{n}",
+                  "exact": f"pde_exact_ad_ratio_n{n}",
+                  "default": f"pde_default_dispatch_ratio_n{n}"}
+        arm_fns = {"fwd": fwd, "cont": grad_cont, "exact": grad_exact,
+                   "default": grad_default}
+        arms, grads = [], {}
+        for name in ("fwd", "cont", "exact", "default"):
+            try:
+                out = arm_fns[name](u0, p)
+                if name != "fwd":
+                    grads[name] = np.asarray(out)
+                else:
+                    jax.block_until_ready(out)
+                arms.append(name)
+            except Exception as e:
+                _emit_rec({"metric": row_of.get(name,
+                                                f"pde_fwd_arm_n{n}"),
+                           "error": str(e)[:200]})
+        if "fwd" not in arms or len(arms) < 2:
+            continue  # error rows above say why
+
+        def _rel(a, b):
+            return float(np.linalg.norm(a - b)
+                         / max(np.linalg.norm(b), 1e-30))
+
+        rel = (_rel(grads["cont"], grads["exact"])
+               if "cont" in grads and "exact" in grads else None)
+        rel_d = (_rel(grads["default"], grads["exact"])
+                 if "default" in grads and "exact" in grads else None)
+        # 7 interleaved rounds: at n=262k the per-call time (~7 ms) is
+        # close enough to tunnel jitter that 3 rounds once published a
+        # drift artifact (1.588x in one session vs 1.108x re-measured
+        # same-config; the config itself is ~1.1x — reverse adds ~1 ms
+        # over the forward). More rounds, median ratio.
+        nr = 7 if _left() > 300 else 3
         try:
-            gc = np.asarray(grad_cont(u0, p))
-            gx = np.asarray(grad_exact(u0, p))
-            gd = np.asarray(grad_default(u0, p))
-            rel = float(np.linalg.norm(gc - gx) / np.linalg.norm(gx))
-            rel_d = float(np.linalg.norm(gd - gx) / np.linalg.norm(gx))
-            # 7 interleaved rounds: at n=262k the per-call time (~7 ms) is
-            # close enough to tunnel jitter that 3 rounds once published a
-            # drift artifact (1.588x in one session vs 1.108x re-measured
-            # same-config; the config itself is ~1.1x — reverse adds ~1 ms
-            # over the forward). More rounds, median ratio.
-            nr = 7 if _left() > 300 else 3
-            res = _ab_rounds([("fwd", fwd, u0, (p,)),
-                              ("cont", grad_cont, u0, (p,)),
-                              ("exact", grad_exact, u0, (p,)),
-                              ("default", grad_default, u0, (p,))],
+            res = _ab_rounds([(k, arm_fns[k], u0, (p,)) for k in arms],
                              rounds=nr)
+        except Exception as e:
+            _emit_rec({"metric": f"pde_cont_adjoint_ratio_n{n}",
+                       "error": str(e)[:200]})
+            continue
+        fwd_ms = round(_med(res["fwd"]), 3)
+        if "cont" in res:
             rc = _med_ratio(res["cont"], res["fwd"])
-            rx = _med_ratio(res["exact"], res["fwd"])
-            rd = _med_ratio(res["default"], res["fwd"])
             rs = sorted(a / max(b, 1e-9)
                         for a, b in zip(res["cont"], res["fwd"]))
             _emit_rec({"metric": f"pde_cont_adjoint_ratio_n{n}",
                        "value": round(rc, 3), "unit": "x",
-                       "fwd_ms": round(_med(res["fwd"]), 3),
+                       "fwd_ms": fwd_ms,
                        "grad_ms": round(_med(res["cont"]), 3),
                        "ratio_min": round(rs[0], 3),
                        "ratio_max": round(rs[-1], 3),
                        "rounds": nr,
-                       "rel_err_vs_exact_ad": float(f"{rel:.2e}"),
-                       "vs_baseline": round(1.5 / rc, 3),
+                       "rel_err_vs_exact_ad": rel,
+                       "vs_baseline": round(1.5 / max(rc, 1e-9), 3),
                        "same_process": True,
                        "note": "BacksolveAdjoint over the fixed-grid "
                                "forward (= what sensealg=None dispatches "
                                "to at this shape, tests/test_dispatch.py); "
                                "north star <1.5x (BASELINE.md); per-round "
                                "interleaved medians"})
+        if "exact" in res:
             _emit_rec({"metric": f"pde_exact_ad_ratio_n{n}",
-                       "value": round(rx, 3), "unit": "x",
-                       "fwd_ms": round(_med(res["fwd"]), 3),
+                       "value": round(_med_ratio(res["exact"],
+                                                 res["fwd"]), 3),
+                       "unit": "x", "fwd_ms": fwd_ms,
                        "grad_ms": round(_med(res["exact"]), 3),
                        "same_process": True,
                        "note": "exact discrete AD, explicitly pinned via "
                                "DirectAdjoint (floored at 2x: grad "
                                "contains the forward plus a transpose "
                                "sweep >= the forward)"})
+        if "default" in res:
             _emit_rec({"metric": f"pde_default_dispatch_ratio_n{n}",
-                       "value": round(rd, 3), "unit": "x",
-                       "fwd_ms": round(_med(res["fwd"]), 3),
+                       "value": round(_med_ratio(res["default"],
+                                                 res["fwd"]), 3),
+                       "unit": "x", "fwd_ms": fwd_ms,
                        "grad_ms": round(_med(res["default"]), 3),
-                       "rel_err_vs_exact_ad": float(f"{rel_d:.2e}"),
+                       "rel_err_vs_exact_ad": rel_d,
                        "same_process": True,
                        "note": "jax.grad(solve) with sensealg=None — the "
                                "out-of-box gradient; default_sensealg "
                                "dispatches this shape to the continuous "
                                "fixed-grid BacksolveAdjoint (VERDICT r4 "
                                "#3 done-criterion row)"})
-        except Exception as e:
-            _emit_rec({"metric": f"pde_cont_adjoint_ratio_n{n}",
-                       "error": str(e)[:200]})
 
 
 def bench_pde_scaling():
@@ -748,6 +793,14 @@ def bench_pde_scaling():
         except Exception as e:
             _emit_rec({"metric": f"pde_scaling_n{n}",
                               "error": str(e)[:200]})
+            continue
+        if fwd_ms <= 0.0:
+            # _slope_time clamps persistently non-positive slopes to 0.0
+            # on a jittery tunnel — a zero here would ZeroDivisionError
+            # below and abort the remaining sizes
+            _emit_rec({"metric": f"pde_scaling_n{n}",
+                       "error": "non-positive device slope "
+                                "(tunnel jitter); skipped"})
             continue
         flops = STEPS * FPPS * n
         # Per-STEP HBM traffic under ideal fusion (VERDICT r3 weak #2 fix —
@@ -1105,9 +1158,27 @@ def bench_spiral_device_ratio():
          mk_grd(InterpolatingAdjoint())),
         ("direct_scan", mk_fwd(DirectAdjoint()), mk_grd(DirectAdjoint())),
     ]
+    # Each mode warms (compiles + executes) INDEPENDENTLY: one mode
+    # failing — or the budget running out mid-compile — must not destroy
+    # the other five rows (same per-arm isolation as the PDE bench).
+    live = []
+    for name, f, g in modes:
+        if _left() < 120 and live:
+            _emit_rec({"metric": f"spiral_mode_{name}",
+                       "skipped": "low_budget"})
+            continue
+        try:
+            jax.block_until_ready(f(u0, params))
+            jax.block_until_ready(g(u0, params))
+            live.append((name, f, g))
+        except Exception as e:
+            _emit_rec({"metric": f"spiral_fwd_grad_ratio_device_{name}",
+                       "error": str(e)[:200]})
+    if not live:
+        return
     try:
         pairs = []
-        for name, f, g in modes:
+        for name, f, g in live:
             pairs.append((name + ":fwd", f, u0, (params,)))
             pairs.append((name + ":grd", g, u0, (params,)))
         # One warm pass (all compiles), then 5 rounds measuring EVERY
@@ -1116,9 +1187,12 @@ def bench_spiral_device_ratio():
         # (VERDICT r4 weak #2 — the gauss_unrolled 2.5x-faster-vs-6x-slower
         # contradiction was cross-session; this emits the one same-process
         # number).
-        res = _ab_rounds(pairs, rounds=5,
+        # warm compiles are already paid above; the measurement itself
+        # shrinks under a squeezed budget rather than risking the child's
+        # SIGKILL (which would also drop the downstream mxu rows)
+        res = _ab_rounds(pairs, rounds=5 if _left() > 240 else 2,
                          slope_kw=dict(K1=4, K2=32, reps=1))
-        for name, _f, _g in modes:
+        for name, _f, _g in live:
             r = _med_ratio(res[name + ":grd"], res[name + ":fwd"])
             fm = _med(res[name + ":fwd"])
             gm = _med(res[name + ":grd"])
@@ -1128,7 +1202,7 @@ def bench_spiral_device_ratio():
                      "value": round(r, 3), "unit": "x",
                      "fwd_device_ms": round(fm, 4),
                      "grad_device_ms": round(gm, 4),
-                     "vs_baseline": round(1.5 / r, 3),
+                     "vs_baseline": round(1.5 / max(r, 1e-9), 3),
                      "same_process": True,
                      "note": "unrolled DirectAdjoint (adaptive masked-"
                              "scan, straight-line XLA): exact discrete "
@@ -1140,11 +1214,13 @@ def bench_spiral_device_ratio():
                      "value": round(r, 3), "unit": "x",
                      "fwd_device_ms": round(fm, 4),
                      "grad_device_ms": round(gm, 4),
-                     "vs_baseline": round(1.5 / r, 3),
+                     "vs_baseline": round(1.5 / max(r, 1e-9), 3),
                      "same_process": True})
         # The one number resolving the unrolled-vs-while reverse question:
         # value > 1 means the unrolled Gauss reverse is FASTER than the
         # while-driver Gauss reverse in this process, same rounds.
+        if "gauss:grd" not in res or "gauss_unrolled:grd" not in res:
+            return
         _emit_rec(
             {"metric": "spiral_gauss_unrolled_vs_while_grad",
              "value": round(_med_ratio(res["gauss:grd"],
@@ -1227,13 +1303,7 @@ def bench_digits_training():
                             / V5E_PEAK_FLOPS, 4),
            "note": "latency-bound at this size; acc target >0.9 "
                    "(BASELINE config 3, synthetic in-repo digits)"}
-    _emit_rec(rec)
-    try:
-        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "bench_results.jsonl"), "a") as fh:
-            fh.write(json.dumps(rec) + "\n")
-    except OSError:
-        pass
+    _emit_rec(rec)  # persistence included — no manual append needed
 
     # NOTE (measured, round 4): an unrolled train-step variant
     # (DirectAdjoint + unroll over the vmapped batch) measured 0.47x —
@@ -1363,9 +1433,11 @@ def run_scaling():
     # every bench (and inside the long ones) so a squeeze drops the tail,
     # never the headline evidence.
     _emit_rec({"metric": "scaling_start", "budget_s": round(_left(), 1)})
+    # _measure_vpu_peak must PRECEDE bench_pde_megakernel: the megakernel
+    # rows read _VPU_PEAK for their vpu_util/speed-of-light fields
     for fn in [bench_pde_cont_adjoint, bench_spiral_device_ratio,
                bench_neural_ode_mfu, bench_mxu_training,
-               bench_pde_megakernel, _measure_vpu_peak, bench_pde_scaling,
+               _measure_vpu_peak, bench_pde_megakernel, bench_pde_scaling,
                bench_digits_training]:
         if _left() < 150:
             _emit_rec({"metric": fn.__name__, "skipped": "low_budget",
@@ -1489,6 +1561,31 @@ def main():
     else:
         _emit_rec({"metric": "extras_skipped_low_budget"})
 
+    # Headline ALSO in a bounded child: the parent never touches the
+    # accelerator, so a tunnel outage that begins AFTER the preflight
+    # (mid-run) cannot hang the driver with no final JSON line — the
+    # child's backend-init hang is cut by the timeout and the parent
+    # prints a self-documenting error headline instead (review finding:
+    # the old in-parent tail was the one unguarded accelerator touch).
+    ok = False
+    try:
+        r = subprocess.run([sys.executable, os.path.abspath(__file__),
+                            "--headline"],
+                           timeout=max(headline_reserve, _left()) + 60,
+                           env=env,
+                           cwd=os.path.dirname(os.path.abspath(__file__)))
+        ok = r.returncode == 0
+    except subprocess.TimeoutExpired:
+        pass
+    if not ok:
+        _emit_rec({"metric": "spiral_neural_ode_gradient_time",
+                   "value": None, "unit": "ms",
+                   "error": "headline child failed or timed out "
+                            "(accelerator outage mid-run?); see "
+                            "bench_results.jsonl for captured rows"})
+
+
+def run_headline():
     args = _spiral_setup()
     grad_fn = jax.jit(jax.grad(_spiral_loss_factory(None, adaptive=False,
                                                     unroll=True)))
@@ -1503,5 +1600,7 @@ if __name__ == "__main__":
         run_extras()
     elif "--scaling" in _sys.argv:
         run_scaling()
+    elif "--headline" in _sys.argv:
+        run_headline()
     else:
         main()

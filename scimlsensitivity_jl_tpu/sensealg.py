@@ -400,11 +400,24 @@ def default_sensealg(n: int, np_: int, has_params: bool, is_ode: bool = True,
                                measured-best unrolled mode — spiral device
                                grad/fwd 1.59x vs Gauss-unrolled's drift)
       fixed grid, n >= 16384,
-      ODE, no callbacks     -> BacksolveAdjoint (fixed-grid continuous:
+      p <= 128, ODE,
+      no callbacks          -> BacksolveAdjoint (fixed-grid continuous:
                                the lambda reverse takes only the steps
                                accuracy demands — measured 1.31-1.34x
                                forward at 262k/1M states vs the 2x-floored
-                               exact discrete AD at 2.25-2.65x). Backward
+                               exact discrete AD at 2.25-2.65x). The p cap
+                               keeps this to the measured win regime —
+                               cheap analytic fields (PDE stencils) whose
+                               reverse is bandwidth-bound. A large-p field
+                               is a neural network: there exact discrete
+                               AD is the 3x-FLOP-floor optimum (it reuses
+                               forward residuals; measured
+                               neural_ode_mxu_grad roofline ~1.0), while
+                               the continuous reverse re-linearizes the
+                               net per reverse stage and its backward
+                               u-re-integration of a trained field ground
+                               to ~370x the floor in the B=1024 n=512
+                               MXU bench. Backward
                                u-reconstruction can be unstable for
                                dissipative dynamics over long horizons
                                (the reference's heuristic avoids Backsolve
@@ -428,7 +441,7 @@ def default_sensealg(n: int, np_: int, has_params: bool, is_ode: bool = True,
     if unroll and is_ode:
         return DirectAdjoint()
     if (fixed_grid and is_ode and has_params and not has_callbacks
-            and n >= 16384):
+            and n >= 16384 and np_ <= 128):
         return BacksolveAdjoint()
     if n + np_ <= 100 and not has_callbacks:
         return ForwardDiffSensitivity()

@@ -394,8 +394,10 @@ def _solve_ode(prob, solver, *, saveat, rtol, atol, dt0, dt, max_steps,
 
     # Remember whether the caller picked the sensealg: fixed-grid solves
     # (adaptive=False) default to the discrete-AD path — EXCEPT in the
-    # measured bandwidth-bound regime (large n), where default_sensealg
-    # picks the fixed-grid continuous Backsolve (the 1.31-1.34x-forward
+    # measured bandwidth-bound regime (large n, SMALL p: analytic/PDE
+    # fields — large-p neural fields keep exact AD, its 3x-FLOP floor is
+    # optimal there), where default_sensealg picks the fixed-grid
+    # continuous Backsolve (the 1.31-1.34x-forward
     # gradient vs exact AD's 2x floor; VERDICT r4 #3) — while an EXPLICIT
     # continuous sensealg always rides the continuous-adjoint rules with
     # the forward marching the fixed grid (reference: adaptive=false

@@ -291,6 +291,13 @@ def test_default_sensealg_measured_decision_table():
                          has_callbacks=True), BacksolveAdjoint)
     assert isinstance(default_sensealg(262144, 0, False, fixed_grid=True),
                       QuadratureAdjoint)
+    # LARGE-p fixed grid (a neural field, e.g. the B=1024 n=512 MXU bench:
+    # 524288 states, ~2.1M params) keeps exact discrete AD — the measured
+    # 3x-FLOP-floor optimum there; the continuous Backsolve reverse ground
+    # to ~370x the floor in that regime (bench_results 2026-08-20)
+    assert not isinstance(
+        default_sensealg(524288, 2_100_000, True, fixed_grid=True),
+        BacksolveAdjoint)
 
 
 def test_default_fixed_grid_large_n_routes_continuous():
